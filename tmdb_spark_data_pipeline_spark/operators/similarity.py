@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 item 13).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane LSH
+bucketing is the scale path. The dot product / norm math is pure Catalyst
+(``zip_with`` + ``aggregate`` over ``array<float>``) — element order is
+fixed, so the double-precision result is deterministic and reproducible
+against an external oracle, unlike a parallel float reduction.
+
+Scale notes (100 TB): brute force is a broadcast nested loop — cost
+|queries| × |corpus| × dim. It parallelizes perfectly (corpus partitions ×
+broadcast queries) but is O(N) per query; LSH probing reduces per-query cost
+to the bucket size at a recall price. For real workloads the corpus side
+should be stored with the bucket id as a partition/bucketing key so a probe
+prunes files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ColumnOrName, _col
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Σ aᵢ·bᵢ in strict array order (deterministic double math)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Broadcast the (small) query side against the corpus — no shuffle of the
+    corpus; then per-query top-k via window. Output:
+    (query_id, neighbor_id, cos).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane_bucket(vec: ColumnOrName, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
+
+    ``planes`` are driver-side constants (seeded), embedded as array
+    literals — no UDF, no broadcast variable needed.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: list[list[float]] | None = None,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on bucket id replaces the cross join — at scale, with the
+    corpus written bucketed/partitioned by bucket id, a probe reads one
+    bucket's files only. Recall is tunable via ``num_planes`` (fewer planes →
+    bigger buckets → higher recall, more compute); multi-probe (flipping one
+    bit) would raise recall without more planes — left as future work.
+    """
+    if planes is None:
+        import random
+
+        rng = random.Random(seed)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_bucket(vec_col, planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_bucket(vec_col, planes).alias("__bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "__bucket")
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold (embedding near-dup). Optionally blocked
+    on a column (e.g. an LSH bucket or a label) to avoid the full cross join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), *([F.col(block_col).alias("__ba")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), *([F.col(block_col).alias("__bb")] if block_col else []))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("__ba") == F.col("__bb"))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", cosine("__va", "__vb").alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators (SURVEY.md §2.11 item 13): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — the whole module runs inside
+whole-stage codegen; nothing crosses the Python boundary at execution time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import ColumnOrName, _col
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+#: (A real language-ID model is a library concern; the heuristic demonstrates
+#: the distributed scoring pattern.)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "mit", "den", "zu"),
+}
+
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(_col(text)), r"\s+")
+
+
+def bpe_ish_tokens(text: ColumnOrName) -> Column:
+    """Sub-word-ish tokenization: split on word boundaries and punctuation
+    (a BPE-flavored regex, not a trained BPE — deterministic and cheap)."""
+    cleaned = F.regexp_replace(_col(text), r"([\.,;:!\?\(\)\[\]\{\}\"'])", r" $1 ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: ColumnOrName) -> Column:
+    return F.size(tokens(text))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, type/token ratio,
+    mean token length — the quality-scoring raw signals."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(n_uniq / n_tok, 6).alias("type_token_ratio"),
+        F.round((F.length(text_col) - n_tok + 1) / n_tok, 6).alias("mean_token_len"),
+    )
+
+
+def quality_score(text: ColumnOrName, *, lang: str = "en") -> Column:
+    """Heuristic quality in [0,1]: blend of length band, stopword ratio and
+    lexical diversity (the C4/Gopher-style cheap filters, expression-only)."""
+    t = tokens(text)
+    n_tok = F.size(t)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    sw_hits = F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x))))
+    sw_ratio = sw_hits / n_tok
+    diversity = F.size(F.array_distinct(t)) / n_tok
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = length_ok * (F.lit(0.5) * F.least(sw_ratio * 5, F.lit(1.0)) + F.lit(0.5) * diversity)
+    return F.round(score, 6)
+
+
+def stopword_ratio(text: ColumnOrName, lang: str) -> Column:
+    t = tokens(text)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x)))) / F.size(t)
+
+
+def language_id(text: ColumnOrName, *, min_ratio: float = 0.02) -> Column:
+    """Stopword-voting language ID: argmax over per-language stopword hit
+    counts, ties and low-evidence → 'und'. Deterministic: ties break on
+    language code order."""
+    t = tokens(text)
+    n_tok = F.size(t)
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        sw = F.array([F.lit(w) for w in words])
+        # single-parameter lambda only (a defaulted second param would be
+        # bound to the array index by PySpark's HOF translation)
+        return F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x))))
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        scores.append(F.struct(_hits(STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct: orders by first field (hits), then lang — we want
+    # max hits with lexicographically SMALLEST lang on ties, so invert lang
+    # is avoided by sorting desc on hits then taking the first element of a
+    # sorted array.
+    arr = F.array(*scores)
+    best = F.array_sort(
+        arr,
+        lambda l, r: F.when(l["hits"] > r["hits"], -1).when(l["hits"] < r["hits"], 1).when(l["lang"] < r["lang"], -1).when(l["lang"] > r["lang"], 1).otherwise(0),
+    )[0]
+    return F.when(
+        best["hits"] >= F.greatest(F.ceil(n_tok * min_ratio), F.lit(1)), best["lang"]
+    ).otherwise(F.lit("und"))
+
+
+def fingerprint(text: ColumnOrName, *, bits: int = 64) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text,
+    truncated to bits/4 hex chars. (The rolling-hash variant is ``simhash64``
+    in ``dedup.py``.) Matches DuckDB ``md5(...)`` for oracle checking."""
+    normalized = F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, bits // 4)

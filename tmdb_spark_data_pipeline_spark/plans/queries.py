@@ -1,0 +1,1029 @@
+"""The declared query surface (SURVEY.md §2.11): every operator the engine
+claims, written once in PySpark (via the operator library) and once in ANSI
+SQL for the DuckDB oracle. The driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value-hash.
+
+Determinism rules (SURVEY.md §7 "hard parts") applied throughout:
+
+- every money-ish double aggregate goes through ``decimal(30,4)`` before the
+  sum so partial-agg order can't flip a rounded digit (both engines),
+- every top-k has ``NULLS LAST`` + a total-order tie-breaker,
+- timestamps/dates in outputs are formatted to strings (engine-neutral),
+- ratios are rounded at a fixed scale in both implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, dedup, joins, rank, search, setops, similarity, text
+from ..sources.io import load_table
+from ..streaming import replay_events_tumbling
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# exact decimal sum of a double expression, surfaced as double (see module doc)
+def _dsum(c) -> F.Column:
+    return F.sum(c.cast("decimal(30,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# 1. scan / project / filter / derived metrics (§2.11 items 1, 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount > 0.05 AND l_quantity < 24
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed scan + range/threshold predicates + per-row arithmetic (P1/P7,
+    F10). Filters and the 6-column projection push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "derived_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_quantity >= 1 THEN l_extendedprice / l_quantity END AS price_per_unit
+    FROM lineitem
+    """,
+)
+def derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's profit/ROI pattern (kpis.py:54-62) over lineitem:
+    guarded derived columns in one projection (F10/F11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ppu = F.when(F.col("l_quantity") >= 1, F.col("l_extendedprice") / F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charge"),
+        ppu.alias("price_per_unit"),
+    )
+
+
+@query(
+    "cleaning_normalize",
+    oracle="""
+    WITH cleaned AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN value >= 1.0 THEN value END AS value_clean,
+             TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS props_k
+      FROM events
+    )
+    SELECT * FROM cleaned
+    WHERE (CASE WHEN event_id   IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN user_id    IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN value_clean IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN props_k    IS NOT NULL THEN 1 ELSE 0 END) >= 5
+    """,
+)
+def cleaning_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pipeline (§2.11 item 2): threshold nulling (clean_transform.py:
+    124-129 pattern), semi-structured extraction, completeness filter (P8)."""
+    ev = _t(spark, sf_dir, "events")
+    cleaned = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("value") >= 1.0, F.col("value")).alias("value_clean"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("props_k"),
+    )
+    return cleaning.completeness_filter(cleaned, 5)
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date, o_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-by-key (P9 with the keep-policy fix): first order
+    per customer, ties broken on orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    first = cleaning.dedup_by_key(o, ("o_custkey",), tiebreak=(F.col("o_orderdate"), F.col("o_orderkey")))
+    return first.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. top-k / grouped top-n (§2.11 items 5, 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (T1/T2, kpis.py:65-76) → TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    return rank.top_k(o, "o_totalprice", order="desc", k=10, tiebreak=("o_orderkey",)).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "bottom_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def bottom_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ascending top-k with NULLS LAST — fixes the reference's unguarded
+    lowest_* ranking (SURVEY §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    return rank.top_k(o, "o_totalprice", order="asc", k=10, tiebreak=("o_orderkey",)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "grouped_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n per group (§2.7): the windowed generalization of rank_movies."""
+    o = _t(spark, sf_dir, "orders")
+    out = rank.top_n_per_group(
+        o, ("o_custkey",), "o_totalprice", order="desc", n=2, tiebreak=("o_orderkey",), rank_col="rnk"
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# 3. aggregation (§2.11 item 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity      AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity      AS DECIMAL(30,4))) AS DOUBLE) / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount      AS DECIMAL(30,4))) AS DOUBLE) / count(*), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1-A3 generalized): hash aggregate with partial
+    (map-side) combine; decimal sums for order-independent results."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+        F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+        F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(_dsum(F.col("l_quantity")) / n, 2).alias("avg_qty"),
+        F.round(_dsum(F.col("l_extendedprice")) / n, 2).alias("avg_price"),
+        F.round(_dsum(F.col("l_discount")) / n, 2).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "orders_priority_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(*), 2) AS avg_total,
+           round(median(o_totalprice), 2) AS median_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate group-by incl. exact median (A1 pattern with the
+    percentile_approx → exact percentile determinism fix, SURVEY §7)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("sum_total"),
+        F.round(_dsum(F.col("o_totalprice")) / F.count("*"), 2).alias("avg_total"),
+        F.round(F.median("o_totalprice"), 2).alias("median_total"),
+    )
+
+
+@query(
+    "orders_by_year",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_total
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by on a derived time key (A4, visualize.py:114-120)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("sum_total"),
+    )
+
+
+@query(
+    "franchise_style_agg",
+    oracle="""
+    SELECT CASE WHEN c_acctbal > 5000 THEN 'HighBalance' ELSE 'Standard' END AS segment_flag,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*), 2) AS mean_acctbal,
+           round(median(c_acctbal), 2) AS median_acctbal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def franchise_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's franchise-vs-standalone shape (A1, kpis.py:125-142):
+    a when/otherwise derived grouping key + multi-aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    flag = F.when(F.col("c_acctbal") > 5000, "HighBalance").otherwise("Standard")
+    return (
+        c.withColumn("segment_flag", flag)
+        .groupBy("segment_flag")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(_dsum(F.col("c_acctbal")) / F.count("*"), 2).alias("mean_acctbal"),
+            F.round(F.median("c_acctbal"), 2).alias("median_acctbal"),
+        )
+    )
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (rollup) — beyond the reference's surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference, §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("approx_distinct_parts")  # HLL sketch — engine-specific, rows-only check
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct: the 100 TB path for distinct counts (no shuffle
+    of the distinct keys, fixed-size sketch). No oracle: HLL estimates are
+    engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@query(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY 1 HAVING count(*) >= 15
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation filter (HAVING)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with explicit value list — explicit values
+    keep the plan static (no extra distinct-values job) at scale."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. joins / set ops (§2.11 items 8, 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table star join (TPC-H Q5 shape). nation/region broadcast
+    (tiny dims); lineitem⋈orders is the only real shuffle — AQE handles
+    skew/coalesce. This is the engine's flagship query."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END AS DECIMAL(30,4))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE),
+               2) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a join (TPC-H Q14 shape); part side
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * _dsum(promo) / _dsum(rev), 2).alias("promo_pct"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.join(c, o, ["c_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "customer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, n_orders FROM customer
+    JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+      ON c_custkey = o_custkey
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join to a pre-aggregated side — aggregate-before-join keeps
+    the shuffled payload minimal (100 TB habit: reduce, then join)."""
+    c = _t(spark, sf_dir, "customer")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(counts, "c_custkey").select("c_custkey", "c_mktsegment", "n_orders")
+
+
+@query(
+    "left_join_nation_counts",
+    oracle="""
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def left_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched dimension rows."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return setops.union_by_name([a, b], distinct=True)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return setops.intersect_distinct(a, b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return setops.except_distinct(a, b)
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    SELECT p_event_id, user_id, c_event_id, c_value FROM (
+      SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             c.event_id AS c_event_id, c.value AS c_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each purchase, the same user's most recent
+    click at-or-before it. Spark lacks a native as-of join; composed from a
+    range-condition join + windowed dedup (operators/joins.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    out = joins.asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts", direction="backward"
+    )
+    return out.select(
+        F.col("l.event_id").alias("p_event_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("c_event_id"),
+        F.col("r.value").alias("c_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. explode / search / window functions (§2.11 items 10, 11 + analytic wins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "word_counts_top20",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + re-aggregate (F16/A6 — the reference does this in pandas;
+    here it's distributed) + deterministic top-k on the aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return rank.top_k(counts, "n", order="desc", k=20, tiebreak=("word",))
+
+
+@query(
+    "search_documents",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE text LIKE '%spark%' AND text LIKE '%join%'
+      AND lang = 'en' AND n_chars >= 200
+    """,
+)
+def search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search predicates (P5/P6, kpis.py:102-119)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = search.all_of(
+        search.text_contains("text", "spark"),
+        search.text_contains("text", "join"),
+        F.col("lang") == "en",
+        search.threshold("n_chars", ">=", 200),
+    )
+    return search.search(docs, pred).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "user_running_totals",
+    oracle="""
+    SELECT event_id, user_id, value,
+           row_number() OVER w AS rn,
+           lag(value) OVER w AS prev_value,
+           CAST(sum(CAST(value AS DECIMAL(30,4))) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (§2.7): row_number + lag + running sum
+    (decimal-exact so segment-tree vs streaming accumulation can't diverge)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(30,4)")).over(wf).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flags + per-user session counts (the
+    batch twin of session_window; streaming version in streaming/windows.py)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. time-bucketed aggregation + streaming twin (§2.11 item 12)
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@query("events_hourly", oracle=_HOURLY_ORACLE)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch (window(ts,'1 hour') ≡ DuckDB
+    time_bucket)."""
+    from ..streaming import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(ev, "ts", "1 hour", ("event_type",), "value")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@query("stream_hourly", oracle=_HOURLY_ORACLE)
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregation executed as a real Structured Streaming query
+    (file source → watermark → window agg → memory sink), proving
+    batch ≡ replayed stream against the same oracle."""
+    import os
+
+    out = replay_events_tumbling(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        ts_col="ts",
+        duration="1 hour",
+        group_cols=("event_type",),
+        value_col="value",
+        query_name="stream_hourly_mem",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. extension operators: dedup / similarity / text (§2.11 item 13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_by_source",
+    oracle="""
+    WITH winners AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    )
+    SELECT source, count(*) AS n_docs
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM winners)
+    GROUP BY source
+    """,
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup (sha2 groupBy, keep min id) then a per-source
+    count over the deduplicated set."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = dedup.dedup_exact(docs, "text", "doc_id")
+    return deduped.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+_NEARDUP_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    """
+
+
+@query("ngram_jaccard_neardups", oracle=_NEARDUP_ORACLE)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-word shingles, Jaccard ≥ 0.5, blocked on
+    shared shingles (the join is the blocking step)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("minhash_neardups", oracle=_NEARDUP_ORACLE)
+def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) candidates, exact-Jaccard
+    verified at ≥ 0.5. Checked against the *exact* oracle: at this corpus's
+    similarity distribution (near-dups are all ≥ 0.8 Jaccard) LSH detection
+    probability is ≈ 1 - 5e-8, so the verified candidate set equals the
+    exact answer. The scale path for dedup at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, num_hashes=128, bands=32, min_jaccard=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("simhash_fingerprints")  # xxhash64-based — no DuckDB twin, rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprints per document (near-dup sketch whose
+    hamming distance approximates cosine distance of token sets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs, "text", "doc_id")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(trim(text), ' '))) AS n_unique_tokens,
+           round(len(list_distinct(string_split(trim(text), ' '))) * 1.0
+                 / len(string_split(trim(text), ' ')), 6) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (expression-only, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5/64-bit prefix)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@query(
+    "lang_stopword_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(len(list_filter(string_split(trim(text), ' '),
+                         x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+                       * 1.0 / len(string_split(trim(text), ' ')) AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_en_stopword_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-marker scoring aggregated per labeled lang — the distributed
+    scoring half of the language-ID heuristic (operators/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    ratio = text.stopword_ratio("text", "en")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(ratio.cast("decimal(30,10)")).cast("double") / F.count("*"), 6
+        ).alias("mean_en_stopword_ratio"),
+    )
+
+
+@query("language_id")  # heuristic classifier — verified by unit test, rows-only here
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.language_id("text").alias("lang_pred"))
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    -- cosine in explicit double precision (list_cosine_similarity is
+    -- float32, which would flip rounded digits vs Spark's double math)
+    SELECT query_id, neighbor_id, round(cos, 5) AS cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+      )
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 20 query vectors: broadcast queries ×
+    corpus scan, zip_with/aggregate dot products (pure Catalyst), windowed
+    top-k. The exactness baseline for ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_bruteforce(q, emb, k=10)
+    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+
+
+@query("similarity_topk_lsh")  # approximate — recall tested in unit tests
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes): the scale path — candidates
+    restricted to the query's bucket via equi-join instead of a cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_lsh(q, emb, k=10, num_planes=6, dim=64, seed=42)
+    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(CAST(sum(CAST(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norms — vector math as Catalyst expressions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = similarity.l2_norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(norm.cast("decimal(30,10)")).cast("double") / F.count("*"), 6).alias("mean_norm"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT 'image' AS media_type, count(*) AS n_assets,
+           sum(octet_length(encode(text))) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes packed as binary assets with a
+    typed metadata struct; metadata-only aggregation (payload column pruned)."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="image")
+    return multimodal.payload_stats(assets)
+
+
+@query("multimodal_features")  # mapInPandas feature extraction — rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads → sha256 digest + deterministic fake feature vector
+    via Arrow-batched mapInPandas (the stubbed decode/feature-extract path)."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="image")
+    return multimodal.extract_features(assets).select("asset_id", "n_bytes", "digest")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

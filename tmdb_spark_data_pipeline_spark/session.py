@@ -1,0 +1,68 @@
+"""SparkSession factory for the engine.
+
+The reference (``/root/reference``) hardcodes ``spark.sql.shuffle.partitions=4``
+and pins Spark 3.5.1 (``docker/Dockerfile:1``, ``transform/clean_transform.py:180``).
+We instead rely on AQE for shuffle sizing and pin the semantics that matter for
+correctness parity with a DuckDB oracle:
+
+- ``spark.sql.ansi.enabled=false``: Spark 3.5 default (the reference's pinned
+  version). With ANSI on (Spark 4.x default), ``x / 0`` throws
+  ``DIVIDE_BY_ZERO``; with it off, ``x / 0`` is NULL — which matches DuckDB
+  and the reference's observed behavior.
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are UTC-naive; pinning
+  the session TZ makes window/time-bucket results comparable.
+- AQE on (coalesce partitions + skew join): at 100 TB the right shuffle
+  partition count is data-dependent; hardcoding it (as the reference does) is
+  wrong at both ends of the scale.
+- Arrow on: the only sanctioned pandas bridge is post-aggregation
+  ``toPandas()`` (reference ``visualization/visualize.py:56-57``), and Arrow
+  makes it columnar instead of row-pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "tmdb-spark-data-pipeline-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller leaves it unset and spark-submit provides it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: ~cores. On a cluster AQE coalesces from this initial
+        # value, so a generous initial count is safe.
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,140 @@
+"""Sources and sinks (SURVEY.md §2.1, S5-S14).
+
+The reference's physical layer is "a layer is a directory of Parquet/JSON
+files" with manual partition-path construction (``analytics/kpis.py:198``,
+``transform/clean_transform.py:35-57``) and ``.done``-marker incrementality
+(``clean_transform.py:27-64``). Here:
+
+- reads always take an explicit schema when the format can't carry one (JSON),
+- partition pruning is expressed as a filter on the partition column over the
+  partitioned root (Catalyst's ``PruneFileSourcePartitions`` does the rest),
+- the marker protocol is kept (simple, idempotent, object-store friendly) and
+  a Structured Streaming ``Trigger.AvailableNow`` twin lives in
+  ``streaming/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: The driver's synthetic tables (/root/repo/TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S8). Columnar, predicate/column pushdown for free."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType, multiline: bool = True) -> DataFrame:
+    """JSON scan with an explicit schema (S6) — never infer in production.
+
+    Reference: ``PROJECT_EXPLAINED.md:464`` reads multiline JSON; we always
+    pass the declared schema so a malformed file can't silently change types.
+    """
+    return spark.read.schema(schema).option("multiLine", multiline).json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from an sf directory.
+
+    Nanosecond-timestamp parquet columns are illegal for Spark's vectorized
+    reader (PARQUET_TYPE_ILLEGAL); we read them as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild proper timestamps
+    with µs truncation — the same truncation DuckDB applies, so oracle
+    comparisons see identical instants. The footer tells us which columns
+    need it.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        for field in pq.read_schema(path):
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    except Exception:
+        pass  # directory inputs / non-local paths: no ns-timestamp fixup
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Register every table as a temp view so the surface is SQL-queryable."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """Parquet sink (S7/S9/S10). ``partition_by`` mirrors the reference's
+    ``partitionBy("ingestion_date")`` silver layout (``clean_transform.py:206-209``).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "append") -> None:
+    """JSON sink (S5) — the raw-archive role of ``fetch_movies.py:285-286``."""
+    df.write.mode(mode).json(path)
+
+
+def stamp_audit_columns(df: DataFrame, run_id: str, ingestion_date: str | None = None) -> DataFrame:
+    """Audit-column stamping (S14; reference ``fetch_movies.py:303-305``)."""
+    out = df.withColumn("ingestion_timestamp", F.current_timestamp()).withColumn("run_id", F.lit(run_id))
+    if ingestion_date is not None:
+        out = out.withColumn("ingestion_date", F.lit(ingestion_date))
+    return out
+
+
+# --- incremental .done-marker protocol (S11/S12) ---------------------------
+# Reference: clean_transform.py:27-64 / kpis.py:26-51. Kept because it is
+# idempotent, object-store safe (one tiny touch file per unit), and trivially
+# auditable. The streaming twin (Trigger.AvailableNow + checkpoint) is in
+# streaming/incremental.py.
+
+
+def _done_dir(base: str) -> str:
+    return os.path.join(base, ".done")
+
+
+def find_unprocessed(base: str, units: list[str]) -> list[str]:
+    """Return the subset of ``units`` (opaque ids, e.g. partition dates) that
+    have no done-marker under ``base/.done/``."""
+    done = set()
+    d = _done_dir(base)
+    if os.path.isdir(d):
+        done = set(os.listdir(d))
+    return [u for u in units if u not in done]
+
+
+def mark_done(base: str, unit: str) -> None:
+    d = _done_dir(base)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, unit), "w"):
+        pass
