@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the declared query surface at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full computation, no
+collect-to-driver serialization skewing the numbers). Set BENCH_QUERIES to a
+comma-separated subset to iterate on specific queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from tmdb_spark_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = os.environ.get("BENCH_QUERIES")
+    names = only.split(",") if only else list(REGISTRY)
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + file listing once so per-query numbers measure the plan,
+    # not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        if df.isStreaming:  # pragma: no cover - all declared queries are batch
+            df.count()
+        else:
+            df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_surface_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,19 @@ from ..functions import ColumnOrName, _col
 from .cleaning import dedup_by_key
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before expensive
+    per-row projections.
+
+    A single small parquet file arrives as one partition; without this, a
+    128-expression MinHash signature (or a 63-pass SimHash) runs on one core.
+    At real scale the input is already many partitions and AQE coalesces the
+    tiny-input case, so the extra exchange is cheap insurance, not overhead.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def content_hash(c: ColumnOrName, bits: int = 256) -> Column:
     """Lowercase-hex content hash; Spark ``sha2`` == DuckDB ``sha256``."""
     return F.sha2(_col(c), bits)
@@ -77,10 +90,15 @@ def ngram_jaccard_pairs(
     ``|A∩B| / (|A|+|B|-|A∩B|)``. Only pairs sharing ≥1 shingle ever meet,
     so the join *is* the blocking step. Output: (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, n)).alias("__s"),
+    sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id",
+        F.explode(word_shingles("__t", n)).alias("__s"),
     )
+    return _jaccard_from_shingles(sh, min_jaccard)
+
+
+def _jaccard_from_shingles(sh: DataFrame, min_jaccard: float) -> DataFrame:
+    """(id, shingle) pairs → (id_a, id_b, jaccard ≥ threshold)."""
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -103,10 +121,13 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(shingles: ColumnOrName, num_hashes: int = 128) -> list[Column]:
-    """MinHash: for seed i, min over shingles of ``xxhash64(shingle, i)``.
+    """Array-form MinHash: for seed i, min over shingles of
+    ``xxhash64(shingle, i)`` — one array-min per seed, pure projection.
 
-    One array-min per seed — Catalyst expressions only, evaluated in a single
-    projection over the shingle array (no shuffle, no UDF).
+    Good for small signature counts; for the LSH pipeline the exploded
+    aggregate form (``minhash_signatures_agg``) is used instead — hashing the
+    string once and applying cheap affine permutations beats 128 separate
+    string hashes per shingle, and partial aggregation parallelizes it.
     """
     arr = _col(shingles)
 
@@ -116,6 +137,42 @@ def minhash_signature(shingles: ColumnOrName, num_hashes: int = 128) -> list[Col
         return F.array_min(F.transform(arr, lambda s: F.xxhash64(s, F.lit(seed))))
 
     return [_minhash(i).alias(f"mh_{i}") for i in range(num_hashes)]
+
+
+#: Mersenne prime 2^31 - 1: permutation arithmetic stays < 2^62, so it never
+#: overflows a long — safe under ANSI mode (a raw a*h would throw there).
+_MERSENNE31 = 2_147_483_647
+
+
+def _permutation_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+
+
+def minhash_signatures_agg(
+    exploded: DataFrame,
+    *,
+    id_col: str = "__id",
+    shingle_col: str = "__s",
+    num_hashes: int = 128,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, shingle) rows → one row per id with mh_0..mh_{k-1}.
+
+    One string hash per shingle (``xxhash64``), then k affine permutations
+    ``(a·h + b) mod p`` folded by ``min`` aggregates — map-side partial
+    aggregation shrinks each partition to one signature row per id before the
+    shuffle, which is what makes this the 100 TB shape.
+    """
+    h = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_MERSENNE31))
+    ex = exploded.withColumn("__h", h)
+    aggs = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -142,11 +199,9 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    with_sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        word_shingles(text_col, n).alias("__sh"),
-    ).select("__id", "__text", *minhash_signature("__sh", num_hashes))
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    with_sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
 
     band_cols = [
         F.struct(
@@ -171,25 +226,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(text_col, n)).alias("__s"))
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
-    pair_tok = candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__s", "__s_a"), "id_a").join(
-        sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__s", "__s_b"), "id_b"
+    # Exact-Jaccard verification, restricted to LSH candidates: semi-join the
+    # shingle table down to candidate docs first (cheap — candidates are the
+    # few near-dup suspects), then an equi-join on the shingle value. Joining
+    # the two full shingle *lists* per pair would materialize |A|×|B| rows
+    # per candidate; the equi-join touches only matches.
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("__id"))
+        .union(candidates.select(F.col("id_b").alias("__id")))
+        .distinct()
     )
-    shared = (
-        pair_tok.filter(F.col("__s_a") == F.col("__s_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__shared"))
+    sh = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s")).join(
+        F.broadcast(cand_docs), "__id", "left_semi"
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("__shared") / (F.col("__sza") + F.col("__szb") - F.col("__shared")))
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    verified = _jaccard_from_shingles(sh, min_jaccard)
+    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
 def simhash64(text: ColumnOrName, *, use_bits: int = 63) -> Column:
@@ -216,4 +267,6 @@ def simhash64(text: ColumnOrName, *, use_bits: int = 63) -> Column:
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash64(text_col).alias("simhash")
+    )
