@@ -1,0 +1,85 @@
+"""Dedup-tier tests (SURVEY.md §2.11 item 13): exact, n-gram Jaccard,
+MinHash+LSH, SimHash — on tiny crafted corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.operators import dedup
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again"
+DOC_A2 = "the quick brown fox jumps over the lazy dog again and again"  # exact dup of A
+DOC_A3 = "a quick brown fox jumps over the lazy dog again and again"  # near-dup of A
+DOC_B = "completely different text about spark sql aggregation pipelines here"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_A3), (4, DOC_B)], ["doc_id", "text"]
+    )
+
+
+def test_dedup_exact_keeps_min_id(corpus):
+    out = dedup.dedup_exact(corpus, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]  # 2 deduped into 1
+
+
+def test_word_shingles_distinct_and_empty_guard(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    out = df.select(dedup.word_shingles("t", 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []  # shorter than n → empty, not garbage
+
+
+def test_ngram_jaccard_finds_exact_and_near_pairs(corpus):
+    out = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, min_jaccard=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(corpus):
+    exact = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, min_jaccard=0.5)
+    lsh = dedup.minhash_lsh_pairs(corpus, "text", "doc_id", n=3, num_hashes=128, bands=32, min_jaccard=0.5)
+    e = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in exact.collect()}
+    l = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in lsh.collect()}
+    assert e == l  # verified candidates carry the exact jaccard
+
+
+def test_minhash_bands_must_divide(corpus):
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=100, bands=32)
+
+
+def test_simhash_fingerprints_match_expression_form(corpus):
+    # exploded-aggregate form (scale path) must equal the simhash64 expression
+    agg_form = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(corpus, "text", "doc_id").collect()}
+    expr_form = {
+        r.doc_id: r.sh
+        for r in corpus.select("doc_id", dedup.simhash64("text").alias("sh")).collect()
+    }
+    assert agg_form == expr_form
+    assert agg_form[1] == agg_form[2]  # identical docs → identical fingerprints
+
+
+def test_simhash_neardup_pairs_finds_identical_docs(corpus):
+    out = dedup.simhash_neardup_pairs(corpus, "text", "doc_id", max_hamming=3, bands=4)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(not (a == 4 or b == 4) for (a, b) in pairs)  # DOC_B is far from all
+
+
+def test_simhash_neardup_pigeonhole_guard(corpus):
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(corpus, "text", "doc_id", max_hamming=4, bands=4)
+
+
+def test_content_hash_matches_sha256(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello world",)], ["t"])
+    got = df.select(dedup.content_hash("t").alias("h")).first().h
+    assert got == hashlib.sha256(b"hello world").hexdigest()

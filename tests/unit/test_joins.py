@@ -1,0 +1,79 @@
+"""Join-surface tests (SURVEY.md §2.3): type validation, broadcast star join,
+as-of join semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.operators import joins
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_join_type_validation(spark):
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        joins.join(df, df, ["k"], "sideways")
+
+
+def test_semi_and_anti(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert sorted(r.k for r in joins.join(left, right, ["k"], "left_semi").collect()) == [2, 3]
+    assert [r.k for r in joins.join(left, right, ["k"], "left_anti").collect()] == [1]
+
+
+def test_star_join_broadcasts_dims(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20)], ["k", "dim_id"])
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], ["dim_id", "name"])
+    out = joins.star_join(fact, [(dim, ["dim_id"])])
+    assert sorted((r.k, r.name) for r in out.collect()) == [(1, "a"), (2, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    purchases = spark.createDataFrame(
+        [(100, "u1", _ts("2024-01-01T10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T09:00:00")),
+            (2, "u1", _ts("2024-01-01T09:59:00")),  # latest at-or-before → winner
+            (3, "u1", _ts("2024-01-01T10:01:00")),  # after — excluded
+            (4, "u2", _ts("2024-01-01T09:30:00")),  # other key — excluded
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = joins.asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="ts")
+    rows = out.select(F.col("l.event_id").alias("p"), F.col("r.event_id").alias("c")).collect()
+    assert [(r.p, r.c) for r in rows] == [(100, 2)]
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01T00:00:00"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [
+            (10, "k", _ts("2023-12-31T23:00:00")),  # before — excluded
+            (11, "k", _ts("2024-01-01T00:30:00")),  # earliest at-or-after → winner
+            (12, "k", _ts("2024-01-01T01:00:00")),
+        ],
+        ["id", "k", "ts"],
+    )
+    out = joins.asof_join(left, right, on="k", left_time="ts", right_time="ts", direction="forward")
+    assert out.select(F.col("r.id").alias("rid")).first().rid == 11
+
+
+def test_asof_unmatched_left_rows_survive_with_nulls(spark):
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01T00:00:00"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, "k", _ts("2024-06-01T00:00:00"))], ["id", "k", "ts"]
+    )
+    out = joins.asof_join(left, right, on="k", left_time="ts", right_time="ts")
+    row = out.select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid")).first()
+    assert (row.lid, row.rid) == (1, None)

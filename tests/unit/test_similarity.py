@@ -1,0 +1,99 @@
+"""Similarity-search tests (SURVEY.md §2.11 item 13): exact brute-force vs a
+numpy oracle, LSH recall on its own buckets, near-dup pair threshold."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from tmdb_spark_data_pipeline_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = random.Random(7)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(30)]
+    # plant a near-dup of vector 0 at index 29 (tiny perturbation)
+    vecs[29] = [v + 0.001 for v in vecs[0]]
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)], ["vec_id", "embedding"]
+    )
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [3.0, 0.0, 4.0])], ["a", "b"])
+    row = df.select(
+        similarity.dot("a", "b").alias("d"), similarity.l2_norm("a").alias("n")
+    ).first()
+    assert row.d == 11.0
+    assert row.n == 3.0
+
+
+def test_bruteforce_topk_matches_numpy_oracle(emb, vectors):
+    out = similarity.cosine_topk_bruteforce(
+        emb.filter("vec_id < 3"), emb, k=5
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cos))
+    for q in range(3):
+        expect = sorted(
+            ((j, _cos(vectors[q], vectors[j])) for j in range(30) if j != q),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [n for n, _ in got[q]] == [n for n, _ in expect]
+        for (_, a), (_, b) in zip(got[q], expect):
+            assert abs(a - b) < 1e-9
+
+
+def test_topk_excludes_self_and_respects_k(emb):
+    out = similarity.cosine_topk_bruteforce(emb.filter("vec_id = 0"), emb, k=3).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_planted_neardup_is_top_neighbor(emb):
+    out = similarity.cosine_topk_bruteforce(emb.filter("vec_id = 0"), emb, k=1).first()
+    assert out.neighbor_id == 29
+    assert out.cos > 0.999
+
+
+def test_embedding_neardup_pairs_threshold(emb):
+    out = similarity.embedding_neardup_pairs(emb, min_cos=0.999).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 29)]
+
+
+def test_blocked_neardup_pairs_equals_unblocked_within_blocks(spark):
+    # two exact clusters, blocked by a label — block join must find both pairs
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "x"),
+            (2, [1.0, 0.0], "x"),
+            (3, [0.0, 1.0], "y"),
+            (4, [0.0, 1.0], "y"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = similarity.embedding_neardup_pairs(df, min_cos=0.99, block_col="label")
+    assert sorted((r.id_a, r.id_b) for r in out.collect()) == [(1, 2), (3, 4)]
+
+
+def test_lsh_topk_returns_bucket_neighbors_with_exact_cos(emb, vectors):
+    out = similarity.cosine_topk_lsh(
+        emb.filter("vec_id = 0"), emb, k=3, num_planes=2, dim=8, seed=3
+    ).collect()
+    assert 1 <= len(out) <= 3
+    for r in out:
+        assert abs(r.cos - _cos(vectors[0], vectors[r.neighbor_id])) < 1e-9

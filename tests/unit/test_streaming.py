@@ -1,0 +1,79 @@
+"""Streaming tests (SURVEY.md §2.9, §2.11 item 12): batch ≡ replayed-stream
+equivalence and window semantics with no DuckDB analogue (session gap edge)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark import streaming
+from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _canon(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_batch_equals_replayed_stream_tumbling(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    batch = streaming.tumbling_agg(ev, "ts", "1 hour", ("event_type",), "value")
+    stream = streaming.replay_events_tumbling(
+        spark, f"{sf_smoke}/events.parquet", query_name="t_stream_eq"
+    )
+    cols = ["window_start", "event_type", "n", "total"]
+    assert _canon(batch, cols) == _canon(stream, cols)
+
+
+def test_batch_equals_replayed_stream_sliding(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    batch = streaming.sliding_agg(ev, "ts", "1 hour", "30 minutes", ("event_type",))
+    stream = streaming.replay_events(
+        spark,
+        f"{sf_smoke}/events.parquet",
+        lambda s: streaming.sliding_agg(s, "ts", "1 hour", "30 minutes", ("event_type",)),
+        query_name="t_stream_sliding_eq",
+    )
+    cols = ["window_start", "event_type", "n"]
+    assert _canon(batch, cols) == _canon(stream, cols)
+
+
+def test_sliding_window_event_lands_in_two_windows(spark):
+    df = spark.createDataFrame([("a", _ts("2024-01-01T00:40:00"))], ["k", "ts"])
+    out = streaming.sliding_agg(df, "ts", "1 hour", "30 minutes", ("k",))
+    starts = sorted(str(r.window_start) for r in out.collect())
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
+
+
+def test_session_window_merge_and_gap_boundary(spark):
+    # Spark merges at exactly the gap boundary (window ranges touch); a new
+    # session requires the gap to be STRICTLY exceeded — pinned here because
+    # the events_sessions oracle depends on this exact semantic.
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01T00:00:00")),
+            ("u", _ts("2024-01-01T00:29:59")),  # merges
+            ("u", _ts("2024-01-01T00:59:59")),  # exactly 30:00 after → still merges
+            ("u", _ts("2024-01-01T01:30:00")),  # 30:01 after → new session
+        ],
+        ["user_id", "ts"],
+    )
+    out = streaming.session_agg(df, "ts", "30 minutes", ("user_id",))
+    rows = sorted((str(r.session_start), str(r.session_end), r.n) for r in out.collect())
+    assert rows == [
+        ("2024-01-01 00:00:00", "2024-01-01 01:29:59", 3),
+        ("2024-01-01 01:30:00", "2024-01-01 02:00:00", 1),
+    ]
+
+
+def test_tumbling_agg_decimal_total_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", _ts("2024-01-01T00:10:00"), 0.1)] * 10, ["k", "ts", "value"]
+    )
+    row = streaming.tumbling_agg(df, "ts", "1 hour", ("k",), "value").first()
+    assert row.total == 1.0  # decimal sum: no float drift
+    assert row.n == 10

@@ -1,0 +1,56 @@
+"""Text-analysis tests (SURVEY.md §2.11 item 13): token counting, quality
+scoring, language ID, fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.operators import text
+
+EN = "the cat sat of the mat and it is a story that goes on for a while now"
+ES = "el perro corre por la calle y se va de la casa que los vecinos tienen por un rato"
+NUMS = "12 34 56 78 90 11 22 33 44 55"
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("  a b   c  ",)], ["t"])
+    assert df.select(text.token_count("t").alias("n")).first().n == 3
+
+
+def test_bpe_ish_tokens_split_punctuation(spark):
+    df = spark.createDataFrame([("Hello, world! (yes)",)], ["t"])
+    toks = df.select(text.bpe_ish_tokens("t").alias("tok")).first().tok
+    assert toks == ["Hello", ",", "world", "!", "(", "yes", ")"]
+
+
+def test_text_stats_columns(spark):
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "t"])
+    row = text.text_stats(df, "t", "doc_id").first()
+    assert (row.n_chars, row.n_tokens, row.n_unique_tokens) == (5, 3, 2)
+    assert row.type_token_ratio == round(2 / 3, 6)
+
+
+def test_quality_score_zero_outside_length_band(spark):
+    df = spark.createDataFrame([("too short",), (EN,)], ["t"])
+    rows = df.select(text.quality_score("t").alias("q")).collect()
+    assert rows[0].q == 0.0  # < 10 tokens
+    assert 0.0 < rows[1].q <= 1.0
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame([(1, EN), (2, ES), (3, NUMS)], ["id", "t"])
+    got = {r.id: r.lang for r in df.select("id", text.language_id("t").alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([("the the dog",)], ["t"])
+    assert abs(df.select(text.stopword_ratio("t", "en").alias("r")).first().r - 2 / 3) < 1e-9
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame([(1, "Hello   World"), (2, "hello world"), (3, "other")], ["id", "t"])
+    fps = {r.id: r.fp for r in df.select("id", text.fingerprint("t").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert len(fps[1]) == 16  # 64-bit hex prefix

@@ -236,8 +236,8 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    sh = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s")).join(
-        F.broadcast(cand_docs), "__id", "left_semi"
+    sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
+        "__id", F.explode(word_shingles("__t", n)).alias("__s")
     )
     verified = _jaccard_from_shingles(sh, min_jaccard)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
@@ -266,7 +266,78 @@ def simhash64(text: ColumnOrName, *, use_bits: int = 63) -> Column:
     return out
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), simhash64(text_col).alias("simhash")
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, *, use_bits: int = 63) -> DataFrame:
+    """Per-document SimHash via the exploded-aggregate shape: explode tokens,
+    hash each once (``xxhash64``), then ``use_bits`` conditional ±1 sums with
+    map-side partial aggregation; pack sign bits into a long.
+
+    Same result as the ``simhash64`` expression, but the per-row expression
+    tree stays small enough for whole-stage codegen and the bit sums
+    parallelize across partitions (the 100 TB shape, mirroring
+    ``minhash_signatures_agg``).
+    """
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    ex = base.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(use_bits)
+    ]
+    sums = ex.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(use_bits):
+        fp = fp + F.when(F.col(f"__b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    use_bits: int = 63,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Band blocking (pigeonhole): split the fingerprint into ``bands``
+    contiguous bit ranges — any pair within hamming ≤ bands-1 agrees exactly
+    on ≥1 band, so a band equi-join finds ALL such pairs (no recall loss,
+    unlike probabilistic LSH). Candidates verified with
+    ``bit_count(a XOR b)``. Output: (id_a, id_b, hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee requires max_hamming < bands")
+    fp = simhash_fingerprints(df, text_col, id_col, use_bits=use_bits)
+    width = -(-use_bits // bands)
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for i in range(bands)
+    ]
+    buckets = fp.select(
+        F.col(id_col).alias("__id"), F.col("simhash"), F.explode(F.array(*band_cols)).alias("__b")
+    ).select("__id", "simhash", F.col("__b.band").alias("__band"), F.col("__b.val").alias("__val"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

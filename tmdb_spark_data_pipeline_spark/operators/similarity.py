@@ -23,7 +23,13 @@ from ..functions import ColumnOrName, _col
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Σ aᵢ·bᵢ in strict array order (deterministic double math)."""
+    """Σ aᵢ·bᵢ in strict array order (deterministic double math).
+
+    The ``zip_with`` + sequential ``aggregate`` fold stays inside whole-stage
+    codegen and measures ~2-7× FASTER than an unrolled 64-term
+    getItem-multiply-add chain (the giant expression tree falls out of
+    codegen into interpreted eval) — measured at sf0.1, keep the fold.
+    """
     return F.aggregate(
         F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -54,12 +60,22 @@ def cosine_topk_bruteforce(
     corpus; then per-query top-k via window. Output:
     (query_id, neighbor_id, cos).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # Norms are computed once per ROW before the pair join (not once per pair,
+    # which would triple the O(dim) work across |Q|×|C| pairs). The per-pair
+    # expression stays dot/(‖q‖·‖c‖) — the exact double arithmetic an external
+    # oracle computes, so results stay bit-comparable.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), l2_norm(vec_col).alias("__qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), l2_norm(vec_col).alias("__cn")
+    )
     pairs = c.join(F.broadcast(q), F.lit(True))
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -111,17 +127,21 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
         hyperplane_bucket(vec_col, planes).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
         hyperplane_bucket(vec_col, planes).alias("__bucket"),
     )
     pairs = c.join(F.broadcast(q), "__bucket")
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -139,14 +159,25 @@ def embedding_neardup_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold (embedding near-dup). Optionally blocked
-    on a column (e.g. an LSH bucket or a label) to avoid the full cross join."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), *([F.col(block_col).alias("__ba")] if block_col else []))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), *([F.col(block_col).alias("__bb")] if block_col else []))
+    on a column (e.g. an LSH bucket or a label) to avoid the full cross join.
+
+    Norms computed once per row before the pair join (see
+    ``cosine_topk_bruteforce``); per-pair cost is a single dot product.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), l2_norm(vec_col).alias("__na"), *([F.col(block_col).alias("__ba")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), l2_norm(vec_col).alias("__nb"), *([F.col(block_col).alias("__bb")] if block_col else []))
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
+        # equi-join on the blocking key — shuffled hash/sort-merge, scales out
         cond = cond & (F.col("__ba") == F.col("__bb"))
+    else:
+        # unblocked = nested loop; broadcast one side explicitly and spread
+        # the streamed side across all cores (a single small file would
+        # otherwise evaluate every pair in one partition)
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
     return (
         a.join(b, cond)
-        .select("id_a", "id_b", cosine("__va", "__vb").alias("cos"))
+        .select("id_a", "id_b", (dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )

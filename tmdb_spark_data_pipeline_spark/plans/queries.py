@@ -353,6 +353,25 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets lattice (cube) — all 2^k grouping combinations in
+    one pass (Catalyst expands to a single Expand + hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "distinct_parts_per_flag",
     oracle="""
     SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
@@ -781,6 +800,97 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_ORACLE = """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+             event_type
+      FROM events
+    )
+    GROUP BY 1, 2
+    """
+
+
+@query("events_sliding", oracle=_SLIDING_ORACLE)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in batch (1 h window / 30 min slide —
+    each event lands in exactly two windows; the oracle unnests both
+    half-hour-aligned starts)."""
+    from ..streaming import sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg(ev, "ts", "1 hour", "30 minutes", ("event_type",))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@query("stream_sliding", oracle=_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation as a real Structured Streaming query
+    (overlapping-window state), same oracle as the batch twin."""
+    import os
+
+    from ..streaming import replay_events, sliding_agg
+
+    out = replay_events(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: sliding_agg(s, "ts", "1 hour", "30 minutes", ("event_type",)),
+        query_name="stream_sliding_mem",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "events_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             -- Spark session_window merges at exactly the gap boundary:
+             -- a new session starts only when the gap is STRICTLY exceeded
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (``session_window``, 30 min gap) per user in batch —
+    dynamic merge-on-overlap windows; window end = last event + gap. The
+    oracle derives the same islands with a lag-gap cumulative sum."""
+    from ..streaming import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_agg(ev, "ts", "30 minutes", ("user_id",))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. extension operators: dedup / similarity / text (§2.11 item 13)
 # ---------------------------------------------------------------------------
@@ -859,6 +969,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs, "text", "doc_id")
 
 
+@query("simhash_neardups")  # xxhash64-based fingerprints — rows-only check
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via pigeonhole band blocking
+    (4 bands ⇒ every qualifying pair shares ≥1 exact band — full recall,
+    no probabilistic miss)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
+@query(
+    "cosine_neardups",
+    oracle="""
+    SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, all pairs ≥ 0.4): the
+    correctness baseline for embedding dedup. Norms computed once per row;
+    the nested-loop join broadcasts one side. The blocked variant
+    (``embedding_neardup_pairs(block_col=...)``) is the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_neardup_pairs(emb, min_cos=0.4)
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+
+
 @query(
     "text_stats",
     oracle="""
@@ -920,6 +1062,54 @@ def lang_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(ratio.cast("decimal(30,10)")).cast("double") / F.count("*"), 6
         ).alias("mean_en_stopword_ratio"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+    )
+    SELECT doc_id,
+           round(
+             (CASE WHEN len(tok) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) *
+             (0.5 * least(len(list_filter(tok, x -> list_contains(
+                      ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+                    / len(tok) * 5, 1.0)
+              + 0.5 * len(list_distinct(tok)) / len(tok)),
+             6) AS quality
+    FROM t
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score in [0,1] (C4/Gopher-style cheap
+    filters: length band × stopword ratio × lexical diversity) — pure
+    expressions, whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query(
+    "token_counts_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(list_filter(
+                 string_split_regex(trim(regexp_replace(text,
+                     '([\\.,;:!\\?\\(\\)\\[\\]\\{\\}"''])', ' \\1 ', 'g')), '\\s+'),
+                 t -> t <> '')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-flavored
+    punctuation-splitting regex (the pre-tokenizer shape of real BPE)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text.tokens("text")).alias("n_ws_tokens"),
+        F.size(text.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
     )
 
 

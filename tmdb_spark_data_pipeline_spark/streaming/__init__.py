@@ -1,4 +1,5 @@
 from .windows import (
+    replay_events,
     replay_events_tumbling,
     session_agg,
     sliding_agg,
@@ -7,6 +8,7 @@ from .windows import (
 )
 
 __all__ = [
+    "replay_events",
     "replay_events_tumbling",
     "session_agg",
     "sliding_agg",

@@ -127,20 +127,22 @@ def run_stream_to_memory(
     q.stop()
 
 
-def replay_events_tumbling(
+def replay_events(
     spark: SparkSession,
     parquet_path: str,
+    build,
     *,
     ts_col: str = "ts",
-    duration: str = "1 hour",
-    group_cols: tuple[str, ...] = ("event_type",),
-    value_col: str | None = "value",
     watermark: str = "1 hour",
-    query_name: str = "events_tumbling",
+    query_name: str = "events_replay",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay a parquet events table through a real streaming query and
-    return the (batch) result table. Used both by tests and as a driver-
-    visible query: the output is a normal DataFrame.
+    return the (batch) result table: file source → watermark → ``build(df)``
+    → memory sink. Used both by tests and as driver-visible queries.
+
+    ``build`` receives the watermarked stream and returns the streaming
+    transformation to run.
     """
     # ns-timestamp columns stream as raw longs (see sources/io.load_table);
     # rebuild the event-time column before the watermark.
@@ -154,6 +156,28 @@ def replay_events_tumbling(
         stream = stream_from_parquet_dir(spark, parquet_path, schema)
     if dict(stream.dtypes).get(ts_col) == "bigint":
         stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
-    agg = tumbling_agg(stream.withWatermark(ts_col, watermark), ts_col, duration, group_cols, value_col)
-    run_stream_to_memory(agg, query_name, output_mode="complete")
+    agg = build(stream.withWatermark(ts_col, watermark))
+    run_stream_to_memory(agg, query_name, output_mode=output_mode)
     return spark.table(query_name)
+
+
+def replay_events_tumbling(
+    spark: SparkSession,
+    parquet_path: str,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
+    watermark: str = "1 hour",
+    query_name: str = "events_tumbling",
+) -> DataFrame:
+    """Tumbling-window streaming twin of ``tumbling_agg`` (batch ≡ stream)."""
+    return replay_events(
+        spark,
+        parquet_path,
+        lambda s: tumbling_agg(s, ts_col, duration, group_cols, value_col),
+        ts_col=ts_col,
+        watermark=watermark,
+        query_name=query_name,
+    )
