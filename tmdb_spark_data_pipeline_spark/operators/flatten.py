@@ -32,10 +32,12 @@ def where_field_equals(structs: ColumnOrName, field: str, value: str) -> Column:
 
 
 def first_element(arr: ColumnOrName) -> Column:
-    """F5: null-safe first element — ``element_at(arr, 1)`` replaces the
+    """F5: null-safe first element — ``try_element_at(arr, 1)`` replaces the
     reference's ``when(size(arr) > 0, arr[0])`` guard
-    (``clean_transform.py:99-110``)."""
-    return F.element_at(_col(arr), 1)
+    (``clean_transform.py:99-110``). ``try_`` variant: plain ``element_at``
+    THROWS on an empty array when the caller's session runs ANSI-on
+    (Spark 4 default)."""
+    return F.try_element_at(_col(arr), F.lit(1))
 
 
 def array_size(arr: ColumnOrName) -> Column:

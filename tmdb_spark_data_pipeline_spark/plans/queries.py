@@ -800,6 +800,62 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nested_hof_orders",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           min(o_orderkey) FILTER (WHERE o_totalprice > 200000) AS first_big_orderkey
+    FROM orders GROUP BY 1
+    """,
+)
+def nested_hof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip (SURVEY §2.8 F1-F5 on built data): collect each
+    customer's orders into a sorted array<struct>, then higher-order
+    ``filter``/``transform`` + null-safe ``element_at`` — the TMDB
+    credits-flattening shape exercised on relational data. The oracle
+    expresses the same semantics relationally (first big order = min
+    orderkey among orders > 200k, since the array is orderkey-sorted)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.struct("o_orderkey", "o_totalprice"))).alias("ords")
+    )
+    big = F.filter(F.col("ords"), lambda x: x["o_totalprice"] > 200000)
+    return per_cust.select(
+        "o_custkey",
+        F.size("ords").cast("long").alias("n_orders"),
+        F.size(big).cast("long").alias("n_big"),
+        # try_element_at: NULL on empty array under ANY ANSI setting (the
+        # driver's default session runs ANSI-on, where element_at throws)
+        F.try_element_at(F.transform(big, lambda x: x["o_orderkey"]), F.lit(1)).alias("first_big_orderkey"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: ``from_json`` with an explicit schema (the
+    engine never infers, SURVEY §2.1 S6) + derived banding."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("__p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("k"),
+        F.when(F.col("__p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
 _SLIDING_ORACLE = """
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,

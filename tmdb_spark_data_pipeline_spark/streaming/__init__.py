@@ -1,3 +1,5 @@
+from .incremental import process_available_now
+from .stateful import stateful_user_totals
 from .windows import (
     replay_events,
     replay_events_tumbling,
@@ -8,10 +10,12 @@ from .windows import (
 )
 
 __all__ = [
+    "process_available_now",
     "replay_events",
     "replay_events_tumbling",
     "session_agg",
     "sliding_agg",
+    "stateful_user_totals",
     "stream_from_parquet_dir",
     "tumbling_agg",
 ]
