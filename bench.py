@@ -31,8 +31,17 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warm the JVM + file listing once so per-query numbers measure the plan,
-    # not session startup
+    # Warm the JVM before timing: parquet reader, shuffle, broadcast-join and
+    # window codegen paths all JIT on first use. Warmup runs on sf0.001 —
+    # different files than the benched SF, so nothing benched gets cached;
+    # this measures the engine, not cold-start compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for wq in ("revenue_by_region", "top_orders_by_price", "events_hourly"):
+            try:
+                REGISTRY[wq].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
     spark.range(1).count()
 
     timings: dict[str, float] = {}

@@ -104,6 +104,16 @@ def write_json(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).json(path)
 
 
+def to_pandas(df: DataFrame, cols: tuple[str, ...] | None = None):
+    """S13 pandas bridge (reference ``visualization/visualize.py:56-57``):
+    project, then ``toPandas()`` — Arrow-columnar (enabled in the session
+    factory). Presentation edge ONLY: callers aggregate/limit first; this is
+    the single sanctioned driver-side collect in the engine."""
+    if cols:
+        df = df.select(*cols)
+    return df.toPandas()
+
+
 def stamp_audit_columns(df: DataFrame, run_id: str, ingestion_date: str | None = None) -> DataFrame:
     """Audit-column stamping (S14; reference ``fetch_movies.py:303-305``)."""
     out = df.withColumn("ingestion_timestamp", F.current_timestamp()).withColumn("run_id", F.lit(run_id))
