@@ -255,16 +255,15 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
 
     a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__sig") == F.col("b.__sig"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    # NOT distinct'd: a pair colliding in k bands appears k times, but both
+    # downstream uses tolerate duplicates (cand_docs distincts itself; the
+    # final left_semi is set-semantics) — dropping distinct saves a shuffle.
+    candidates = a.join(
+        b,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__sig") == F.col("b.__sig"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
 
     # Exact-Jaccard verification, restricted to LSH candidates: semi-join the
     # shingle table down to candidate docs first (cheap — candidates are the
