@@ -482,6 +482,109 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1996-06-01' AND l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC NULLS LAST, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → aggregate → top-k.
+    Customer side shrinks before the join (filter pushdown), the aggregate
+    output feeds TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-06-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-01")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rank.top_k(agg, "revenue", order="desc", k=10, tiebreak=("l_orderkey",)).select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "supplier_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           count(DISTINCT s_suppkey) AS n_suppliers,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star join (TPC-H Q5's other arm): both dims broadcast,
+    the fact table never shuffles for the joins."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "range_join_click_context",
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           count(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '5 minutes' AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def range_join_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, the same user's clicks in the preceding
+    5 minutes. Equi on user_id (the shuffle key) + range residual — scales as
+    a shuffled equi-join, not a nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    # range predicate lives IN the join condition (an outer join followed by
+    # a filter would drop purchases whose user has only out-of-range clicks);
+    # Spark extracts the equality for the shuffle and applies the range as a
+    # residual join filter.
+    cond = (
+        (p.user_id == c.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    joined = p.join(c, cond, "left")
+    return joined.groupBy("p_event_id").agg(F.count("c_event_id").alias("n_recent_clicks"))
+
+
+@query(
     "promo_revenue_pct",
     oracle="""
     SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
