@@ -84,6 +84,27 @@ def completeness_filter(df: DataFrame, min_non_null: int, cols: tuple[str, ...] 
     return df.filter(score >= min_non_null)
 
 
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """SCD1-style upsert without a table format: updates win over existing
+    rows with the same key; unmatched rows pass through.
+
+    ``unionByName`` + windowed keep-first — one shuffle on the key. The
+    reference approximates this with parquet append + downstream dedup
+    (``fetch_movies.py:313`` + ``clean_transform.py:153``); this makes the
+    precedence explicit and deterministic. (With a transactional format —
+    Delta/Iceberg, the reference's own named future work — this becomes
+    MERGE INTO; same logical semantics.)
+    """
+    tagged = updates.withColumn("__prio", F.lit(0)).unionByName(
+        existing.withColumn("__prio", F.lit(1))
+    )
+    return dedup_by_key(tagged, keys, tiebreak=(F.col("__prio"),)).drop("__prio")
+
+
 def dedup_by_key(
     df: DataFrame,
     keys: tuple[str, ...],
