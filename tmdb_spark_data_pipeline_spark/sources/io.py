@@ -99,6 +99,26 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    *,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (catalog-registered): co-locates rows by key at
+    WRITE time so later equi-joins/aggregations on the bucket key need no
+    exchange — the 100 TB lever SCALE.md leans on for fact⋈fact joins.
+    (Bucketing requires ``saveAsTable``; path-only parquet can't carry bucket
+    metadata.)"""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "append") -> None:
     """JSON sink (S5) — the raw-archive role of ``fetch_movies.py:285-286``."""
     df.write.mode(mode).json(path)
