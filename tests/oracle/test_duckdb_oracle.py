@@ -74,3 +74,50 @@ def test_rows_only_query_runs(spark, name):
     sdf = spec.fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+# --- result-type parity ------------------------------------------------------
+# The driver's value hash is type-aware: DuckDB `sum(INTEGER)` yields HUGEINT
+# (int128 → float64 through pandas), which hashes differently from Spark's
+# BIGINT even when every value matches — that cost `sessionization` its green
+# row in round 1. Pin exact type parity for every oracle column.
+
+_DUCK_TO_SPARK = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+}
+
+
+def _canon_duck_type(t) -> str:
+    s = str(t)
+    if s.startswith("DECIMAL"):
+        return s.replace("DECIMAL", "decimal").replace(" ", "")
+    if s.endswith("[]"):
+        return f"array<{_canon_duck_type(s[:-2])}>"
+    return _DUCK_TO_SPARK.get(s, f"<no spark twin: {s}>")
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_types_match_spark(spark, duck, name):
+    spec = REGISTRY[name]
+    stypes = {f.name: f.dataType.simpleString() for f in spec.fn(spark, SF_DIR).schema.fields}
+    rel = duck.sql(spec.oracle)
+    dtypes = dict(zip(rel.columns, (_canon_duck_type(t) for t in rel.types)))
+    # int-vs-bigint passes the driver hash (both land as integer values);
+    # everything else (HUGEINT, float-vs-double, decimal scale) must be exact.
+    skews = {
+        col: (stypes.get(col), dtypes.get(col))
+        for col in set(stypes) | set(dtypes)
+        if stypes.get(col) != dtypes.get(col)
+        and {stypes.get(col), dtypes.get(col)} != {"int", "bigint"}
+    }
+    assert not skews, f"{name}: oracle/spark result-type skew {skews}"
