@@ -31,13 +31,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM before timing: parquet reader, shuffle, broadcast-join and
-    # window codegen paths all JIT on first use. Warmup runs on sf0.001 —
-    # different files than the benched SF, so nothing benched gets cached;
-    # this measures the engine, not cold-start compilation.
-    warm_dir = "/root/testdata/sf0.001"
+    # Warm the JVM before timing: parquet reader, shuffle, broadcast-join,
+    # window and whole-stage-codegen paths all JIT on first use — and AQE
+    # re-plans per input size, so the heavy shapes (MinHash banding, SimHash
+    # bit sums, streaming state store) compile fresh code at realistic SFs.
+    # Warmup runs every benched shape on sf0.01 — different files than the
+    # benched SF, so nothing benched gets cached; this measures the engine,
+    # not cold-start compilation.
+    warm_dir = os.environ.get("BENCH_WARM_DIR", "/root/testdata/sf0.01")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
-        for wq in ("revenue_by_region", "top_orders_by_price", "events_hourly"):
+        for wq in names:
             try:
                 REGISTRY[wq].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:

@@ -95,3 +95,15 @@ def test_content_hash_matches_sha256(spark):
     df = spark.createDataFrame([("hello world",)], ["t"])
     got = df.select(dedup.content_hash("t").alias("h")).first().h
     assert got == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_spread_gated_on_partition_count(spark):
+    target = spark.sparkContext.defaultParallelism
+    few = spark.createDataFrame([(i,) for i in range(100)], ["x"]).coalesce(1)
+    assert dedup._spread(few).rdd.getNumPartitions() == target
+
+    # already well-partitioned input passes through untouched (identity — no
+    # Exchange node added; at real scale a repartition here would shuffle
+    # every document payload)
+    wide = spark.createDataFrame([(i,) for i in range(100)], ["x"]).repartition(target)
+    assert dedup._spread(wide) is wide

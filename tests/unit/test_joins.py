@@ -69,6 +69,46 @@ def test_asof_forward_direction(spark):
     assert out.select(F.col("r.id").alias("rid")).first().rid == 11
 
 
+def test_asof_tiebreak_on_equal_right_timestamps(spark):
+    purchases = spark.createDataFrame(
+        [(100, "u1", _ts("2024-01-01T10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    # two clicks at the identical timestamp: tiebreak=event_id (desc for
+    # backward) must deterministically pick the higher id
+    clicks = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T09:59:00")),
+            (7, "u1", _ts("2024-01-01T09:59:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        left_id="event_id",
+        tiebreak="event_id",
+    )
+    assert out.select(F.col("r.event_id").alias("c")).first().c == 7
+
+
+def test_asof_left_id_keeps_duplicate_left_rows(spark):
+    # two left rows identical in every column: with left_id they must BOTH
+    # survive (the all-columns fallback would collapse them into one)
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T00:00:00")), (2, "k", _ts("2024-01-01T00:00:00"))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame([(10, "k", _ts("2023-12-31T23:00:00"))], ["id", "k", "ts"])
+    out = joins.asof_join(
+        left, right, on="k", left_time="ts", right_time="ts", left_id="id", tiebreak="id"
+    )
+    rows = out.select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid")).collect()
+    assert sorted((r.lid, r.rid) for r in rows) == [(1, 10), (2, 10)]
+
+
 def test_asof_unmatched_left_rows_survive_with_nulls(spark):
     left = spark.createDataFrame([(1, "k", _ts("2024-01-01T00:00:00"))], ["id", "k", "ts"])
     right = spark.createDataFrame(

@@ -51,6 +51,31 @@ def test_fetch_429_honors_retry_after_then_succeeds():
     assert waits == [7.0]  # Retry-After wins over backoff**attempt
 
 
+def test_fetch_429_malformed_retry_after_degrades_to_backoff():
+    # RFC 7231 allows an HTTP-date Retry-After; a ValueError escaping here
+    # would kill the whole mapInPandas task, so garbage must fall back to
+    # backoff**attempt instead of raising
+    waits = []
+    policy = rest.RetryPolicy(backoff=2.0, sleep=waits.append)
+    f = ScriptedFetch([(429, {"Retry-After": "not-a-number"}, None), (200, {}, {"ok": 1})])
+    out = rest.fetch_with_retry(f, "1", policy)
+    assert out["success"] and f.calls == 2
+    assert waits == [2.0]  # backoff**1
+
+
+def test_fetch_429_http_date_retry_after_is_parsed():
+    import time as _time
+    from email.utils import formatdate
+
+    waits = []
+    policy = rest.RetryPolicy(sleep=waits.append)
+    target = formatdate(_time.time() + 60, usegmt=True)
+    f = ScriptedFetch([(429, {"Retry-After": target}, None), (200, {}, {"ok": 1})])
+    out = rest.fetch_with_retry(f, "1", policy)
+    assert out["success"]
+    assert len(waits) == 1 and 50 <= waits[0] <= 61  # ~60s minus clock skew
+
+
 def test_fetch_timeout_backs_off_exponentially_then_gives_up():
     waits = []
     policy = rest.RetryPolicy(max_retries=3, backoff=2.0, sleep=waits.append)

@@ -31,10 +31,13 @@ def _spread(df: DataFrame) -> DataFrame:
 
     A single small parquet file arrives as one partition; without this, a
     128-expression MinHash signature (or a 63-pass SimHash) runs on one core.
-    At real scale the input is already many partitions and AQE coalesces the
-    tiny-input case, so the extra exchange is cheap insurance, not overhead.
+    Gated: inputs already at/above the session's parallelism pass through
+    untouched — at real scale (thousands of input splits) repartitioning here
+    would be a gratuitous full shuffle of document payloads.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -264,6 +267,11 @@ def minhash_lsh_pairs(
         & (F.col("a.__sig") == F.col("b.__sig"))
         & (F.col("a.__id") < F.col("b.__id")),
     ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    # Two consumers read `candidates` (cand_docs below and the final
+    # semi-join): without a persist the whole LSH stage — scan → shingle →
+    # signatures → band self-join — is evaluated twice. The pair list is tiny
+    # (near-dup suspects only), so caching it is safe at any scale.
+    candidates = candidates.persist()
 
     # Exact-Jaccard verification, restricted to LSH candidates: semi-join the
     # shingle table down to candidate docs first (cheap — candidates are the

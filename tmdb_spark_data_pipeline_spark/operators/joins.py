@@ -55,6 +55,8 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    left_id: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (direction='backward') per key.
@@ -64,6 +66,17 @@ def asof_join(
     on ``on``; for the 100 TB path, pre-bucket both sides on ``on`` so the
     exchange is avoided. (Alternative: ``applyInPandas`` + ``pd.merge_asof``
     per key group — kept out of the hot path per UDF policy.)
+
+    Determinism contract:
+
+    - ``left_id`` names a unique left key: the dedup window partitions by it
+      alone, so the shuffle key is one column (not the whole left row) and
+      fully-duplicate left rows each keep their own match. Without it the
+      window falls back to all left columns, which silently collapses exact
+      duplicates — acceptable only when the left side is known duplicate-free.
+    - ``tiebreak`` names a right column ordering ties on ``right_time``
+      (descending for 'backward', ascending for 'forward'); without it, equal
+      timestamps pick an arbitrary right row.
     """
     from pyspark.sql import Window
 
@@ -71,10 +84,16 @@ def asof_join(
     cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (rt <= lt if direction == "backward" else rt >= lt)
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(r, cond, "left")
-    w = (
-        Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns])
-        .orderBy(rt.desc() if direction == "backward" else rt.asc())
+    part = (
+        [F.col(f"l.{left_id}")]
+        if left_id is not None
+        else [F.col(f"l.{c}") for c in left.columns]
     )
+    order = [rt.desc_nulls_last() if direction == "backward" else rt.asc_nulls_last()]
+    if tiebreak is not None:
+        tb = F.col(f"r.{tiebreak}")
+        order.append(tb.desc_nulls_last() if direction == "backward" else tb.asc_nulls_last())
+    w = Window.partitionBy(*part).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

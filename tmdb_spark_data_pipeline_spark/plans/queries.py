@@ -731,7 +731,14 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
     out = joins.asof_join(
-        purchases, clicks, on="user_id", left_time="ts", right_time="ts", direction="backward"
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="backward",
+        left_id="event_id",
+        tiebreak="event_id",
     )
     return out.select(
         F.col("l.event_id").alias("p_event_id"),
@@ -1076,7 +1083,9 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_ORACLE = """
     WITH docs AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      -- regex split matches the engine's word_shingles tokenization exactly
+      -- (a literal-space split would diverge on runs of whitespace/tabs)
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
     ),
     sh AS (
       SELECT doc_id,

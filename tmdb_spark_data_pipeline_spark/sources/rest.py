@@ -49,6 +49,27 @@ class RetryPolicy:
     sleep: Callable[[float], None] = field(default=time.sleep)
 
 
+def _retry_after_seconds(value: str | None, fallback: float) -> float:
+    """Parse a ``Retry-After`` header. RFC 7231 allows either delta-seconds or
+    an HTTP-date; a malformed value must degrade to the backoff fallback, not
+    raise (a ValueError here would escape the executor task and kill the whole
+    ingest job — the reference degrades per-key instead, fetch_movies.py:141-145).
+    """
+    if value is None:
+        return fallback
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        target = parsedate_to_datetime(value)
+        return max(0.0, target.timestamp() - time.time())
+    except (ValueError, TypeError, OverflowError):
+        return fallback
+
+
 def fetch_with_retry(fetch: FetchFn, key: Any, policy: RetryPolicy = RetryPolicy()) -> dict:
     """One key through the retry state machine → success/error envelope.
 
@@ -71,8 +92,7 @@ def fetch_with_retry(fetch: FetchFn, key: Any, policy: RetryPolicy = RetryPolicy
         if status == 200:
             return {"key": key, "success": True, "error": None, "payload": payload}
         if status == policy.rate_limit_status:
-            wait = float(headers.get(policy.retry_after_header, policy.backoff**attempt))
-            policy.sleep(wait)
+            policy.sleep(_retry_after_seconds(headers.get(policy.retry_after_header), policy.backoff**attempt))
             continue
         if status in policy.permanent_statuses:
             return {"key": key, "success": False, "error": f"HTTP_{status}", "payload": None}
