@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row
 
+from tmdb_spark_data_pipeline_spark import schemas
 from tmdb_spark_data_pipeline_spark.operators import flatten
 from tmdb_spark_data_pipeline_spark.pipelines import movies
 
@@ -15,8 +16,8 @@ def _bronze_row(
     id=1,
     title="Movie",
     status="Released",
-    budget=100_000_000.0,
-    revenue=500_000_000.0,
+    budget=100_000_000,
+    revenue=500_000_000,
     vote_average=8.0,
     vote_count=1000,
     popularity=50.0,
@@ -25,29 +26,44 @@ def _bronze_row(
     original_language="en",
     overview="plot",
     tagline="tag",
-    genres=(Row(id=28, name="Action"), Row(id=12, name="Adventure")),
+    genres=({"id": 28, "name": "Action"}, {"id": 12, "name": "Adventure"}),
     collection=None,
-    cast=(Row(name="Bruce Willis"), Row(name="Uma Thurman")),
-    crew=(Row(name="Dana", job="Director"), Row(name="Eli", job="Producer")),
+    companies=({"id": 5, "logo_path": None, "name": "WB", "origin_country": "US"},),
+    countries=({"iso_3166_1": "US", "name": "United States"},),
+    languages=({"iso_639_1": "en", "name": "English"},),
+    cast=(
+        {"id": 1, "name": "Bruce Willis", "character": "Hero", "order": 0},
+        {"id": 2, "name": "Uma Thurman", "character": "Lead", "order": 1},
+    ),
+    crew=(
+        {"id": 3, "name": "Dana", "job": "Director", "department": "Directing"},
+        {"id": 4, "name": "Eli", "job": "Producer", "department": "Production"},
+    ),
 ):
-    return Row(
-        id=id,
-        title=title,
-        status=status,
-        budget=budget,
-        revenue=revenue,
-        vote_average=vote_average,
-        vote_count=vote_count,
-        popularity=popularity,
-        runtime=runtime,
-        release_date=release_date,
-        original_language=original_language,
-        overview=overview,
-        tagline=tagline,
-        genres=list(genres),
-        belongs_to_collection=collection,
-        credits=Row(cast=list(cast), crew=list(crew)),
-    )
+    # full BRONZE_SCHEMA rows (dicts map by name against the declared schema)
+    return {
+        "id": id,
+        "title": title,
+        "overview": overview,
+        "tagline": tagline,
+        "release_date": release_date,
+        "budget": budget,
+        "revenue": revenue,
+        "runtime": runtime,
+        "vote_average": vote_average,
+        "vote_count": vote_count,
+        "popularity": popularity,
+        "original_language": original_language,
+        "status": status,
+        "genres": list(genres),
+        "belongs_to_collection": collection,
+        "production_companies": list(companies),
+        "production_countries": list(countries),
+        "spoken_languages": list(languages),
+        "poster_path": "/poster.png",
+        "backdrop_path": None,
+        "credits": {"cast": list(cast), "crew": list(crew)},
+    }
 
 
 @pytest.fixture(scope="module")
@@ -58,13 +74,13 @@ def bronze(spark):
         _bronze_row(
             id=3,
             title="Another Released",
-            budget=200_000_000.0,
-            revenue=800_000_000.0,
+            budget=200_000_000,
+            revenue=800_000_000,
             vote_average=7.5,
             vote_count=2000,
             runtime=150,
             release_date="2019-05-20",
-            collection=Row(id=10, name="Franchise X"),
+            collection={"id": 10, "name": "Franchise X", "poster_path": None, "backdrop_path": None},
         ),
         # edge rows (FIXTURES.md §1): zero votes w/ rating, <=0 runtime,
         # "No Data" sentinel, duplicate id, no director
@@ -75,11 +91,11 @@ def bronze(spark):
             vote_count=0,
             runtime=-5,
             overview="No Data",
-            crew=(Row(name="Eli", job="Producer"),),
+            crew=({"id": 4, "name": "Eli", "job": "Producer", "department": "Production"},),
         ),
         _bronze_row(id=1, title="Released Movie Duplicate"),
     ]
-    return spark.createDataFrame(rows)
+    return spark.createDataFrame(rows, schema=schemas.BRONZE_SCHEMA)
 
 
 @pytest.fixture(scope="module")
@@ -131,6 +147,20 @@ def test_curate_types(silver):
     assert types["id"] == "int" and types["vote_count"] == "int"
     assert types["release_date"] == "date"
     assert types["genres"] == "array<string>"
+
+
+def test_curate_flattens_companies_countries_languages(silver):
+    # clean_transform.py:85-90: companies keep names, countries/languages ISO
+    row = silver.filter("id = 1").first()
+    assert row.production_companies == ["WB"]
+    assert row.production_countries == ["US"]
+    assert row.spoken_languages == ["en"]
+
+
+def test_silver_matches_declared_contract(silver):
+    # exact projection, reference order (clean_transform.py:161-171)
+    assert silver.columns == list(movies.SILVER_COLUMNS)
+    schemas.validate(silver, schemas.SILVER_SCHEMA, layer="silver")
 
 
 # --- KPI layer on the FIXTURES.md §2 silver sample ------------------------
