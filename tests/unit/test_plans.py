@@ -42,6 +42,39 @@ def test_anti_join_plan_broadcasts(spark, sf_smoke):
     assert "LeftAnti" in plan
 
 
+def test_partitioned_roundtrip_prunes_partitions(spark, sf_smoke):
+    # the read-back filter on the partition column must become a
+    # PartitionFilters entry (directory pruning), NOT a data filter
+    df = queries.partitioned_roundtrip(spark, sf_smoke)
+    plan = _plan(df)
+    scan = plan[plan.index("PartitionFilters") :]
+    assert "o_orderpriority" in scan.split("\n")[0]
+
+
+def test_lsh_probe_uses_dynamic_partition_pruning(spark, sf_smoke):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import similarity
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_dpp_probe_test")
+    similarity.write_lsh_partitioned_corpus(emb, path)
+    probe = similarity.cosine_topk_lsh_probe(emb.filter(F.col("vec_id") < 3), path, k=5)
+    plan = _plan(probe)
+    # corpus scan must be gated by a runtime pruning predicate on the bucket
+    # partition column (only probed buckets' files are read)
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_blocked_neardup_is_equi_join_not_nested_loop(spark, sf_smoke):
+    plan = _plan(queries.cosine_neardups_blocked(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan  # the unblocked baseline's shape
+
+
 def test_registry_integrity():
     # every oracle references only declared tables; every query has a
     # callable; names are unique by construction (dict)

@@ -84,6 +84,15 @@ def cosine_topk_bruteforce(
     )
 
 
+def seeded_planes(num_planes: int = 6, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared by the engine and the oracle
+    generator in ``plans/queries.py`` so literals can't drift)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
 def hyperplane_bucket(vec: ColumnOrName, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
 
@@ -119,10 +128,7 @@ def cosine_topk_lsh(
     bit) would raise recall without more planes — left as future work.
     """
     if planes is None:
-        import random
-
-        rng = random.Random(seed)
-        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        planes = seeded_planes(num_planes, dim, seed)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -141,6 +147,83 @@ def cosine_topk_lsh(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id", (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def write_lsh_partitioned_corpus(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus with its LSH bucket id as a PARTITION column.
+
+    This is the storage half of ANN at 100 TB: each bucket becomes its own
+    parquet directory, so a probe that joins (or filters) on ``bucket`` reads
+    only the matching buckets' files — everything else is pruned at planning
+    time, never scanned. Norms are precomputed per row at write time (read
+    side then does one dot product per candidate pair, nothing per-corpus-row).
+    """
+    if planes is None:
+        planes = seeded_planes(num_planes, dim, seed)
+    out = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("norm"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def cosine_topk_lsh_probe(
+    queries: DataFrame,
+    corpus_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: list[list[float]] | None = None,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """ANN probe against a ``write_lsh_partitioned_corpus`` layout.
+
+    The broadcast equi-join on the partition column triggers dynamic
+    partition pruning: only the buckets the query vectors hash into are read
+    from disk. Same results as ``cosine_topk_lsh`` (identical planes), but
+    the corpus-side cost is proportional to the probed buckets, not the
+    corpus — the read-path shape that makes ANN work at 100 TB.
+    """
+    if planes is None:
+        planes = seeded_planes(num_planes, dim, seed)
+    spark = queries.sparkSession
+    corpus = spark.read.parquet(corpus_path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    pairs = corpus.join(F.broadcast(q), "bucket")
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col(id_col))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot("__qv", vec_col) / (F.col("__qn") * F.col("norm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc())
     return (
