@@ -77,3 +77,41 @@ def test_tumbling_agg_decimal_total_is_exact(spark):
     row = streaming.tumbling_agg(df, "ts", "1 hour", ("k",), "value").first()
     assert row.total == 1.0  # decimal sum: no float drift
     assert row.n == 10
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    # duplicated rows (same event_id) arriving within the watermark delay are
+    # removed; state for expired keys is evicted instead of growing forever
+    rows = [
+        (1, "click", _ts("2024-01-01T00:00:00")),
+        (1, "click", _ts("2024-01-01T00:00:30")),  # dup within delay → dropped
+        (2, "view", _ts("2024-01-01T00:05:00")),
+    ]
+    src = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+    path = str(tmp_path / "dupe_events")
+    src.write.parquet(path)
+    stream = streaming.stream_from_parquet_dir(spark, path, src.schema).withWatermark(
+        "ts", "10 minutes"
+    )
+    deduped = streaming.dedup_stream(stream, ("event_id",), within_watermark=True)
+    streaming.run_stream_to_memory(deduped, "dedup_wm_mem", output_mode="append")
+    out = spark.table("dedup_wm_mem")
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_replay_pair_union_dedup_equals_batch(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    batch = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def build(s1, s2):
+        return (
+            streaming.dedup_stream(s1.unionByName(s2), ("event_id",))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    stream = streaming.replay_events_pair(
+        spark, f"{sf_smoke}/events.parquet", build,
+        query_name="pair_dedup_mem", output_mode="complete",
+    )
+    assert _canon(batch, ["event_type", "n"]) == _canon(stream, ["event_type", "n"])

@@ -1505,6 +1505,123 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the source is replayed TWICE (two file
+    streams unioned — every event arrives duplicated), then
+    ``dropDuplicates(event_id)`` restores exactly-once before a per-type
+    count. Green iff the deduped stream counts equal the plain batch counts
+    over the original table."""
+    import os
+
+    from ..streaming import dedup_stream, replay_events_pair
+
+    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
+        dup = s1.unionByName(s2)
+        return dedup_stream(dup, ("event_id",)).groupBy("event_type").agg(
+            F.count("*").alias("n")
+        )
+
+    return replay_events_pair(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_dedup_mem",
+        output_mode="complete",
+    )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '5 minutes' AND c.ts < p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases ⋈ clicks within the preceding
+    5 minutes, per user): two independent watermarked file streams, event-time
+    range condition bounding join state. Same pairs as the batch range join —
+    the oracle is the batch SQL. Bounded to the first week of the (fixed
+    January 2024) corpus: the proof is the join semantics, not the volume."""
+    import os
+
+    from ..streaming import replay_events_pair
+
+    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
+        s1 = s1.filter(F.col("ts") < "2024-01-08")
+        s2 = s2.filter(F.col("ts") < "2024-01-08")
+        p = s1.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        c = s2.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        cond = (
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        return p.join(c, cond, "inner").select("p_event_id", "c_event_id")
+
+    return replay_events_pair(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_join_mem",
+        output_mode="append",
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 round trip: JSON sink (the raw-archive role) then a JSON source
+    read with an EXPLICIT schema (never inferred, SURVEY §2.1) — values must
+    survive the sink → source cycle exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_json, write_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_json_docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_json(docs, path, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_json(spark, path, schema, multiline=False)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@query(
     "partitioned_roundtrip",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
@@ -1559,6 +1676,9 @@ _SWEEP_FRONT = (
     "similarity_topk_lsh_pruned",
     "cosine_neardups_blocked",
     "partitioned_roundtrip",
+    "json_roundtrip",
+    "stream_dedup_counts",
+    "stream_stream_join",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",

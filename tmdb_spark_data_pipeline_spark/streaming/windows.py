@@ -116,15 +116,29 @@ def run_stream_to_memory(
 ) -> None:
     """Drive a streaming aggregation to completion synchronously (memory
     sink + ``processAllAvailable``) — the local test/verification harness.
-    Production sinks swap ``format``/``foreachBatch``; semantics unchanged."""
-    q = (
-        agg_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    Production sinks swap ``format``/``foreachBatch``; semantics unchanged.
+
+    Stateful streaming disables AQE, so ``spark.sql.shuffle.partitions`` is
+    taken literally as the state-store count — a session at the Spark default
+    (200) pays for 200 tiny stores on a laptop-sized replay. Pin it to the
+    session's parallelism for the run, restore after.
+    """
+    spark = agg_df.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q = (
+            agg_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def replay_events(
@@ -159,6 +173,63 @@ def replay_events(
     agg = build(stream.withWatermark(ts_col, watermark))
     run_stream_to_memory(agg, query_name, output_mode=output_mode)
     return spark.table(query_name)
+
+
+def _event_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    schema: StructType,
+    *,
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """One watermarked file-source stream over an events parquet file/dir."""
+    if os.path.isfile(parquet_path):
+        stream = stream_from_parquet_dir(
+            spark, os.path.dirname(parquet_path), schema, glob_filter=os.path.basename(parquet_path)
+        )
+    else:
+        stream = stream_from_parquet_dir(spark, parquet_path, schema)
+    if dict(stream.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return stream.withWatermark(ts_col, watermark)
+
+
+def replay_events_pair(
+    spark: SparkSession,
+    parquet_path: str,
+    build,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    query_name: str = "events_pair",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay the same parquet source as TWO independent streams through
+    ``build(s1, s2)`` — the stream-stream join harness. Two separate file
+    sources (not a self-referencing branch) so each side tracks its own
+    watermark, exactly as two real topics would."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+    s1 = _event_stream(spark, parquet_path, schema, ts_col=ts_col, watermark=watermark)
+    s2 = _event_stream(spark, parquet_path, schema, ts_col=ts_col, watermark=watermark)
+    out = build(s1, s2)
+    run_stream_to_memory(out, query_name, output_mode=output_mode)
+    return spark.table(query_name)
+
+
+def dedup_stream(stream: DataFrame, keys: tuple[str, ...], *, within_watermark: bool = False) -> DataFrame:
+    """Streaming exactly-once dedup by key.
+
+    ``within_watermark=False``: global dedup — state grows with distinct keys
+    (correct for replays and bounded key spaces). ``True``: state evicted
+    once the watermark passes (``dropDuplicatesWithinWatermark``) — the
+    bounded-state form for unbounded streams at scale, correct whenever a
+    duplicate can only arrive within the watermark delay of the original.
+    """
+    if within_watermark:
+        return stream.dropDuplicatesWithinWatermark(list(keys))
+    return stream.dropDuplicates(list(keys))
 
 
 def replay_events_tumbling(
