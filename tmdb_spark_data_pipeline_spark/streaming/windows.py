@@ -113,6 +113,7 @@ def run_stream_to_memory(
     query_name: str,
     *,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> None:
     """Drive a streaming aggregation to completion synchronously (memory
     sink + ``processAllAvailable``) — the local test/verification harness.
@@ -120,14 +121,19 @@ def run_stream_to_memory(
 
     Stateful streaming disables AQE, so ``spark.sql.shuffle.partitions`` is
     taken literally as the state-store count — a session at the Spark default
-    (200) pays for 200 tiny stores on a laptop-sized replay. Pin it to the
-    session's parallelism for the run, restore after.
+    (200) pays for 200 tiny stores on a laptop-sized replay, and even the
+    session's own parallelism (32) costs ~5× wall vs 8 on a stream-stream
+    join (per-store open/commit dominates when state is kilobytes). Pin a
+    small replay-sized count for the run, restore after. A production job
+    sizes this to its cluster once at first checkpoint (the store count is
+    sticky per checkpoint, so it is a deploy-time decision, not a harness
+    one).
     """
     spark = agg_df.sparkSession
+    if state_partitions is None:
+        state_partitions = min(8, spark.sparkContext.defaultParallelism)
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             agg_df.writeStream.outputMode(output_mode)
