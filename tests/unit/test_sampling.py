@@ -1,0 +1,112 @@
+"""Deterministic sampling / splitting / packing / PII-scrub tests
+(SURVEY.md §2.11 item 13 extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.operators import packing, sampling, text
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 7 % 100).alias("score"),
+    )
+
+
+def test_hash_split_is_deterministic_and_stable_under_append(spark):
+    docs = _docs(spark)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w).collect()}
+    b = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w).collect()}
+    assert a == b
+    # appending rows never moves an existing row across the boundary
+    bigger = sampling.hash_split(_docs(spark, 400), "doc_id", w)
+    big = {r.doc_id: r.split for r in bigger.collect()}
+    assert all(big[k] == v for k, v in a.items())
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        sampling.hash_split(_docs(spark), "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_hash_split_no_shuffle(spark):
+    plan = sampling.hash_split(
+        _docs(spark), "doc_id", {"a": 0.5, "b": 0.5}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_stratified_sample_exact_counts(spark):
+    docs = _docs(spark)  # 4 groups x 50 rows
+    out = sampling.stratified_sample(docs, ("grp",), 0.1, "doc_id")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 5, "1": 5, "2": 5, "3": 5}  # ceil(50 * 0.1) exactly
+    again = sampling.stratified_sample(docs, ("grp",), 0.1, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_stratified_sample_small_stratum_never_empty(spark):
+    docs = spark.createDataFrame([(1, "rare"), (2, "rare")], ["doc_id", "grp"])
+    out = sampling.stratified_sample(docs, ("grp",), 0.01, "doc_id")
+    assert out.count() == 1  # ceil(2 * 0.01) = 1: small strata stay represented
+
+
+def test_rebalance_quota_keeps_top_scores(spark):
+    out = sampling.rebalance_quota(_docs(spark), "grp", 3, "score", "doc_id")
+    assert out.groupBy("grp").count().agg(F.max("count")).first()[0] == 3
+    kept = {r.score for r in out.filter(F.col("grp") == "0").collect()}
+    all_scores = sorted(
+        (r.score for r in _docs(spark).filter(F.col("grp") == "0").collect()),
+        reverse=True,
+    )
+    assert kept == set(all_scores[:3])
+
+
+def test_pack_sequences_respects_start_offsets(spark):
+    rows = [(i, "s", 100) for i in range(10)]  # 100 tokens each, budget 250
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    out = packing.pack_sequences(df, "shard", "doc_id", "n_tok", 250).collect()
+    by_id = {r.doc_id: (r.pack_start, r.pack_id) for r in out}
+    assert by_id[0] == (0, 0)
+    assert by_id[2] == (200, 0)  # starts inside pack 0
+    assert by_id[3] == (300, 1)
+    assert by_id[9] == (900, 3)
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(1, "a", 10), (2, "b", 10), (3, "a", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    out = {r.doc_id: r.pack_start for r in packing.pack_sequences(
+        df, "shard", "doc_id", "n_tok", 100).collect()}
+    assert out == {1: 0, 2: 0, 3: 10}
+
+
+def test_whitespace_token_count_empty_text(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a  b",)], ["t"])
+    ns = [r.n for r in df.select(packing.whitespace_token_count("t").alias("n")).collect()]
+    assert ns == [0, 0, 2]
+
+
+def test_redact_pii_all_kinds(spark):
+    t = "mail a@b.co or see https://x.io/p?q=c@d.ee from 10.0.0.1 tel +1 (555) 010-1234"
+    df = spark.createDataFrame([(t,)], ["t"])
+    red = df.select(text.redact_pii("t").alias("r")).first().r
+    assert "<EMAIL>" in red and "<URL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "a@b.co" not in red and "10.0.0.1" not in red
+    # the email inside the URL redacts as URL, not EMAIL
+    counts = df.select(*text.pii_counts("t")).first()
+    assert (counts.n_url, counts.n_email, counts.n_ipv4, counts.n_phone) == (1, 1, 1, 1)
+
+
+def test_redact_pii_plain_text_untouched(spark):
+    t = "no pii here just words and the number 42"
+    df = spark.createDataFrame([(t,)], ["t"])
+    assert df.select(text.redact_pii("t").alias("r")).first().r == t

@@ -1,0 +1,60 @@
+"""Sequence packing: assign documents to fixed-token-budget packs.
+
+LLM-training prep (SURVEY.md §2.11 item 13 extension): training examples are
+fixed-length token windows; feeding one short document per window wastes the
+budget, so documents are packed. This implements *stream packing*: within
+each shard (partition key), documents are laid out in a deterministic order
+on a contiguous token stream and a document belongs to the pack where it
+STARTS — ``pack_id = floor(cumulative_start / budget)``. Long documents
+straddle a boundary (they are chunked downstream by the tokenizer); what the
+engine guarantees is a deterministic, shuffle-minimal grouping.
+
+This is the closed-form variant deliberately: true first-fit/next-fit bin
+packing is a sequential scan (each decision depends on the previous bin's
+remaining space) — not expressible as a window function and not parallel. The
+start-offset rule is one window cumsum per shard: the same physical shape as
+a running total, embarrassingly parallel across shards, identical results at
+any cluster size. Wasted-budget overhead vs true next-fit is bounded by
+(mean_doc_len / budget) per pack — small when budget >> typical document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ColumnOrName, _col
+
+
+def whitespace_token_count(text: ColumnOrName) -> F.Column:
+    """Token count proxy: whitespace word count of trimmed text (0 for
+    empty). The tokenizer-exact count is a drop-in replacement column."""
+    t = F.trim(_col(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Add ``pack_id``/``pack_start`` columns: the fixed-budget pack each row
+    starts in, per shard, in ``order_col`` order (must be unique per shard —
+    it is the determinism contract).
+
+    One window cumsum per shard — a single shuffle on ``shard_col``; no
+    global coordination, so shards scale out independently.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("pack_start", start).withColumn(
+        "pack_id", (F.col("pack_start") / F.lit(budget)).cast("long")
+    )

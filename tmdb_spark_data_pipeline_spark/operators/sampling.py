@@ -1,0 +1,128 @@
+"""Deterministic sampling / splitting / rebalancing operators.
+
+Training-data-pipeline extensions beyond the reference surface (SURVEY.md
+§2.11 item 13 mandate): a 100 TB corpus is never trained on wholesale — it is
+split, stratified, and rebalanced first. Everything here is driven by a
+*portable* content hash (md5 prefix), not ``rand()``, so the same row lands in
+the same split on every engine, every run, every cluster size — the property
+that makes train/test contamination auditable.
+
+Scale posture: all pure Catalyst expressions. ``hash_split`` is a projection
+(no shuffle at all); ``stratified_sample`` and ``rebalance_quota`` shuffle
+once on their strata/group key exactly like any grouped aggregate. No
+``sample()``/``rand()`` — those are nondeterministic under retries and
+repartitioning (a retried task re-draws its randoms, silently duplicating or
+dropping rows in the sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ColumnOrName, _col
+
+#: Hash-space size for split assignment: fractions are resolved to integer
+#: bucket ranges out of this many buckets (1e-4 granularity).
+SPLIT_BUCKETS = 10_000
+
+
+def portable_hash(key: ColumnOrName, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Uniform bucket in ``[0, buckets)`` from a key column, identical across
+    engines: ``conv(substr(md5(key), 1, 8), 16, 10) % buckets``.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS
+    BIGINT) % buckets``. The 32-bit md5 prefix keeps the value inside exact
+    BIGINT/double range on both engines; md5 is bit-stable everywhere, unlike
+    ``xxhash64``/``hash()`` which differ per engine (and per seed).
+    """
+    h = F.conv(F.substring(F.md5(_col(key).cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % F.lit(buckets)).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashed key.
+
+    Pure projection — zero shuffle, streamable, and stable under appends: a
+    row's split depends only on its key, so growing the corpus never moves an
+    existing document across the train/test boundary (the contamination
+    guarantee re-sampling cannot give).
+
+    ``weights`` are fractions summing to ~1; resolved to contiguous integer
+    bucket ranges out of ``SPLIT_BUCKETS`` (granularity 1e-4), assigned in
+    the given insertion order.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = portable_hash(key_col)
+    expr: Column = F.lit(None).cast("string")
+    edges: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        edges.append((name, min(SPLIT_BUCKETS, round(acc * SPLIT_BUCKETS))))
+    # build from the last range backwards: when/otherwise chain
+    for name, hi in reversed(edges):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: tuple[str, ...],
+    fraction: float,
+    key_col: str,
+) -> DataFrame:
+    """Exact-count deterministic stratified sample: ``ceil(n_g * fraction)``
+    rows from every stratum ``g``, chosen by hashed-key order (hash asc, key
+    asc as total-order tie-break).
+
+    Unlike ``df.sampleBy`` this is exact (not Bernoulli — per-stratum counts
+    are guaranteed, crucial for small strata) and deterministic (no seed
+    state). One shuffle on the strata key; the per-stratum sort is the same
+    cost class as any grouped top-n. At 100 TB, strata are
+    languages/sources — thousands of groups, each fitting a task after the
+    hash partition; skewed strata fall back to AQE skew splitting.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    h = portable_hash(key_col)
+    w = Window.partitionBy(*strata)
+    order = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__n", F.count("*").over(w)).withColumn(
+        "__rn", F.row_number().over(order)
+    )
+    take = F.ceil(F.col("__n") * F.lit(fraction))
+    return ranked.filter(F.col("__rn") <= take).drop("__n", "__rn")
+
+
+def rebalance_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    score_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Cap every group at ``quota`` rows, keeping the highest-scoring ones
+    (score desc NULLS LAST, key asc tie-break) — the per-source /
+    per-language rebalancing step that stops one crawl dump from dominating a
+    training mix.
+
+    Same physical shape as grouped top-n (§2.7): one shuffle on the group
+    key, per-partition sort, early row_number cutoff.
+    """
+    order = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(order))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -111,3 +111,46 @@ def fingerprint(text: ColumnOrName, *, bits: int = 64) -> Column:
     in ``dedup.py``.) Matches DuckDB ``md5(...)`` for oracle checking."""
     normalized = F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " "))
     return F.substring(F.md5(normalized), 1, bits // 4)
+
+
+#: PII patterns, ordered: URL first (an email-looking userinfo inside a URL
+#: must redact as URL), then email, IPv4, phone. Regex subset chosen to parse
+#: identically under Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+#: lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Scrub PII spans (URLs, emails, IPv4s, phone-shaped digit runs) to
+    typed placeholder tokens — the pre-training scrub pass.
+
+    A chain of ``regexp_replace`` expressions, entirely inside codegen; at
+    100 TB this is a map-only projection with zero shuffle. Pattern order is
+    load-bearing (see ``PII_PATTERNS``): each later pattern sees the previous
+    pattern's replacements, so a URL's interior never double-redacts as
+    email. Heuristic by design — a production scrubber swaps in its own
+    pattern table (or an NER model via ``mapInPandas``); the engine
+    guarantees the distributed shape.
+    """
+    out = _col(text)
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: ColumnOrName) -> list[Column]:
+    """Per-kind PII hit counts (``n_url``/``n_email``/``n_ipv4``/``n_phone``
+    columns) for scrub auditing. Counted on the progressively-redacted text,
+    matching exactly what ``redact_pii`` replaces — a URL containing an ``@``
+    counts once, as a URL."""
+    cols: list[Column] = []
+    cur = _col(text)
+    for name, pattern, token in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pattern)).cast("int").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, token)
+    return cols

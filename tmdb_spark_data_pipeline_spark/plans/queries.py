@@ -20,7 +20,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cleaning, dedup, joins, rank, search, setops, similarity, text
+from ..operators import (
+    cleaning,
+    dedup,
+    joins,
+    packing,
+    rank,
+    sampling,
+    search,
+    setops,
+    similarity,
+    text,
+)
 from ..sources.io import load_table
 from ..streaming import replay_events_tumbling
 
@@ -1661,6 +1672,174 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hash_split_counts",
+    oracle="""
+    WITH b AS (
+      SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 10000 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable content hash
+    (``operators/sampling.hash_split`` — md5-prefix bucket, zero shuffle,
+    append-stable), summarized per split × language. The split assignment
+    itself is the thing under test: both engines must route every document
+    to the same side of the train/test boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS bucket,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.1)
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count 10% stratified sample per language
+    (``operators/sampling.stratified_sample``): ceil(n_g·0.1) rows per
+    stratum, chosen by hashed-key order — deterministic (no rand/seed
+    state), exact per-stratum counts unlike Bernoulli ``sampleBy``."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, ("lang",), 0.1, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "source_quota_rebalance",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 15
+    """,
+)
+def source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (``operators/sampling.rebalance_quota``): keep
+    the 15 highest-scoring (longest) documents per source — the mix
+    rebalancing that stops one crawl dump from dominating a training set.
+    Grouped-top-n physical shape: one shuffle, per-partition sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.rebalance_quota(docs, "source", 15, "n_chars", "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pack_start
+      FROM t)
+    SELECT doc_id, source, n_tokens, pack_start,
+           CAST(floor(pack_start / 2048.0) AS BIGINT) AS pack_id
+    FROM s
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (``operators/packing.pack_sequences``):
+    documents laid on a contiguous token stream per source shard
+    (deterministic doc_id order), pack = 2048-token window where the
+    document STARTS. One window cumsum per shard — the parallel,
+    closed-form packing (true next-fit is a sequential scan; trade-off in
+    the module docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", packing.whitespace_token_count("text").alias("n_tokens")
+    )
+    return packing.pack_sequences(base, "source", "doc_id", "n_tokens", 2048).select(
+        "doc_id", "source", "n_tokens", "pack_start", "pack_id"
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@mail.example.com via https://ex.com/d/' || doc_id
+                  || ' ip 10.0.0.1 call +1 (555) 010-1234' AS t
+      FROM documents),
+    s1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, 'https?://\S+')) AS INTEGER) AS n_url,
+                  regexp_replace(t, 'https?://\S+', '<URL>', 'g') AS t FROM aug),
+    s2 AS (SELECT doc_id, n_url,
+                  CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_url, n_email,
+                  CAST(len(regexp_extract_all(t,
+                    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+                  regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                                 '<IP>', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, n_url, n_email, n_ipv4,
+                  CAST(len(regexp_extract_all(t,
+                    '\+?[0-9][0-9() .-]{6,}[0-9]')) AS INTEGER) AS n_phone,
+                  regexp_replace(t, '\+?[0-9][0-9() .-]{6,}[0-9]',
+                                 '<PHONE>', 'g') AS t FROM s3)
+    SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(t) AS redacted_md5 FROM s4
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (``operators/text.redact_pii`` / ``pii_counts``):
+    documents augmented with a deterministic synthetic PII tail (the corpus
+    itself is PII-free — the augmentation makes every pattern fire on both
+    engines), then per-kind redaction counts + md5 of the scrubbed text.
+    Map-only projection; regex subset parses identically under Java regex
+    and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com via https://ex.com/d/"),
+            F.col("doc_id"),
+            F.lit(" ip 10.0.0.1 call +1 (555) 010-1234"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        *text.pii_counts("t"),
+        F.md5(text.redact_pii("t")).alias("redacted_md5"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -1679,6 +1858,11 @@ _SWEEP_FRONT = (
     "json_roundtrip",
     "stream_dedup_counts",
     "stream_stream_join",
+    "hash_split_counts",
+    "stratified_sample_docs",
+    "source_quota_rebalance",
+    "sequence_packing",
+    "pii_redaction",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
