@@ -107,3 +107,26 @@ def test_spread_gated_on_partition_count(spark):
     # every document payload)
     wide = spark.createDataFrame([(i,) for i in range(100)], ["x"]).repartition(target)
     assert dedup._spread(wide) is wide
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4-5 (diameter 4, exercises pointer jumping) + island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merging_clusters(spark):
+    # two clusters merged by a bridge pair; min id wins across the merge
+    pairs = spark.createDataFrame(
+        [(7, 8), (2, 3), (3, 8)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert set(out.values()) == {2}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0

@@ -388,3 +388,71 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(id,
+    component_id)`` with ``component_id`` = min node id in the component (the
+    canonical-representative convention: dedup keeps doc ``component_id``,
+    drops the rest).
+
+    Iterative min-label propagation with a pointer-jumping step (labels
+    propagate one hop through edges AND one hop through the current labels
+    per round) — converges in O(log diameter) rounds; near-dup clusters have
+    tiny diameters, so this is 2-4 rounds in practice. Each round is two
+    shuffles on node id (join + groupBy) over (id, label) pairs only — never
+    the document payloads. ``localCheckpoint`` truncates the plan each round
+    (iterative lineage otherwise grows exponentially; a cluster job would use
+    reliable ``checkpoint`` instead). The per-round convergence ``count()``
+    is the documented exception to the no-driver-collect rule: one scalar
+    per iteration, the same contract as any Pregel-style loop. The
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") is the same number of shuffles per
+    round with better skew behavior on giant components; swap in if one
+    component ever spans a meaningful fraction of the corpus.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # min label among neighbors (one hop through edges)
+        nbr = (
+            edges.join(comp.select(F.col("id").alias("d"), "comp"), "d")
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .select(F.col("s").alias("id"), "nbr_comp")
+        )
+        stepped = comp.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp <- comp(comp), halving chain lengths
+        jumped = (
+            stepped.join(
+                stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
+                "comp",
+            )
+            .select("id", F.least("comp", "comp2").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            return comp
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

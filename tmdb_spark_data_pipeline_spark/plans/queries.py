@@ -1840,6 +1840,47 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_components",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+    SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS component_id
+    FROM reach GROUP BY s
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: exact Jaccard pairs (same blocking as
+    ``ngram_jaccard_neardups``) → connected components
+    (``operators/dedup.connected_components``, min-label propagation +
+    pointer jumping) → every clustered doc labeled with its canonical
+    (minimum) doc id. The dedup decision a pipeline acts on — keep
+    ``component_id``, drop the rest. Oracle: transitive closure via
+    recursive CTE over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -1863,6 +1904,7 @@ _SWEEP_FRONT = (
     "source_quota_rebalance",
     "sequence_packing",
     "pii_redaction",
+    "neardup_components",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
