@@ -99,3 +99,44 @@ def asof_join(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Skew-salted equi-join: the (big, skewed) ``left`` gets a deterministic
+    salt in ``[0, salt)``, the (smaller) ``right`` is replicated ``salt``
+    times, and the join key becomes ``(on, salt)`` — a hot key's rows spread
+    over ``salt`` reducers instead of one.
+
+    This is the *manual* fallback for when AQE skew-join splitting can't
+    help: AQE splits oversized partitions of a sort-merge join, but a single
+    hot KEY still lands in one partition per split boundary, and broadcast is
+    off the table when the right side is too big. Salting rewrites the key
+    space itself.
+
+    The salt comes from ``xxhash64`` of ``salt_by`` (or the whole left row) —
+    deterministic under task retry, unlike ``rand()``-based salting, which
+    can duplicate or drop rows when a retried task re-draws.
+
+    Inner/left joins only: an unmatched right row would surface ``salt``
+    times under right/full semantics. Cost model: right side is scanned
+    ``salt``× (explode) — keep ``salt`` small (4-16) and the right side lean
+    (project before salting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    src = F.col(salt_by) if salt_by else F.struct(*[F.col(c) for c in left.columns])
+    lsalted = left.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(salt)))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
+    )
+    return lsalted.join(rsalted, [on, "__salt"], how).drop("__salt")

@@ -25,6 +25,7 @@ from ..operators import (
     dedup,
     joins,
     packing,
+    profile,
     rank,
     sampling,
     search,
@@ -1881,6 +1882,63 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+@query(
+    "profile_documents",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(min({c}) AS VARCHAR) AS min_value,
+        CAST(max({c}) AS VARCHAR) AS max_value FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (``operators/profile.profile_table``): per
+    column null count, exact distinct count, min/max — the data-quality
+    reconnaissance step before committing a full-corpus transform. One scan,
+    one aggregation (Expand for the multi-distinct), then an unpivot."""
+    docs = _t(spark, sf_dir, "documents")
+    return profile.profile_table(docs, _PROFILE_COLS)
+
+
+@query(
+    "salted_fact_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈fact join (``operators/joins.salted_join``): lineitem
+    (salted by whole-row hash, so a hot orderkey's rows spread across salt
+    buckets) ⋈ orders (replicated 8×) on ``(orderkey, salt)`` — the manual
+    hot-key rewrite for when AQE skew-splitting can't help and broadcast
+    doesn't fit. The oracle is the PLAIN join: salting must be a pure
+    physical rewrite with zero semantic effect."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = joins.salted_join(
+        li,
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -1905,6 +1963,8 @@ _SWEEP_FRONT = (
     "sequence_packing",
     "pii_redaction",
     "neardup_components",
+    "profile_documents",
+    "salted_fact_join",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
