@@ -8,7 +8,10 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tmdb_spark_data_pipeline_spark.operators import similarity
+from tmdb_spark_data_pipeline_spark.sources.io import load_table
 
 
 @pytest.fixture(scope="module")
@@ -97,3 +100,16 @@ def test_lsh_topk_returns_bucket_neighbors_with_exact_cos(emb, vectors):
     assert 1 <= len(out) <= 3
     for r in out:
         assert abs(r.cos - _cos(vectors[0], vectors[r.neighbor_id])) < 1e-9
+
+
+def test_multiprobe_superset_of_single_probe(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    single = similarity.cosine_topk_lsh(q, emb, k=1000, num_planes=6, dim=64)
+    multi = similarity.cosine_topk_lsh(q, emb, k=1000, num_planes=6, dim=64, multiprobe=True)
+    s_pairs = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    m_pairs = {(r.query_id, r.neighbor_id) for r in multi.collect()}
+    # hamming-1 probing can only ADD candidates; with k above corpus size (no
+    # truncation), the single-probe result set is contained in the multi-probe one
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) > len(s_pairs)  # and it actually recovers more

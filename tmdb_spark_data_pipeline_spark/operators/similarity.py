@@ -118,14 +118,24 @@ def cosine_topk_lsh(
     dim: int = 64,
     seed: int = 42,
     include_self: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Equi-join on bucket id replaces the cross join — at scale, with the
     corpus written bucketed/partitioned by bucket id, a probe reads one
     bucket's files only. Recall is tunable via ``num_planes`` (fewer planes →
-    bigger buckets → higher recall, more compute); multi-probe (flipping one
-    bit) would raise recall without more planes — left as future work.
+    bigger buckets → higher recall, more compute).
+
+    ``multiprobe=True`` additionally probes every bucket at hamming
+    distance 1 (each single hyperplane bit flipped): a true neighbor that
+    landed just across ONE plane boundary is recovered, which is the
+    dominant miss mode — so recall rises steeply for a (num_planes+1)×
+    probe-side fan-out, while the corpus side (the big side) is untouched:
+    still a plain equi-join on bucket id, still one bucket's files per
+    probe. The standard refinement — flipping only the bits with the
+    smallest |projection| margin — cuts the fan-out further and layers on
+    top of this shape unchanged.
     """
     if planes is None:
         planes = seeded_planes(num_planes, dim, seed)
@@ -136,6 +146,15 @@ def cosine_topk_lsh(
         l2_norm(vec_col).alias("__qn"),
         hyperplane_bucket(vec_col, planes).alias("__bucket"),
     )
+    if multiprobe:
+        probe_set = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(2**i).cast("long"))
+                for i in range(len(planes))
+            ],
+        )
+        q = q.withColumn("__bucket", F.explode(probe_set))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -1400,6 +1400,34 @@ def _similarity_lsh_oracle() -> str:
     """
 
 
+def _similarity_multiprobe_oracle() -> str:
+    n_planes = len(_lsh_planes())
+    pows = ", ".join(str(2**i) for i in range(n_planes))
+    base = _similarity_lsh_oracle()
+    return base.replace(
+        "JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id",
+        f"JOIN b c ON (q.bucket = c.bucket OR xor(q.bucket, c.bucket) IN ({pows}))"
+        " AND c.vec_id <> q.vec_id",
+    )
+
+
+@query("similarity_topk_multiprobe", oracle=_similarity_multiprobe_oracle())
+def similarity_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (``cosine_topk_lsh(multiprobe=True)``): every
+    bucket at hamming distance ≤ 1 from the query's bucket is probed (each
+    single hyperplane bit flipped) — recovering the dominant miss mode (a
+    true neighbor just across ONE plane boundary) for a (planes+1)×
+    query-side fan-out while the corpus side stays an untouched equi-join.
+    Oracle: the same bucket construction with ``xor(q,c) IN (1,2,4,...)``
+    membership — the approximate path stays exactly checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_lsh(
+        q, emb, k=10, num_planes=6, dim=64, seed=42, multiprobe=True
+    )
+    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+
+
 @query("similarity_topk_lsh", oracle=_similarity_lsh_oracle())
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (random hyperplanes): the scale path — candidates
@@ -1965,6 +1993,7 @@ _SWEEP_FRONT = (
     "neardup_components",
     "profile_documents",
     "salted_fact_join",
+    "similarity_topk_multiprobe",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
