@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     cleaning,
     dedup,
+    funnel,
     joins,
     packing,
     profile,
@@ -1967,6 +1968,93 @@ def salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+    w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                     OVER (PARTITION BY user_id) AS s1 FROM ev),
+    w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+                     OVER (PARTITION BY user_id) AS s2 FROM w1),
+    w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+                     OVER (PARTITION BY user_id) AS s3 FROM w2),
+    t AS (SELECT DISTINCT user_id, s1, s2, s3 FROM w3)
+    SELECT 1 AS step_index, 'view' AS step, count(s1) AS n_users FROM t
+    UNION ALL SELECT 2, 'click', count(s2) FROM t
+    UNION ALL SELECT 3, 'purchase', count(s3) FROM t
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (``operators/funnel.funnel_counts``): users who did
+    view → click → purchase IN ORDER within the first two days (each step
+    strictly after the previous step's first completion). N stacked
+    conditional window mins over one user_id partitioning — one exchange
+    total, no per-step self-joins. Time-bounded so conversion is partial
+    (the full month converts everyone — no discrimination)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-03")
+    return funnel.funnel_counts(ev, ("view", "click", "purchase"))
+
+
+@query(
+    "cohort_retention_daily",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    m AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS cohort_day FROM a)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           date_diff('day', cohort_day, d) AS day_offset,
+           count(*) AS n_users
+    FROM m GROUP BY cohort_day, date_diff('day', cohort_day, d)
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (``operators/funnel.cohort_retention``): users
+    grouped by first-event day; how many are active N days later.
+    Aggregate-before-window: events collapse to distinct (user, day) first,
+    so everything after the first shrink is |user-days|, not |events|."""
+    ev = _t(spark, sf_dir, "events")
+    out = funnel.cohort_retention(ev)
+    return out.select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated aggregate subquery), written as the
+    idiomatic Spark decorrelation: broadcast-semi-join the filtered part
+    keys into lineitem FIRST (so the per-part average runs over only the
+    brand's lineitems — identical semantics, a fraction of the agg input),
+    aggregate avg(l_quantity) per part, join back, filter, sum. The plan
+    Catalyst would rewrite the subquery into, made explicit."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pk = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li_f = li.join(F.broadcast(pk), "l_partkey", "left_semi")
+    lim = li_f.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_lim")
+    )
+    return (
+        li_f.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_lim"))
+        .agg(F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -1994,6 +2082,9 @@ _SWEEP_FRONT = (
     "profile_documents",
     "salted_fact_join",
     "similarity_topk_multiprobe",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "small_quantity_revenue",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
