@@ -130,3 +130,44 @@ def test_connected_components_merging_clusters(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_boilerplate_shingle_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common header text unique one"),
+            (2, "common header text unique two"),
+            (3, "common header text unique three"),
+            (4, "totally different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.boilerplate_shingle_stats(
+        docs, "text", "doc_id", min_docs=3).collect()}
+    # 'common header text' AND 'header text unique' each appear in 3 docs
+    assert out[1].n_boilerplate == 2 and out[1].n_shingles == 3
+    assert out[4].n_boilerplate == 0
+
+
+def test_contamination_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 4 shingles w/ bench
+            (2, "completely unrelated training text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps low")], ["doc_id", "text"]
+    )
+    out = dedup.contamination_overlap(train, bench, "text", "doc_id", min_shared=2)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].train_id, rows[0].bench_id, rows[0].n_shared) == (1, 100, 3)
+
+
+def test_word_shingles_nondistinct_keeps_repeats(spark):
+    df = spark.createDataFrame([("a b a b a b",)], ["t"])
+    d = df.select(dedup.word_shingles("t", 3).alias("s")).first().s
+    nd = df.select(dedup.word_shingles("t", 3, distinct=False).alias("s")).first().s
+    assert len(nd) == 4 and len(d) == 2

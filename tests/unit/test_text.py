@@ -54,3 +54,14 @@ def test_fingerprint_normalizes_case_and_whitespace(spark):
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
     assert len(fps[1]) == 16  # 64-bit hex prefix
+
+
+def test_repetition_stats_dominant_ngram(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are different")],
+        ["doc_id", "t"],
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df, "t", "doc_id").collect()}
+    assert out[1].n_ngrams == 3 and out[1].top_ngram_count == 3
+    assert out[1].repetition_ratio == 1.0
+    assert out[2].top_ngram_count == 1

@@ -63,8 +63,9 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(winners.select(id_col), id_col, "left_semi")
 
 
-def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
+def word_shingles(text: ColumnOrName, n: int = 3, *, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a text column (distinct by default; pass
+    ``distinct=False`` for frequency-sensitive uses like repetition scoring).
 
     ``split`` + self-``zip_with`` trick: shingle i = words[i..i+n-1], built
     with ``transform`` over an index sequence — all Catalyst expressions.
@@ -76,7 +77,9 @@ def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return F.when(k > 0, F.array_distinct(shingle)).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        shingle = F.array_distinct(shingle)
+    return F.when(k > 0, shingle).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -456,3 +459,82 @@ def connected_components(
         if changed == 0:
             return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def boilerplate_shingle_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate exposure: per document, how many of its
+    distinct n-gram shingles occur in ≥ ``min_docs`` distinct documents
+    corpus-wide → ``(id, n_shingles, n_boilerplate, boilerplate_ratio)``.
+
+    The C4/RefinedWeb-style "repeated across the corpus → it's template,
+    not content" signal, at shingle granularity (line granularity is the
+    same pipeline with a ``\\n`` split). Two aggregations over the exploded
+    shingle table — doc frequency per shingle, then a per-doc rollup; the
+    shuffle carries (shingle, id) pairs, never documents. The doc-frequency
+    side is Zipf-skewed by construction and safe for the same reason word
+    counting is: partial aggregation collapses each map task's duplicates
+    first.
+    """
+    sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id", F.explode(word_shingles("__t", n)).alias("__s")
+    )
+    docfreq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(docfreq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= min_docs, 1).otherwise(0)).alias(
+                "n_boilerplate"
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            F.round(F.col("n_boilerplate") / F.col("n_shingles"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination audit: train documents sharing ≥
+    ``min_shared`` distinct n-gram shingles with any benchmark document →
+    ``(train_id, bench_id, n_shared)``.
+
+    The pre-training hygiene check (did an eval set leak into the training
+    mix?). Same blocking shape as ``ngram_jaccard_pairs``: the shingle
+    equi-join IS the candidate generation — only pairs sharing a shingle
+    ever meet, so cost scales with actual overlap, not |train|×|bench|.
+    The benchmark side is tiny by nature; at scale it broadcasts and the
+    train side never shuffles.
+    """
+    tsh = _spread(
+        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t"))
+    ).select("train_id", F.explode(word_shingles("__t", n)).alias("__s"))
+    bsh = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(text_col).alias("__t")
+    ).select("bench_id", F.explode(word_shingles("__t", n)).alias("__s"))
+    return (
+        tsh.join(F.broadcast(bsh), "__s")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -154,3 +154,39 @@ def pii_counts(text: ColumnOrName) -> list[Column]:
         cols.append(F.regexp_count(cur, F.lit(pattern)).cast("int").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pattern, token)
     return cols
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str, *, n: int = 3) -> DataFrame:
+    """Within-document repetition (the degenerate-generation / spam signal):
+    per document, total n-gram occurrences, the top n-gram's count, and
+    their ratio → ``(id, n_ngrams, top_ngram_count, repetition_ratio)``.
+
+    A ratio near 1 means one phrase dominates the document (boilerplate spam,
+    decoding loops). Explode (non-distinct) n-grams → count per (doc, gram)
+    → per-doc max/total. Both aggregations partial-agg on the map side; the
+    shuffle key is (doc, gram), so skew is bounded by single-document size.
+    """
+    from .dedup import _spread, word_shingles
+
+    grams = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    ).select(
+        "__id",
+        F.explode(word_shingles("__t", n, distinct=False)).alias("__g"),
+    )
+    per_gram = grams.groupBy("__id", "__g").agg(F.count("*").alias("__c"))
+    return (
+        per_gram.groupBy("__id")
+        .agg(
+            F.sum("__c").alias("n_ngrams"),
+            F.max("__c").alias("top_ngram_count"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+            F.round(F.col("top_ngram_count") / F.col("n_ngrams"), 6).alias(
+                "repetition_ratio"
+            ),
+        )
+    )

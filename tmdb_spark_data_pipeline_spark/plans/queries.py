@@ -2055,6 +2055,85 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_scores",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 3),
+    pg AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(max(c) AS BIGINT) AS top_ngram_count,
+           round(max(c) * 1.0 / sum(c), 6) AS repetition_ratio
+    FROM pg GROUP BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (``operators/text.repetition_stats``): the
+    top trigram's share of all trigram occurrences — the degenerate-
+    generation / spam-loop quality signal. Non-distinct n-grams, so
+    frequency matters; shuffle key (doc, gram) bounds skew by document
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "text", "doc_id")
+
+
+@query(
+    "boilerplate_exposure",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 3),
+    df AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY s)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN dfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           round(sum(CASE WHEN dfreq >= 3 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS boilerplate_ratio
+    FROM sh JOIN df USING (s) GROUP BY doc_id
+    """,
+)
+def boilerplate_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate (``operators/dedup.
+    boilerplate_shingle_stats``): per document, the fraction of its distinct
+    trigrams occurring in ≥3 documents corpus-wide — the C4/RefinedWeb
+    "repeated across the corpus → template, not content" filter signal.
+    Doc-frequency agg + per-doc rollup; shuffles carry (shingle, id), never
+    documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_shingle_stats(docs, "text", "doc_id", min_docs=3)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 3)
+    SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) t
+    JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON t.s = b.s
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination audit (``operators/dedup.
+    contamination_overlap``): train docs (doc_id % 10 ≠ 0) sharing ≥2
+    distinct trigrams with a benchmark doc (doc_id % 10 = 0) — the
+    pre-training hygiene gate against eval leakage. Shingle equi-join is
+    the blocking; the benchmark side broadcasts, so the train side never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.contamination_overlap(train, bench, "text", "doc_id", min_shared=2)
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2085,6 +2164,9 @@ _SWEEP_FRONT = (
     "funnel_view_click_purchase",
     "cohort_retention_daily",
     "small_quantity_revenue",
+    "repetition_scores",
+    "boilerplate_exposure",
+    "benchmark_contamination",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
