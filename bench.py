@@ -47,6 +47,23 @@ def main() -> None:
                 pass
     spark.range(1).count()
 
+    def _reclaim() -> None:
+        # Release cross-query residue OUTSIDE the timed region: dropping the
+        # Python refs lets ContextCleaner unpin localCheckpoint RDD blocks and
+        # stale broadcasts (it only acts on JVM GC), so query N's residue
+        # doesn't inflate query N+1's time. One JVM, 78 queries — without
+        # this, heavy queries late in the run measured ~1.7× slower than the
+        # same query in a fresh session.
+        import gc
+
+        gc.collect()
+        if _reclaim.heavy:
+            spark.sparkContext._jvm.System.gc()
+            _reclaim.heavy = False
+
+    _reclaim.heavy = True
+    _reclaim()
+
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
@@ -58,6 +75,12 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        del df
+        # full JVM GC only after queries that pin executor-side state
+        # (checkpoints, streaming state stores, big broadcasts) — a System.gc
+        # after every light query costs more than the residue it frees
+        _reclaim.heavy = timings[name] > 1.5
+        _reclaim()
 
     total = round(sum(timings.values()), 3)
     print(
