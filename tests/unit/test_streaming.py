@@ -115,3 +115,31 @@ def test_replay_pair_union_dedup_equals_batch(spark, sf_smoke):
         query_name="pair_dedup_mem", output_mode="complete",
     )
     assert _canon(batch, ["event_type", "n"]) == _canon(stream, ["event_type", "n"])
+
+
+def test_epoch_overwrite_is_idempotent(spark, tmp_path):
+    from tmdb_spark_data_pipeline_spark.streaming import sinks
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    out = str(tmp_path / "sink")
+    sinks.write_epoch_overwrite(df, 0, out)
+    sinks.write_epoch_overwrite(df, 0, out)  # retried epoch: same rows, not 2x
+    assert spark.read.parquet(out).count() == 2
+    sinks.write_epoch_overwrite(df, 1, out)  # next epoch appends its partition
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_exactly_once_parquet_rerun_is_noop(spark, tmp_path):
+    from tmdb_spark_data_pipeline_spark.streaming import sinks
+
+    src_df = spark.createDataFrame([(i, i * 2) for i in range(10)], ["k", "v"])
+    src = str(tmp_path / "src")
+    src_df.write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, src_df.schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sinks.run_exactly_once_parquet(stream, out, ckpt)
+    assert spark.read.parquet(out).drop("__epoch").count() == 10
+    # same checkpoint, no new input -> rerun writes nothing new
+    stream2 = streaming.stream_from_parquet_dir(spark, src, src_df.schema)
+    sinks.run_exactly_once_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).drop("__epoch").count() == 10

@@ -2134,6 +2134,48 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_overlap(train, bench, "text", "doc_id", min_shared=2)
 
 
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → explicit-schema CSV source cycle (interchange-format
+    parity): doubles must survive text serialization exactly (Spark writes
+    round-trippable representations), and the read is FAILFAST with a
+    declared schema — never inferred."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_csv, write_csv
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_csv_cust_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_csv(c, path, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(_dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2167,6 +2209,7 @@ _SWEEP_FRONT = (
     "repetition_scores",
     "boilerplate_exposure",
     "benchmark_contamination",
+    "csv_roundtrip",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",

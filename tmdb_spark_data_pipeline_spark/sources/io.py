@@ -50,6 +50,37 @@ def read_json(spark: SparkSession, path: str, schema: StructType, multiline: boo
     return spark.read.schema(schema).option("multiLine", multiline).json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with an explicit schema — never infer (inference reads the
+    data twice and lets a malformed file silently change types; same policy
+    as ``read_json``). ``FAILFAST`` by default: a corrupt row aborts the
+    read instead of nulling fields mid-pipeline (pass ``PERMISSIVE`` +
+    a ``_corrupt_record`` column in the schema to quarantine instead)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "append", header: bool = True
+) -> None:
+    """CSV sink (interchange exports — lossy for nested/binary types by
+    nature; the engine's durable format stays parquet)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from an sf directory.
 

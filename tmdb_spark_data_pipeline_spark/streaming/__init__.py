@@ -1,4 +1,5 @@
 from .incremental import process_available_now
+from .sinks import run_exactly_once_parquet, write_epoch_overwrite
 from .stateful import stateful_user_totals
 from .windows import (
     dedup_stream,
@@ -15,6 +16,7 @@ from .windows import (
 __all__ = [
     "dedup_stream",
     "process_available_now",
+    "run_exactly_once_parquet",
     "replay_events",
     "replay_events_pair",
     "replay_events_tumbling",
@@ -22,6 +24,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stateful_user_totals",
+    "write_epoch_overwrite",
     "stream_from_parquet_dir",
     "tumbling_agg",
 ]
