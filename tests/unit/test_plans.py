@@ -7,6 +7,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from tmdb_spark_data_pipeline_spark.plans import queries
 
 
@@ -83,3 +85,35 @@ def test_registry_integrity():
         assert callable(spec.fn), name
         if spec.oracle is not None:
             assert spec.oracle.strip().upper().startswith(("SELECT", "WITH", "--")), name
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    from tmdb_spark_data_pipeline_spark.operators import joins
+
+    left = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("p"))
+    right = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("t"))
+    # disable auto-broadcast so the exchange is observable
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joins.salted_join(left, right, "k", salt=4))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    # the shuffle key must include the salt column — that IS the rewrite
+    assert "__salt" in plan and "hashpartitioning(k" in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_smoke):
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = _plan(dedup.contamination_overlap(train, bench, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan  # train side never shuffles for the join
+
+
+def test_multiprobe_lsh_is_equi_join(spark, sf_smoke):
+    plan = _plan(queries.similarity_topk_multiprobe(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
