@@ -83,3 +83,77 @@ def test_declared_surface_is_sql_queryable(spark, sf_smoke):
         """
     )
     assert out.count() > 0
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+    w=st.sampled_from([
+        {"train": 0.8, "test": 0.2},
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        {"a": 0.5, "b": 0.5},
+    ]),
+)
+def test_hash_split_partitions_every_row_exactly_once(spark, keys, w):
+    from tmdb_spark_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = sampling.hash_split(df, "doc_id", w).collect()
+    assert len(out) == len(keys)  # no row dropped or duplicated
+    assert all(r.split in w for r in out)  # every row gets a declared split
+    # determinism: same key -> same split, independent of the rest of the data
+    solo = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            spark.createDataFrame([(keys[0],)], "doc_id long"), "doc_id", w
+        ).collect()
+    }
+    full = {r.doc_id: r.split for r in out}
+    assert full[keys[0]] == solo[keys[0]]
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    budget=st.sampled_from([64, 256, 1024]),
+)
+def test_pack_sequences_matches_python_cumsum_model(spark, toks, budget):
+    from tmdb_spark_data_pipeline_spark.operators import packing
+
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    got = {
+        r.doc_id: (r.pack_start, r.pack_id)
+        for r in packing.pack_sequences(df, "shard", "doc_id", "n_tok", budget).collect()
+    }
+    start = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (start, start // budget)
+        start += t
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    frac=st.sampled_from([0.1, 0.5, 1.0]),
+)
+def test_stratified_sample_exact_ceil_counts(spark, rows, frac):
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = sampling.stratified_sample(df, ("grp",), frac, "doc_id").collect()
+    from collections import Counter
+
+    want = Counter(g for _, g in rows)
+    got = Counter(r.grp for r in out)
+    assert got == Counter({g: math.ceil(n * frac) for g, n in want.items()})
