@@ -1,0 +1,53 @@
+"""Gap-fill / forward-fill time-series tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.operators import timeseries
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark):
+    rows = [
+        ("a", _ts("2024-01-01T00:10:00"), 1.0),
+        ("a", _ts("2024-01-01T03:20:00"), 5.0),  # hours 1-2 are gaps for 'a'
+        ("b", _ts("2024-01-01T01:00:00"), 2.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+def test_time_grid_dense_per_key(spark):
+    grid = timeseries.time_grid(_events(spark), ("k",), "ts")
+    # global range 00:00..03:00 -> 4 buckets x 2 keys
+    assert grid.count() == 8
+
+
+def test_gap_fill_zero_and_ffill(spark):
+    out = timeseries.hourly_gap_filled(_events(spark), ("k",), "ts", "v")
+    rows = {
+        (r.k, r.bucket.hour): (r.n_events, r.hour_total) for r in out.collect()
+    }
+    assert rows[("a", 0)] == (1, 1.0)
+    assert rows[("a", 1)] == (0, 1.0)  # zero count, total carried forward
+    assert rows[("a", 2)] == (0, 1.0)
+    assert rows[("a", 3)] == (1, 5.0)
+    assert rows[("b", 0)] == (0, None)  # before b's first event: no fill source
+    assert rows[("b", 1)] == (1, 2.0)
+    assert rows[("b", 3)] == (0, 2.0)
+
+
+def test_grid_join_is_broadcast(spark):
+    ev = _events(spark)
+    plan = (
+        timeseries.hourly_gap_filled(ev, ("k",), "ts", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

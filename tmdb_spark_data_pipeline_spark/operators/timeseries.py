@@ -1,0 +1,95 @@
+"""Time-series regularization: dense time grids, gap filling, forward fill.
+
+Event logs are sparse (an hour with no purchases has no row); downstream
+consumers (charts, anomaly detectors, feature windows) need a dense regular
+series. The grid is generated with ``sequence()`` + ``explode`` — Catalyst
+expressions, no driver-side date loop, no UDF.
+
+Scale posture: the grid is |keys| × |buckets| — tiny relative to the events
+that produced the aggregate (the aggregate happens BEFORE the grid join, so
+the join's left side is already shrunk to per-bucket rows). Forward fill is
+one window pass per key ordered by bucket; skew bound = buckets per key,
+which is fixed by the time range, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_grid(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    *,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense (key..., bucket) grid: every ``step`` bucket between the
+    GLOBAL min and max of ``ts_col``, for every distinct key combination.
+    Cross join of two tiny aggregates (distinct keys × exploded bucket
+    sequence) — both sides are post-aggregation small, so the cross join is
+    a broadcast of counts, never of events."""
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__hi"),
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket")
+    )
+    return df.select(*keys).distinct().crossJoin(F.broadcast(buckets))
+
+
+def gap_fill(
+    agg: DataFrame,
+    keys: tuple[str, ...],
+    bucket_col: str,
+    grid: DataFrame,
+    *,
+    zero_cols: tuple[str, ...] = (),
+    ffill_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Left-join a sparse per-bucket aggregate onto a dense grid, then fill:
+    ``zero_cols`` → missing buckets become 0 (counts/sums); ``ffill_cols`` →
+    missing buckets carry the last observed value forward per key (gauges /
+    last-known-state).
+
+    Forward fill is ``last(ignorenulls)`` over an unbounded-preceding window
+    per key — one shuffle on the keys, which the grid join already required.
+    """
+    joined = grid.join(agg, [*keys, bucket_col], "left")
+    out = joined
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if ffill_cols:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(bucket_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in ffill_cols:
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def hourly_gap_filled(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense hourly series per key: event count (zero-filled) and last
+    observed hourly total (forward-filled) — the aggregate-then-regularize
+    composition: events collapse to per-hour rows first, the dense grid and
+    fills touch only |keys|×|hours| rows."""
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    agg = events.groupBy(*keys, bucket).agg(
+        F.count("*").alias("n_events"),
+        F.sum(value_col).alias("hour_total"),
+    )
+    grid = time_grid(events, keys, ts_col, step="1 hour")
+    return gap_fill(
+        agg, keys, "bucket", grid, zero_cols=("n_events",), ffill_cols=("hour_total",)
+    )

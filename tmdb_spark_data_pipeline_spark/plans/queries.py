@@ -33,6 +33,7 @@ from ..operators import (
     setops,
     similarity,
     text,
+    timeseries,
 )
 from ..sources.io import load_table
 from ..streaming import replay_events_tumbling
@@ -2176,6 +2177,44 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hourly_gap_filled_series",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    hrs AS (SELECT lo + to_hours(unnest(generate_series(0,
+                     CAST(date_diff('hour', lo, hi) AS BIGINT)))) AS bucket FROM b),
+    grid AS (SELECT t.event_type, h.bucket
+             FROM (SELECT DISTINCT event_type FROM events) t, hrs h),
+    agg AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n, sum(value) AS ht
+            FROM events GROUP BY 1, 2)
+    SELECT grid.event_type,
+           strftime(grid.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events,
+           round(last_value(agg.ht IGNORE NULLS) OVER (
+                 PARTITION BY grid.event_type ORDER BY grid.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS hour_total
+    FROM grid LEFT JOIN agg
+      ON grid.event_type = agg.event_type AND grid.bucket = agg.bucket
+    """,
+)
+def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (``operators/timeseries.py``): sparse
+    hourly aggregates left-joined onto a dense sequence()-generated grid —
+    event counts zero-filled, hourly totals forward-filled
+    (last-ignorenulls window per type). Aggregate-then-regularize: the grid
+    and fills touch |types|×|hours| rows, never the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    out = timeseries.hourly_gap_filled(ev, ("event_type",), "ts", "value")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("hour_total"), 4).alias("hour_total"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2210,6 +2249,7 @@ _SWEEP_FRONT = (
     "boilerplate_exposure",
     "benchmark_contamination",
     "csv_roundtrip",
+    "hourly_gap_filled_series",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
