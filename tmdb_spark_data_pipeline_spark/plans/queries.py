@@ -2232,7 +2232,7 @@ def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                6) AS q
       FROM t),
     d AS (SELECT lang, q,
-                 ntile(10) OVER (PARTITION BY lang ORDER BY q, doc_id) AS decile
+                 CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q, doc_id) AS INTEGER) AS decile
           FROM q)
     SELECT lang, decile, count(*) AS n_docs,
            round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
@@ -2299,6 +2299,259 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across a join (TPC-H Q19 shape). part broadcasts
+    (dim-sized); the disjunction references both sides so it can only be
+    evaluated post-join, but Catalyst still derives and pushes the
+    single-side implications (brand IN (...), quantity BETWEEN 1 AND 30)
+    down to each scan, so the join sees pre-filtered inputs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & q.between(q_lo, q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
+        .groupBy("p_brand")
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "idle_customer_balances",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_custs,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti join (TPC-H Q22 shape): above-average-balance
+    customers with no recent orders. The scalar average is a 1-row aggregate
+    cross-joined in (broadcast, no driver collect); the NOT EXISTS is a
+    left-anti join against date-filtered orders — the filter prunes the
+    anti-join build input at the scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(_dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "asia_market_share_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CASE WHEN r_name = 'ASIA'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+                          ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE),
+                 6) AS asia_share,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def asia_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-share aggregate (TPC-H Q8 shape): ASIA-supplier revenue
+    share per order year. One shuffle (lineitem⋈orders on orderkey);
+    supplier/nation/region broadcast; the share is a conditional decimal
+    sum over total — computed in the same single aggregate, no second
+    pass over the fact table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    asia = F.when(F.col("r_name") == "ASIA", rev).otherwise(F.lit(0).cast("decimal(30,4)"))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.try_divide(F.sum(asia).cast("double"), F.sum(rev).cast("double")), 6
+            ).alias("asia_share"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT lang, term, tf,
+             round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (
+                    PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk
+          FROM scored)
+    SELECT lang, term, tf, tfidf, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: per-language top-10 terms by term-frequency ×
+    inverse-document-frequency — the canonical keyword/feature-selection
+    step for corpus curation. Tokens are exploded once and reused for both
+    the (lang, term) frequency and the per-term document frequency; both
+    aggregates partial-agg before their shuffles, so the Zipf head (the
+    skewed shuffle key risk) is combined map-side. The doc count joins in
+    as a broadcast 1-row aggregate, and the final top-10 is a grouped
+    window over |lang|×|vocab| rows — the raw corpus is long gone."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+@query(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 20000), 24) AS INTEGER) AS bucket,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin numeric histogram (profiling primitive): constant bin
+    width and a clamped top bucket, so the bin id is a pure per-row
+    expression — one partial-agged shuffle of at most 25 groups, no
+    pre-pass to find bounds. (A data-driven variant would compute bounds
+    via approx quantiles first; fixed bins keep it single-pass.)"""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 20000), F.lit(24)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "top_supplier_by_quarter",
+    oracle="""
+    WITH rev AS (
+      SELECT date_trunc('quarter', l_shipdate) AS q, l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+                    PARTITION BY q ORDER BY rev DESC, l_suppkey ASC) AS rnk
+          FROM rev)
+    SELECT strftime(q, '%Y-%m-%d') AS quarter, s_name,
+           round(CAST(rev AS DOUBLE), 2) AS revenue
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rnk = 1
+    """,
+)
+def top_supplier_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group across a derived time key (TPC-H Q15 shape):
+    quarterly revenue per supplier, then the top supplier of each quarter.
+    Aggregate-before-rank: the window ranks |quarters|×|suppliers|
+    aggregate rows, not lineitems; the supplier name joins in by broadcast
+    AFTER the rank-1 filter, so only |quarters| rows reach the join. The
+    decimal revenue is kept exact through the rank (order ties can't flip
+    on float rounding) and surfaced as double only in the projection."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(
+        F.date_trunc("quarter", "l_shipdate").alias("q"), "l_suppkey"
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")).alias("rev")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("rev").desc(), F.col("l_suppkey").asc())
+    top = rev.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        F.date_format("q", "yyyy-MM-dd").alias("quarter"),
+        "s_name",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2336,6 +2589,12 @@ _SWEEP_FRONT = (
     "hourly_gap_filled_series",
     "quality_deciles",
     "rolling_7day_revenue",
+    "disjunctive_part_revenue",
+    "idle_customer_balances",
+    "asia_market_share_by_year",
+    "tfidf_top_terms",
+    "order_price_histogram",
+    "top_supplier_by_quarter",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
