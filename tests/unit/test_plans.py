@@ -117,3 +117,28 @@ def test_contamination_benchmark_side_broadcasts(spark, sf_smoke):
 def test_multiprobe_lsh_is_equi_join(spark, sf_smoke):
     plan = _plan(queries.similarity_topk_multiprobe(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_disjunctive_join_broadcasts_and_derives_filters(spark, sf_smoke):
+    # part broadcasts; Catalyst derives the single-side implications of the
+    # OR-of-ANDs and pushes a quantity range down to the lineitem scan
+    plan = _plan(queries.disjunctive_part_revenue(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_bigram_top20_is_take_ordered(spark, sf_smoke):
+    plan = _plan(queries.bigram_merge_candidates(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_has_no_exchange(spark, sf_smoke):
+    # explode(sequence)+slice is a narrow fan-out: no shuffle anywhere
+    plan = _plan(queries.chunk_sliding_windows(spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_top_supplier_joins_dim_after_rank_filter(spark, sf_smoke):
+    # the supplier dim joins broadcast, and only after the rnk=1 filter
+    plan = _plan(queries.top_supplier_by_quarter(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan

@@ -110,3 +110,28 @@ def test_redact_pii_plain_text_untouched(spark):
     t = "no pii here just words and the number 42"
     df = spark.createDataFrame([(t,)], ["t"])
     assert df.select(text.redact_pii("t").alias("r")).first().r == t
+
+
+def test_chunk_by_tokens_windows_and_overlap(spark):
+    # 10 tokens, max=4, overlap=1 -> stride 3 -> chunks at 0,3,6 cover to 10:
+    # ceil((10-4)/3)+1 = 3 chunks; last chunk is the 4-token tail [t7..t10]
+    toks = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame([(1, toks), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = packing.chunk_by_tokens(df, "doc_id", "text", max_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_text) for r in out.collect()}
+    assert rows[(1, 0)] == (4, "t1 t2 t3 t4")
+    assert rows[(1, 1)] == (4, "t4 t5 t6 t7")
+    assert rows[(1, 2)] == (4, "t7 t8 t9 t10")
+    # short doc -> one whole chunk; empty doc -> one empty chunk
+    assert rows[(2, 0)] == (2, "a b")
+    assert rows[(3, 0)] == (0, "")
+    assert len(rows) == 5
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    try:
+        packing.chunk_by_tokens(df, "doc_id", "text", max_tokens=4, overlap=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -65,3 +65,11 @@ def test_repetition_stats_dominant_ngram(spark):
     assert out[1].n_ngrams == 3 and out[1].top_ngram_count == 3
     assert out[1].repetition_ratio == 1.0
     assert out[2].top_ngram_count == 1
+
+
+def test_adjacent_pairs_order_and_case(spark):
+    df = spark.createDataFrame([(1, "The cat  sat"), (2, "solo")], ["doc_id", "t"])
+    rows = text.adjacent_pairs(df, "t", "doc_id").collect()
+    got = sorted((r.doc_id, r.a, r.b) for r in rows)
+    # lowercased, multi-whitespace collapsed; single-token docs yield no pairs
+    assert got == [(1, "cat", "sat"), (1, "the", "cat")]

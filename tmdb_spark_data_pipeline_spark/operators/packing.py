@@ -33,6 +33,55 @@ def whitespace_token_count(text: ColumnOrName) -> F.Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    fixed-token windows of ``max_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks (stride = max_tokens −
+    overlap) — the standard long-document → training-sequence splitter.
+
+    Pure Catalyst expressions: tokenize once (its own projection stage, so
+    CollapseProject can't re-evaluate the split per output column), compute
+    the chunk count in closed form, ``explode(sequence(...))`` the chunk
+    ids, then ``slice`` the token array per chunk. No Python at execution
+    time; the explode multiplies rows by ceil(len/stride), never
+    materializing more than the chunked corpus (which is the output).
+    Documents at/under ``max_tokens`` yield exactly one chunk.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    t = F.trim(_col(text_col))
+    tok = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = df.select(F.col(id_col), tok.alias("__tok"))
+    n = F.size("__tok")
+    n_chunks = (
+        F.when(n <= max_tokens, F.lit(1))
+        .otherwise(F.ceil((n - max_tokens) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    chunked = base.select(
+        id_col,
+        "__tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__tok"), F.col("chunk_id") * stride + 1, max_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

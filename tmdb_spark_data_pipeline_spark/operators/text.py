@@ -39,6 +39,27 @@ def token_count(text: ColumnOrName) -> Column:
     return F.size(tokens(text))
 
 
+def adjacent_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode each document into its adjacent lowercase token pairs
+    ``(a, b)`` — the counting substrate for BPE-style merge-candidate
+    mining (most frequent adjacent pair = next merge rule).
+
+    The token array is materialized as its own projection stage before the
+    pair transform references it twice (CollapseProject would otherwise
+    re-run the regex split per reference); the pair structs are built by an
+    index-lambda ``transform`` over ``slice(t, 1, n-1)`` — all inside
+    whole-stage codegen.
+    """
+    base = df.select(F.col(id_col), tokens(F.lower(_col(text_col))).alias("__t"))
+    pairs = F.transform(
+        F.slice(F.col("__t"), 1, F.size("__t") - 1),
+        lambda x, i: F.struct(x.alias("a"), F.get(F.col("__t"), i + 1).alias("b")),
+    )
+    return base.select(
+        F.col(id_col), F.explode(pairs).alias("__p")
+    ).select(id_col, F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+
+
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, type/token ratio,
     mean token length — the quality-scoring raw signals."""

@@ -2552,6 +2552,71 @@ def top_supplier_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_sliding_windows",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents),
+    meta AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE CAST(ceil((len(t) - 64) / 48.0) AS INTEGER) + 1 END AS n_chunks
+      FROM tok),
+    c AS (SELECT doc_id, t, n,
+                 CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_id
+          FROM meta)
+    SELECT doc_id, chunk_id,
+           CAST(len(list_slice(t, chunk_id * 48 + 1,
+                               least(chunk_id * 48 + 64, n))) AS INTEGER) AS chunk_tokens,
+           array_to_string(list_slice(t, chunk_id * 48 + 1,
+                                      least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (``packing.chunk_by_tokens``): 64-token
+    windows, 16-token overlap (stride 48) — the long-document →
+    training-sequence splitter. Closed-form chunk count + explode(sequence)
+    + slice, all Catalyst expressions; rows fan out by ceil(len/stride)
+    with no shuffle at all (narrow explode on the scan partitioning)."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_by_tokens(
+        docs, "doc_id", "text", max_tokens=64, overlap=16
+    )
+
+
+@query(
+    "bigram_merge_candidates",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i))
+    SELECT a, b, count(*) AS n_pairs
+    FROM pairs GROUP BY a, b
+    ORDER BY n_pairs DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining (``text.adjacent_pairs``): the 20 most
+    frequent adjacent token pairs — one iteration of the BPE vocabulary
+    induction loop. Pair counts partial-agg map-side before the single
+    (a, b) shuffle (Zipf-headed keys combine locally), and the top-20 is
+    TakeOrderedAndProject with a total-order tie-break, not a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.adjacent_pairs(docs, "text", "doc_id")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2595,6 +2660,8 @@ _SWEEP_FRONT = (
     "tfidf_top_terms",
     "order_price_histogram",
     "top_supplier_by_quarter",
+    "chunk_sliding_windows",
+    "bigram_merge_candidates",
     "embedding_stats",
     "multimodal_payload_stats",
     "multimodal_features",
