@@ -113,3 +113,53 @@ def test_multiprobe_superset_of_single_probe(spark, sf_smoke):
     # truncation), the single-probe result set is contained in the multi-probe one
     assert s_pairs <= m_pairs
     assert len(m_pairs) > len(s_pairs)  # and it actually recovers more
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    """Probing every cell (nprobe = #centroids) makes IVF exact: identical
+    (query, neighbor) sets and cosines to the brute-force baseline."""
+    q = emb.filter("vec_id < 3")
+    cents = emb.filter(F.col("vec_id") % 10 == 0).count()
+    ivf = similarity.cosine_topk_ivf(
+        q, emb, k=5, centroid_filter=F.col("vec_id") % 10 == 0, nprobe=cents
+    ).collect()
+    bf = similarity.cosine_topk_bruteforce(q, emb, k=5).collect()
+    canon = lambda rows: sorted((r.query_id, r.neighbor_id, round(r.cos, 9)) for r in rows)
+    assert canon(ivf) == canon(bf)
+
+
+def test_ivf_partial_probe_subset_of_bruteforce_candidates(emb):
+    """With nprobe=1, every returned neighbor must live in the probed cell —
+    i.e. IVF returns a subset of the brute-force candidate space and at most
+    k rows per query."""
+    out = similarity.cosine_topk_ivf(
+        emb.filter("vec_id < 3"), emb, k=5,
+        centroid_filter=F.col("vec_id") % 10 == 0, nprobe=1,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, ns in per_q.items():
+        assert len(ns) <= 5
+        assert q not in ns
+
+
+def test_int8_quant_stats_hand_vector(spark):
+    """One 4-dim vector with max|x| = 2.54: scale = 0.02, and every element
+    an exact multiple of the scale → (near-)zero reconstruction error."""
+    df = spark.createDataFrame(
+        [(1, [2.54, -1.28, 0.02, 0.0], 0)], ["vec_id", "embedding", "label"]
+    )
+    row = similarity.int8_quant_stats(df).first()
+    assert row.n_vecs == 1
+    assert row.avg_scale == pytest.approx(0.02, abs=1e-9)
+    assert row.avg_mae == pytest.approx(0.0, abs=1e-9)
+
+
+def test_int8_quant_error_bounded_by_half_scale(emb):
+    """Reconstruction MAE can never exceed scale/2 (round-to-nearest)."""
+    out = similarity.int8_quant_stats(
+        emb.withColumn("label", F.col("vec_id") % 2)
+    ).collect()
+    for r in out:
+        assert r.avg_mae <= r.avg_scale / 2 + 1e-12

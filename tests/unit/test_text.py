@@ -73,3 +73,24 @@ def test_adjacent_pairs_order_and_case(spark):
     got = sorted((r.doc_id, r.a, r.b) for r in rows)
     # lowercased, multi-whitespace collapsed; single-token docs yield no pairs
     assert got == [(1, "cat", "sat"), (1, "the", "cat")]
+
+
+def test_oov_stats_hand_corpus(spark):
+    """Vocab of size 2 over a 3-doc corpus: 'a' and 'b' are kept (most
+    frequent, ties broken lexicographically), everything else is OOV."""
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.operators.text import oov_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b", "en"),   # 0/3 OOV
+            (2, "a b x", "en"),   # 1/3 OOV
+            (3, "y z", "fr"),     # 2/2 OOV
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r.lang: r for r in oov_stats(df, "text", "doc_id", "lang", vocab_size=2).collect()}
+    assert rows["en"].n_docs == 2
+    assert rows["en"].avg_oov_rate == pytest.approx((0 + 1 / 3) / 2, abs=1e-6)
+    assert rows["fr"].avg_oov_rate == pytest.approx(1.0, abs=1e-6)

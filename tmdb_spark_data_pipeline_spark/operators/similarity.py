@@ -283,3 +283,171 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", (dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build step: assign every corpus vector to its nearest centroid
+    (max cosine, ties broken by centroid id ascending — a total order, so the
+    inverted lists are reproducible).
+
+    Centroids are broadcast (an IVF cell count is small by construction —
+    √N-ish); the corpus is streamed, so the build is one pass over the data
+    with no corpus shuffle. At 100 TB the output would be written
+    ``partitionBy("cell_id")`` so probes prune files (same layout trick as
+    ``write_lsh_partitioned_corpus``).
+
+    Output: the corpus columns plus ``cell_id``.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("__cent_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = corpus.join(F.broadcast(c), F.lit(True)).withColumn(
+        "__cos", dot(vec_col, "__cv") / (l2_norm(vec_col) * F.col("__cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col("__cent_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*corpus.columns, F.col("__cent_id").alias("cell_id"))
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_filter: Column | None = None,
+    nprobe: int = 3,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF(-flat) approximate nearest neighbors: partition the corpus into
+    Voronoi cells around centroids, probe the ``nprobe`` nearest cells per
+    query, exact cosine within the probed cells only.
+
+    ``centroid_filter`` selects the centroid subset from the corpus itself
+    (deterministic — e.g. ``vec_id % 25 == 0`` — rather than trained k-means,
+    so an external oracle can reproduce the exact cell assignment; swapping
+    in trained centroids changes recall, not the plan shape). Per-query cost
+    drops from O(N) to O(nprobe·N/cells): with √N centroids and fixed nprobe
+    this is the classic O(√N) ANN search — the other standard scale path
+    next to LSH bucketing (``cosine_topk_lsh_probe``), and the one that
+    keeps recall controllable via nprobe instead of plane count.
+    """
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 25 == 0
+    cents = corpus.filter(centroid_filter).select(id_col, vec_col)
+    assigned = assign_ivf_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+
+    c = cents.select(
+        F.col(id_col).alias("__cent_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__pcos").desc_nulls_last(), F.col("__cent_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(c), F.lit(True))
+        .withColumn("__pcos", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "__qn", F.col("__cent_id").alias("cell_id"))
+    )
+
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvv"),
+        l2_norm(vec_col).alias("__cnn"),
+        "cell_id",
+    ).join(F.broadcast(probes), "cell_id")
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot("__qv", "__cvv") / (F.col("__qn") * F.col("__cnn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def int8_quant_stats(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale = max|x|/127,
+    reconstruction error = mean |x − round(x/scale)·scale|; aggregated per
+    group.
+
+    The whole computation is Catalyst array expressions — one corpus pass, a
+    partial-aggregable groupBy, zero Python. ``floor(v + 0.5)`` is used
+    instead of ``round`` so the half-way rule is pinned to one formula that
+    every engine computes identically on doubles. Per-vector scalars go
+    through ``decimal(30,12)`` partial sums so the group averages are
+    aggregation-order independent (reproducible across partitionings).
+    """
+    v = _col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+    per_vec = df.select(
+        F.col(group_col),
+        scale.alias("__scale"),
+        F.size(v).alias("__dim"),
+        v.alias("__v"),
+    ).select(
+        group_col,
+        "__scale",
+        (
+            F.aggregate(
+                F.col("__v"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.abs(
+                    x.cast("double")
+                    - F.floor(x.cast("double") / F.col("__scale") + F.lit(0.5))
+                    * F.col("__scale")
+                ),
+            )
+            / F.col("__dim")
+        ).alias("__mae"),
+    )
+    n = F.count("*")
+    return per_vec.groupBy(group_col).agg(
+        n.alias("n_vecs"),
+        F.round(
+            F.sum(F.col("__scale").cast("decimal(30,12)")).cast("double") / n, 6
+        ).alias("avg_scale"),
+        F.round(
+            F.sum(F.col("__mae").cast("decimal(30,12)")).cast("double") / n, 6
+        ).alias("avg_mae"),
+    )

@@ -211,3 +211,59 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str, *, n: int = 3) -
             ),
         )
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    *,
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary audit: induce a corpus
+    vocabulary (the ``vocab_size`` most frequent whitespace tokens, ties
+    broken lexicographically) and report, per language, how much of the
+    token stream falls outside it.
+
+    Two-pass shape, both distributed: (1) token counts — partial-agg'd
+    map-side, Zipf head combines locally — then a ``TakeOrderedAndProject``
+    top-``vocab_size``; (2) the tiny vocabulary broadcast back as a
+    left-join flag, so the per-document OOV rate is one more partial-agg'd
+    groupBy. At 100 TB the vocab table is a few KB — the broadcast never
+    grows with the corpus, and no stage shuffles document text.
+
+    Output: (lang, n_docs, avg_oov_rate).
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(tokens(text_col)).alias("__w"),
+    ).filter(F.col("__w") != "")
+    vocab = (
+        tok.groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .select("__w", F.lit(True).alias("__in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "__w", "left")
+    per_doc = flagged.groupBy("__id", "__lang").agg(
+        F.count("*").alias("__n_tok"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("__n_oov"),
+    )
+    n = F.count("*")
+    return (
+        per_doc.select(
+            "__lang",
+            (F.col("__n_oov") / F.col("__n_tok")).alias("__rate"),
+        )
+        .groupBy("__lang")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.col("__rate").cast("decimal(30,12)")).cast("double") / n, 6
+            ).alias("avg_oov_rate"),
+        )
+        .select(F.col("__lang").alias(lang_col), "n_docs", "avg_oov_rate")
+    )

@@ -1095,7 +1095,7 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("source").agg(F.count("*").alias("n_docs"))
 
 
-_NEARDUP_ORACLE = """
+_NEARDUP_ORACLE = r"""
     WITH docs AS (
       -- regex split matches the engine's word_shingles tokenization exactly
       -- (a literal-space split would diverge on runs of whitespace/tabs)
@@ -2617,6 +2617,547 @@ def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes, round 2: the remaining TPC-H query
+# structures expressible on this schema (no partsupp table, no
+# commit/receipt dates — Q2/Q11/Q16/Q20 cost columns are proxied by
+# p_retailprice, Q4/Q21 "late" semantics by l_returnflag = 'R').
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders in a
+    quarter with at least one returned line, counted per priority. The semi
+    join carries only ``l_orderkey`` (the probe side is pre-projected to the
+    key), and the date filter prunes the orders scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(r, o.o_orderkey == r.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4)))
+                 AS DOUBLE), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan-heavy aggregate whose entire
+    predicate set (ship-date range, discount band, quantity cap) pushes down
+    to the parquet scan — at 100 TB this is a pure row-group-skipping
+    exercise with a one-row result and no shuffle beyond the final
+    partial-agg merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        )
+    )
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(CAST(vol AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS vol
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bidirectional two-nation trade volume by year). The
+    nation filter is pushed through BOTH dimension joins before the single
+    fact-fact shuffle: suppliers and customers are pre-restricted to the two
+    nations (broadcast joins), so the lineitem⋈orders join — the only real
+    shuffle — carries just the qualifying trade lines."""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.5 * p_retailprice * l_quantity
+                          AS DECIMAL(30,4))) AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name, CAST(year(l_shipdate) AS INTEGER)
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year; part supply cost
+    proxied as 0.5·p_retailprice — this schema has no partsupp). Part and
+    supplier→nation are broadcast dimension joins; the part filter lands
+    before the join so only PROMO lines flow. One shuffle: the final
+    (nation, year) aggregate."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(_dsum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "returned_items_report",
+    oracle="""
+    SELECT c_custkey, c_name, round(CAST(rev AS DOUBLE), 2) AS revenue,
+           c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    )
+    ORDER BY rev DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top-20 customers by returned revenue in a quarter).
+    Aggregate-before-join: revenue is summed per custkey on the fact side
+    FIRST, then the 20-row candidate set picks up customer/nation attributes
+    — the dimension join input shrinks from |lineitem| to |customers|, and
+    the decimal sum (not its rounded double) is the sort key so the top-20
+    cut is exact."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,4)"
+                )
+            ).alias("__rev")
+        )
+    )
+    cus = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(F.broadcast(cus), rev.o_custkey == cus.c_custkey)
+        .join(F.broadcast(nat), cus.c_nationkey == nat.n_nationkey)
+        .orderBy(F.col("__rev").desc_nulls_last(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@query(
+    "customer_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (order-count distribution including zero-order
+    customers). Orders are pre-aggregated to (custkey, count) BEFORE the
+    customer join — the left join then matches one row per customer instead
+    of one per order, and zero-order customers surface via coalesce(0). The
+    second aggregate's key space is tiny (distinct counts), so the final
+    shuffle is negligible."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN-subquery on a grouped HAVING, decorrelated to a
+    join): orders whose total line quantity exceeds 300. The HAVING filter
+    collapses the fact table to a small key set before any join; the orders
+    join shuffles only that set, and customer attributes broadcast in last.
+    sum(l_quantity) is exact in doubles (quantities are small integers), so
+    no decimal detour is needed."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "waiting_supplier_orders",
+    oracle="""
+    WITH rd AS (SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R'),
+         multi AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+                   FROM lineitem GROUP BY l_orderkey),
+         sole AS (SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+                  FROM rd GROUP BY l_orderkey HAVING count(*) = 1)
+    SELECT s_name, count(*) AS numwait
+    FROM sole
+    JOIN multi USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp > 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact, rewritten as
+    two aggregates): suppliers who were the ONLY supplier with returned
+    lines in a multi-supplier order ("late" proxied by l_returnflag = 'R' —
+    no receipt/commit dates in this schema). Both correlated quantifiers
+    collapse into per-order aggregates sharing one shuffle key
+    (l_orderkey), instead of Spark's default plan of two extra self-joins
+    against the full lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    rd = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    multi = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
+    )
+    sole = (
+        rd.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n_r"), F.min("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("__n_r") == 1)
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(multi, "l_orderkey")
+        .filter(F.col("__n_supp") > 1)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "important_brand_value",
+    oracle="""
+    WITH v AS (
+      SELECT p_brand, sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,4))) AS val
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, round(CAST(val AS DOUBLE), 2) AS stock_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.04 FROM v)
+    """,
+)
+def important_brand_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group values filtered against a fraction of the
+    global total; inventory value proxied by shipped quantity ×
+    p_retailprice — no partsupp here). The grouped aggregate is computed
+    once and reused for both the per-brand values and the global threshold
+    (a 1-row aggregate broadcast back as a cross join) — no second scan, no
+    driver-side collect."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    v = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(30,4)")
+            ).alias("__val")
+        )
+    )
+    total = v.agg((F.sum("__val").cast("double") * 0.04).alias("__threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("__val").cast("double") > F.col("__threshold"))
+        .select(
+            "p_brand", F.round(F.col("__val").cast("double"), 2).alias("stock_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions, round 2: IVF ANN, int8 quantization audit,
+# vocabulary-coverage (OOV) audit.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_oracle() -> str:
+    dot_q_c = (
+        "list_sum(list_transform(list_zip(q.embedding, cent.cvec),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    dot_b_c = (
+        "list_sum(list_transform(list_zip(b.embedding, cent.cvec),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+             FROM b WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY acos DESC, cell_id ASC) AS rn
+        FROM (
+          SELECT b.vec_id, cent.cent_id AS cell_id,
+                 {dot_b_c} / (b.nrm * cent.cnrm) AS acos
+          FROM b CROSS JOIN cent)
+      ) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT query_id, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, cell_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, cent.cent_id AS cell_id,
+                 {dot_q_c} / (q.nrm * cent.cnrm) AS pcos
+          FROM (SELECT * FROM b WHERE vec_id < 20) q CROSS JOIN cent)
+      ) WHERE rn <= 3),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, round(cos, 5) AS cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM (
+        SELECT c.query_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(qb.embedding, nb.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (qb.nrm * nb.nrm) AS cos
+        FROM cand c
+        JOIN b qb ON qb.vec_id = c.query_id
+        JOIN b nb ON nb.vec_id = c.neighbor_id)
+    ) WHERE rn <= 10
+    """
+
+
+@query("similarity_topk_ivf", oracle=_ivf_oracle())
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) ANN (``similarity.cosine_topk_ivf``): corpus partitioned
+    into Voronoi cells around deterministic centroids (vec_id % 25), queries
+    probe their 3 nearest cells, exact cosine within. The third scale path
+    next to hyperplane LSH and the bucketed-layout probe — per-query cost
+    O(nprobe·N/cells) instead of O(N), with recall tunable via nprobe
+    rather than plane count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_ivf(q, emb, k=10, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH per AS (
+      SELECT label,
+             greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, scale,
+             list_sum(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+               / len(embedding) AS mae
+      FROM per
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(scale AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+             AS avg_scale,
+           round(CAST(sum(CAST(mae AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+             AS avg_mae
+    FROM e GROUP BY label
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit (``similarity.int8_quant_stats``): symmetric
+    per-vector scales and reconstruction error, aggregated per label — the
+    pre-flight check before shipping embeddings to an int8 ANN index. Pure
+    Catalyst array expressions; the half-way rounding rule is pinned to
+    floor(v + 0.5) so engine and oracle agree bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_quant_stats(emb)
+
+
+@query(
+    "vocab_coverage_oov",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY w
+                     ORDER BY c DESC, w ASC LIMIT 200)
+    ),
+    d AS (
+      SELECT doc_id, lang, count(*) AS n_tok,
+             sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+      FROM tk GROUP BY doc_id, lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(sum(CAST(n_oov * 1.0 / n_tok AS DECIMAL(30,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_oov_rate
+    FROM d GROUP BY lang
+    """,
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (``text.oov_stats``): per-language mean
+    out-of-vocabulary rate against a corpus-induced top-200 vocabulary. The
+    vocab is a TakeOrderedAndProject over partial-agg'd token counts, then
+    broadcast back as a join flag — the second pass never shuffles text."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.oov_stats(docs, "text", "doc_id", "lang", vocab_size=200)
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -2666,6 +3207,20 @@ _SWEEP_FRONT = (
     "multimodal_payload_stats",
     "multimodal_features",
     "sessionization",
+    # round-2 additions, most novel shapes first (anything past the cap
+    # rotates into the next round's prefix once earlier entries go green)
+    "similarity_topk_ivf",
+    "embedding_quantization",
+    "vocab_coverage_oov",
+    "waiting_supplier_orders",
+    "volume_shipping",
+    "product_type_profit",
+    "returned_items_report",
+    "large_volume_customers",
+    "order_priority_exists",
+    "important_brand_value",
+    "customer_distribution",
+    "forecast_revenue_change",
 )
 
 
