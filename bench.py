@@ -83,17 +83,45 @@ def main() -> None:
         _reclaim()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_surface_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The complete per-query map, for the judge and for round-over-round
+    # diffing. Kept OFF stdout: the driver records only the last ~2000 chars
+    # of stdout, and a 100+-query JSON line (~3 KB) overflows that buffer —
+    # round 2's BENCH file came back parsed:null for exactly this reason.
+    full = {
+        "metric": "declared_query_surface_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(f"# full per-query timings -> {full_path}", file=sys.stderr)
+
+    # The ONE stdout JSON line, byte-budgeted to survive the tail buffer:
+    # heaviest queries first (they carry the perf signal), as many as fit.
+    budget = int(os.environ.get("BENCH_LINE_BYTES", "1800"))
+    head = {
+        "metric": "declared_query_surface_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    line_queries: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        line_queries[name] = timings[name]
+        candidate = json.dumps(
+            {**head, "queries": line_queries}, separators=(",", ":")
         )
-    )
+        if len(candidate) > budget:
+            del line_queries[name]
+            break
+    print(json.dumps({**head, "queries": line_queries}, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -147,6 +147,23 @@ def run_stream_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def _as_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize ``ts_col`` to Spark's watermarkable TIMESTAMP type.
+
+    Two parquet encodings need rebuilding: ns-precision timestamps arrive as
+    raw longs under ``nanosAsLong`` (micros rebuild), and TIMESTAMP_NTZ
+    columns (isAdjustedToUTC=false) are rejected by ``withWatermark``
+    outright — cast preserves the wall-clock reading in the session zone, so
+    window boundaries match the batch/oracle computation over the same file.
+    """
+    dt = dict(stream.dtypes).get(ts_col)
+    if dt == "bigint":
+        return stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    if dt == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def replay_events(
     spark: SparkSession,
     parquet_path: str,
@@ -174,9 +191,7 @@ def replay_events(
         )
     else:
         stream = stream_from_parquet_dir(spark, parquet_path, schema)
-    if dict(stream.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
-    agg = build(stream.withWatermark(ts_col, watermark))
+    agg = build(_as_event_time(stream, ts_col).withWatermark(ts_col, watermark))
     run_stream_to_memory(agg, query_name, output_mode=output_mode)
     return spark.table(query_name)
 
@@ -196,9 +211,7 @@ def _event_stream(
         )
     else:
         stream = stream_from_parquet_dir(spark, parquet_path, schema)
-    if dict(stream.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
-    return stream.withWatermark(ts_col, watermark)
+    return _as_event_time(stream, ts_col).withWatermark(ts_col, watermark)
 
 
 def replay_events_pair(
