@@ -171,3 +171,33 @@ def test_word_shingles_nondistinct_keeps_repeats(spark):
     d = df.select(dedup.word_shingles("t", 3).alias("s")).first().s
     nd = df.select(dedup.word_shingles("t", 3, distinct=False).alias("s")).first().s
     assert len(nd) == 4 and len(d) == 2
+
+
+def test_incremental_minhash_new_vs_old_only(corpus):
+    # corpus fixture has exact/near dup pairs; split so one half of a known
+    # near-dup pair is "new" and verify the pair is found across the split,
+    # while old-vs-old dups are NOT reported
+    from tmdb_spark_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        ngram_jaccard_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "text", "doc_id", min_jaccard=0.5).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    new_ids = {min(a, b) for a, b in exact}
+    new = corpus.filter(F.col("doc_id").isin(*new_ids))
+    old = corpus.filter(~F.col("doc_id").isin(*new_ids))
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in minhash_lsh_pairs_incremental(old, new, "text", "doc_id", min_jaccard=0.5).collect()
+    }
+    expected = {
+        (a if a in new_ids else b, b if a in new_ids else a): j
+        for (a, b), j in exact.items()
+        if (a in new_ids) != (b in new_ids)
+    }
+    assert got == expected

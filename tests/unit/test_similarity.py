@@ -163,3 +163,25 @@ def test_int8_quant_error_bounded_by_half_scale(emb):
     ).collect()
     for r in out:
         assert r.avg_mae <= r.avg_scale / 2 + 1e-12
+
+
+def test_kmeans_lloyd_separated_clusters(spark):
+    # two well-separated blobs in 2-D; k=2 with lowest-id init (one seed in
+    # each blob) must recover the blobs exactly after one iteration
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.2, 0.0]), (4, [0.0, 0.2]),
+        (1, [10.0, 10.0]), (3, [10.2, 10.0]), (5, [10.0, 10.2]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.cid for r in similarity.kmeans_lloyd(df, k=2, iters=1).collect()}
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+
+def test_assign_nearest_tie_breaks_lowest_cid(spark):
+    df = spark.createDataFrame([(7, [1.0, 0.0])], ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (3, [2.0, 0.0])], ["cid", "cvec"]
+    )
+    out = similarity.assign_nearest(df, cents).collect()[0]
+    assert out.cid == 3 and abs(out.d2 - 1.0) < 1e-12  # equidistant -> lowest cid

@@ -94,3 +94,30 @@ def test_oov_stats_hand_corpus(spark):
     assert rows["en"].n_docs == 2
     assert rows["en"].avg_oov_rate == pytest.approx((0 + 1 / 3) / 2, abs=1e-6)
     assert rows["fr"].avg_oov_rate == pytest.approx(1.0, abs=1e-6)
+
+
+def test_unigram_logprob_frequent_tokens_score_lower(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the zebra"), (3, "qux")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob_stats(docs, "text", "doc_id").collect()}
+    # corpus counts: the=5, zebra=1, qux=1 -> N=7, V=3
+    # doc 1 = all 'the' (most frequent) must score lower than doc 3 (hapax)
+    assert out[1].avg_neg_logprob < out[3].avg_neg_logprob
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 2
+    import math
+    expected_doc3 = round(-math.log((1 + 1) / (7 + 3)), 6)
+    assert abs(out[3].avg_neg_logprob - expected_doc3) < 1e-6
+
+
+def test_char_entropy_uniform_vs_constant(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.char_entropy_stats(docs, "text", "doc_id").collect()}
+    assert out[1].char_entropy_bits == 0.0          # single symbol: zero bits
+    assert abs(out[2].char_entropy_bits - 1.0) < 1e-9   # two symbols, uniform
+    assert abs(out[3].char_entropy_bits - 2.0) < 1e-9   # four symbols, uniform
+    assert out[3].n_chars == 4

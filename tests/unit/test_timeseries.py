@@ -51,3 +51,36 @@ def test_grid_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_change_intervals_merges_runs(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "a", 10),
+        (1, _ts("2024-01-01T01:00:00"), "a", 11),
+        (1, _ts("2024-01-01T02:00:00"), "b", 12),
+        (1, _ts("2024-01-01T03:00:00"), "a", 13),
+        (2, _ts("2024-01-01T00:30:00"), "x", 14),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "id"])
+    out = timeseries.change_intervals(df, ("k",), "ts", "state", tiebreak="id").collect()
+    by_key = sorted(
+        ((r.k, r.state, r.valid_from.hour, None if r.valid_to is None else r.valid_to.hour, r.n_events) for r in out),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert by_key == [
+        (1, "a", 0, 2, 2),   # two 'a' events merge into one interval
+        (1, "b", 2, 3, 1),
+        (1, "a", 3, None, 1),  # re-entering 'a' opens a NEW interval (SCD2)
+        (2, "x", 0, None, 1),
+    ]
+
+
+def test_change_intervals_same_ts_tiebreak(spark):
+    # two events at the identical timestamp: the id tiebreak fixes run order
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "a", 1),
+        (1, _ts("2024-01-01T00:00:00"), "b", 2),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "id"])
+    out = {r.state: (r.valid_to is None) for r in timeseries.change_intervals(df, ("k",), "ts", "state", tiebreak="id").collect()}
+    assert out == {"a": False, "b": True}  # a closed by b; b current

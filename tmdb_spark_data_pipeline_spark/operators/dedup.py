@@ -293,6 +293,99 @@ def minhash_lsh_pairs(
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
+def _jaccard_between(sh_new: DataFrame, sh_old: DataFrame, min_jaccard: float) -> DataFrame:
+    """Two-sided exact Jaccard: (id, shingle) tables → (new_id, old_id,
+    jaccard ≥ threshold). Same shape as ``_jaccard_from_shingles`` but across
+    disjoint corpora, so no ``id <`` ordering is involved."""
+    sza = sh_new.groupBy("__id").agg(F.count("*").alias("__sz"))
+    szb = sh_old.groupBy("__id").agg(F.count("*").alias("__sz"))
+    shared = (
+        sh_new.alias("a")
+        .join(sh_old.alias("b"), F.col("a.__s") == F.col("b.__s"))
+        .groupBy(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    return (
+        shared.join(sza.select(F.col("__id").alias("new_id"), F.col("__sz").alias("__sza")), "new_id")
+        .join(szb.select(F.col("__id").alias("old_id"), F.col("__sz").alias("__szb")), "old_id")
+        .withColumn(
+            "jaccard",
+            F.col("__shared") / (F.col("__sza") + F.col("__szb") - F.col("__shared")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash dedup: find near-dups of a NEW batch against an
+    EXISTING corpus without ever comparing corpus-vs-corpus — the shape a
+    continuously-ingesting training pipeline actually runs (each crawl
+    snapshot dedups against everything already accepted).
+
+    Both sides get banded signatures; the candidate join is new-bands ×
+    old-bands only, so per-batch cost is O(|new| + matching buckets), not
+    O(|corpus|²). At production scale the old side's (band, sig, id) table is
+    a *persisted* artifact — appended to as batches are accepted, never
+    recomputed — and since it carries band hashes rather than text, it stays
+    ~100 bytes/doc; here it is derived inline so the declared query is
+    self-contained. Candidates are exact-Jaccard verified (same contract as
+    ``minhash_lsh_pairs``). Output: (new_id, old_id, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def _buckets(src: DataFrame) -> DataFrame:
+        base = _spread(src.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+        exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+        sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
+        band_cols = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
+            )
+            for band in range(bands)
+        ]
+        return sig.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
+            "__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig")
+        )
+
+    candidates = (
+        _buckets(new_df)
+        .alias("a")
+        .join(
+            _buckets(old_df).alias("b"),
+            (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__sig") == F.col("b.__sig")),
+        )
+        .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
+        .distinct()
+        .persist()
+    )
+    sh_new = (
+        new_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(candidates.select(F.col("new_id").alias("__id")).distinct()), "__id", "left_semi")
+        .select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    )
+    sh_old = (
+        old_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(candidates.select(F.col("old_id").alias("__id")).distinct()), "__id", "left_semi")
+        .select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    )
+    verified = _jaccard_between(sh_new, sh_old, min_jaccard)
+    return verified.join(candidates, ["new_id", "old_id"], "left_semi")
+
+
 def simhash64(text: ColumnOrName, *, use_bits: int = 63) -> Column:
     """SimHash fingerprint over whitespace tokens (rotation-invariant near-dup
     sketch). Per bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1);

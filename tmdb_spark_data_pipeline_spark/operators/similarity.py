@@ -395,6 +395,102 @@ def cosine_topk_ivf(
     )
 
 
+def sq_l2(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Σ (aᵢ−bᵢ)² in strict array order (see ``dot`` for why the fold)."""
+    return F.aggregate(
+        F.zip_with(
+            _col(a),
+            _col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2 (ties → lowest centroid id).
+
+    Centroids broadcast, corpus streamed — one pass, no corpus shuffle; the
+    argmin is a ``min(struct(d2, cid))`` aggregate rather than a window, so
+    there's no per-vector row_number sort, just a partial-agg'd groupBy on
+    the (unique) vector id. Output: (id_col, cid, d2).
+    """
+    c = centroids.select(F.col(cent_id).alias("__cid"), F.col(cent_vec).alias("__cv"))
+    scored = corpus.join(F.broadcast(c), F.lit(True)).select(
+        F.col(id_col),
+        F.struct(
+            sq_l2(vec_col, "__cv").alias("d2"), F.col("__cid").alias("cid")
+        ).alias("__s"),
+    )
+    best = scored.groupBy(id_col).agg(F.min("__s").alias("__b"))
+    return best.select(
+        id_col, F.col("__b.cid").alias("cid"), F.col("__b.d2").alias("d2")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the semantic-dedup
+    / corpus-clustering primitive, expressed entirely in DataFrame ops.
+
+    Deterministic contract (so an external oracle can replay it exactly):
+    initial centroids are the ``k`` lowest-id vectors; each element-wise
+    centroid mean accumulates in ``decimal(30,12)`` (partial-agg order can't
+    perturb the double that comes back out); assignment ties break on lowest
+    centroid id.
+
+    Scale shape per iteration: one broadcast-assign pass (no corpus shuffle),
+    then a (cid, position) groupBy whose input is |corpus|×dim exploded
+    elements — partial agg reduces each partition to ≤ k×dim rows before the
+    shuffle, so the exchange is tiny regardless of corpus size. The corpus is
+    re-read per iteration rather than cached: at 100 TB the scan is cheaper
+    than evicting half the block cache; on a hot path an explicit
+    ``.persist()`` upstream composes fine.
+
+    Returns final assignments (id_col, cid, d2).
+    """
+    emb = df.select(F.col(id_col), F.col(vec_col))
+    cents = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = assign_nearest(emb, cents, id_col=id_col, vec_col=vec_col)
+        ex = (
+            emb.join(assigned.select(id_col, "cid"), id_col)
+            .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        )
+        means = ex.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    return assign_nearest(emb, cents, id_col=id_col, vec_col=vec_col)
+
+
 def int8_quant_stats(
     df: DataFrame,
     *,

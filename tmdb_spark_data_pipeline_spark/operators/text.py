@@ -213,6 +213,84 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str, *, n: int = 3) -
     )
 
 
+def unigram_logprob_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram language-model scoring (the perplexity-proxy quality filter):
+    fit an add-one-smoothed unigram LM on the corpus itself, then score each
+    document by its mean token negative log-probability. High scores flag
+    gibberish / OOV-heavy documents; low scores flag boilerplate.
+
+    Distributed shape (mirrors ``oov_stats``): (1) token counts — map-side
+    partial agg, one shuffle keyed by token; two scalar corpus stats (total
+    tokens N, vocab size V) reduce from the same counts table. (2) the token
+    stream joins the count table on token — an equi-join AQE can plan as
+    broadcast while the vocabulary is small and as a co-partitioned shuffle
+    join when it isn't (a corpus-scale vocabulary can exceed driver memory,
+    so no unconditional ``F.broadcast`` here) — then one partial-agg'd
+    groupBy per document. Nothing ever shuffles document text.
+
+    p(w) = (count(w) + 1) / (N + V); output (id, n_tokens, avg_neg_logprob)
+    with the mean accumulated in decimal so partial-agg order can't flip the
+    rounded digit.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(_col(text_col)))).alias("__w"),
+    ).filter(F.col("__w") != "")
+    counts = tok.groupBy("__w").agg(F.count("*").alias("__c"))
+    scalars = counts.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    )
+    scored = tok.join(counts, "__w").crossJoin(F.broadcast(scalars))
+    neg_lp = -F.log((F.col("__c") + 1).cast("double") / (F.col("__n") + F.col("__v")))
+    per_doc = scored.groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.round(neg_lp, 12).cast("decimal(30,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+    return per_doc.select(F.col("__id").alias(id_col), "n_tokens", "avg_neg_logprob")
+
+
+def char_entropy_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the cheap
+    gibberish/encoding-noise detector: natural text sits ~4 bits, base64
+    blobs and repeated-character runs fall far outside.
+
+    Exploded-aggregate shape: one char per row → count per (doc, char) →
+    per-doc −Σ p·log2 p. Both aggregations partial-agg map-side; the shuffle
+    key is (doc, char) so skew is bounded by single-document size. Entropy
+    terms round to 12 dp and sum in decimal for cross-engine determinism.
+    """
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(_col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    per_char = chars.groupBy("__id", "__ch").agg(F.count("*").alias("__c"))
+    # total chars per doc via a second partial agg (no window: a window over
+    # (doc) would re-shuffle; re-aggregating the tiny (doc,char) table is a
+    # map-side combine away from free)
+    totals = per_char.groupBy("__id").agg(F.sum("__c").alias("__n"))
+    joined = per_char.join(totals, "__id")
+    p = F.col("__c") / F.col("__n")
+    term = -p * F.log(2.0, p)
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.max("__n").alias("n_chars"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(30,12)")).cast("double"), 6
+            ).alias("char_entropy_bits"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "char_entropy_bits",
+        )
+    )
+
+
 def oov_stats(
     df: DataFrame,
     text_col: str,

@@ -74,6 +74,56 @@ def gap_fill(
     return out
 
 
+def change_intervals(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse an event stream into SCD2-style validity intervals: per key,
+    consecutive rows with the same ``state_col`` merge into one row with
+    ``valid_from`` (first ts) / ``valid_to`` (next state's first ts, null for
+    the current state) — the dimension-history builder.
+
+    Two window passes over the same (keys) partitioning — Catalyst reuses one
+    sort+exchange for both, so it costs a single shuffle keyed by ``keys``:
+    (1) a change flag via ``lag(state)``, turned into a run id by a running
+    sum; (2) per-run min/max via groupBy, then ``lead(valid_from)`` for the
+    closing timestamp. Skew bound = events per key.
+
+    ``tiebreak`` orders same-timestamp events deterministically (an id
+    column); required whenever ``ts_col`` isn't unique per key.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.when(
+        F.lag(F.col(state_col)).over(w).isNull()
+        | (F.lag(F.col(state_col)).over(w) != F.col(state_col)),
+        1,
+    ).otherwise(0)
+    runs = df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(state_col),
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("__run"),
+    )
+    spans = runs.groupBy(*keys, "__run").agg(
+        F.first(F.col(state_col)).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col("__run").asc())
+    return spans.select(
+        *keys,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 def hourly_gap_filled(
     events: DataFrame,
     keys: tuple[str, ...],

@@ -3158,6 +3158,276 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_stats(docs, "text", "doc_id", "lang", vocab_size=200)
 
 
+# ---------------------------------------------------------------------------
+# 16. round-3 extensions: LM scoring, entropy, k-means, percentiles, SCD2,
+#     forward as-of, incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_logprob_scores",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+    sc AS (SELECT sum(c) AS n, count(*) AS v FROM cnt)
+    SELECT tk.doc_id, count(*) AS n_tokens,
+           round(CAST(sum(CAST(round(-ln((cnt.c + 1) * 1.0 / (sc.n + sc.v)), 12)
+                              AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+             AS avg_neg_logprob
+    FROM tk JOIN cnt USING (w) CROSS JOIN sc
+    GROUP BY tk.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores (``text.unigram_logprob_stats``):
+    add-one-smoothed corpus unigram LM, mean token −ln p per document. The
+    LM fit is one token-keyed shuffle; the scoring join never moves text."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob_stats(docs, "text", "doc_id")
+
+
+@query(
+    "char_entropy_scores",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, c FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      WHERE c <> ''
+    ),
+    pc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(k) AS n FROM pc GROUP BY doc_id)
+    SELECT pc.doc_id,
+           CAST(max(tot.n) AS BIGINT) AS n_chars,
+           round(CAST(sum(CAST(round(-(k * 1.0 / tot.n) * log2(k * 1.0 / tot.n), 12)
+                              AS DECIMAL(30,12))) AS DOUBLE), 6) AS char_entropy_bits
+    FROM pc JOIN tot USING (doc_id)
+    GROUP BY pc.doc_id
+    """,
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (``text.char_entropy_stats``) — the gibberish / encoding-noise detector;
+    exploded-aggregate shape with (doc, char) shuffle keys."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.char_entropy_stats(docs, "text", "doc_id")
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (SELECT vec_id, cid FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+    ex AS (
+      SELECT a1.cid, unnest(e.embedding) AS val,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    mu AS (SELECT cid, pos,
+                  CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+           FROM ex GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM mu GROUP BY cid),
+    dt AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM e CROSS JOIN c1 c
+    ),
+    a2 AS (SELECT vec_id, cid, d2 FROM dt
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)
+    SELECT cid, count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(d2, 9) AS DECIMAL(30,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_d2
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of distributed k-means (``similarity.kmeans_lloyd``,
+    k=8, deterministic lowest-id init) and the resulting cluster profile —
+    the semantic-dedup / corpus-clustering primitive. Assignment is a
+    broadcast pass; centroid means shrink to ≤ k×dim rows map-side before
+    their shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1)
+    n = F.count("*")
+    return assigned.groupBy("cid").agg(
+        n.alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("d2"), 9).cast("decimal(30,12)")).cast("double") / n, 6
+        ).alias("avg_d2"),
+    )
+
+
+@query(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of event value per type) via
+    Spark's sort-based ``percentile`` — the latency-SLO report shape. Exact
+    percentile is a per-group sort; the sketch twin for 100 TB cardinalities
+    is ``approx_percentile`` (same plan, bounded memory), kept exact here so
+    the oracle can pin interpolation semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "scd2_event_intervals",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_type, event_id FROM events WHERE user_id < 40),
+    r AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    r2 AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM r
+    ),
+    s AS (
+      SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS vf, count(*) AS n_events
+      FROM r2 GROUP BY user_id, run
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run ASC),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           n_events
+    FROM s
+    """,
+)
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (``timeseries.change_intervals``): consecutive
+    same-state events per user collapse to (state, valid_from, valid_to)
+    rows — the dimension-history builder. One shuffle on user_id; both window
+    passes share its sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = timeseries.change_intervals(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        ("user_id",),
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+    )
+
+
+@query(
+    "asof_purchase_next_click",
+    oracle="""
+    SELECT p_event_id, user_id, c_event_id, c_value FROM (
+      SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             c.event_id AS c_event_id, c.value AS c_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (forward direction): for each purchase, the same user's
+    EARLIEST click at-or-after it — the attribution twin of
+    ``asof_purchase_last_click``, proving the direction parameter of
+    ``joins.asof_join`` (ties broken on event_id ascending)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="forward",
+        left_id="event_id",
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("l.event_id").alias("p_event_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("c_event_id"),
+        F.col("r.value").alias("c_value"),
+    )
+
+
+@query(
+    "minhash_incremental_neardups",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+      GROUP BY 1, 2
+    )
+    SELECT new_id, old_id,
+           round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON new_id = sa.doc_id
+    JOIN sizes sb ON old_id = sb.doc_id
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    """,
+)
+def minhash_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (``dedup.minhash_lsh_pairs_incremental``): near-dups
+    of a simulated new batch (doc_id % 10 = 7) against the already-accepted
+    corpus, new-vs-old bands only — the continuously-ingesting pipeline
+    shape. Exact-verified candidates, checked against the exact cross-corpus
+    Jaccard oracle (same recall argument as ``minhash_neardups``)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.minhash_lsh_pairs_incremental(old, new, "text", "doc_id")
+    return out.select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3166,6 +3436,39 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
+    # round-3 priority: the three entries that fell past round 2's cap, then
+    # the round-3 additions — none has a driver CORRECTNESS row yet
+    "important_brand_value",
+    "customer_distribution",
+    "forecast_revenue_change",
+    "unigram_logprob_scores",
+    "char_entropy_scores",
+    "kmeans_cluster_profile",
+    "event_value_percentiles",
+    "scd2_event_intervals",
+    "asof_purchase_next_click",
+    "minhash_incremental_neardups",
+    # then event-time queries: the round-3 testdata switched events.ts to
+    # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
+    # the driver's bounded sweep
+    "sessionization",
+    "user_running_totals",
+    "events_hourly",
+    "events_sliding",
+    "events_sessions",
+    "stream_hourly",
+    "stream_sliding",
+    "stream_dedup_counts",
+    "stream_stream_join",
+    "asof_purchase_last_click",
+    "range_join_click_context",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "hourly_gap_filled_series",
+    "rolling_7day_revenue",
+    "top_supplier_by_quarter",
+    "pivot_event_types",
+    # remaining slots: green in earlier rounds, rotated for re-verification
     "token_counts_bpe",
     "language_id",
     "similarity_topk",
@@ -3225,7 +3528,7 @@ _SWEEP_FRONT = (
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _SWEEP_FRONT if n in REGISTRY]
+    front = list(dict.fromkeys(n for n in _SWEEP_FRONT if n in REGISTRY))
     rest = [n for n in REGISTRY if n not in _SWEEP_FRONT]
     with_oracle = [n for n in rest if REGISTRY[n].oracle is not None]
     rows_only = [n for n in rest if REGISTRY[n].oracle is None]
