@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     min_jaccard: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard, blocked on shared shingles.
 
@@ -100,11 +101,21 @@ def ngram_jaccard_pairs(
         "__id",
         F.explode(word_shingles("__t", n)).alias("__s"),
     )
-    return _jaccard_from_shingles(sh, min_jaccard)
+    return _jaccard_from_shingles(sh, min_jaccard, persist=persist_shingles)
 
 
-def _jaccard_from_shingles(sh: DataFrame, min_jaccard: float) -> DataFrame:
-    """(id, shingle) pairs → (id_a, id_b, jaccard ≥ threshold)."""
+def _jaccard_from_shingles(sh: DataFrame, min_jaccard: float, *, persist: bool = True) -> DataFrame:
+    """(id, shingle) pairs → (id_a, id_b, jaccard ≥ threshold).
+
+    ``sh`` has three consumers (sizes, both self-join sides) and no exchange
+    is reused between them — persist (spill-safe MEMORY_AND_DISK) so the
+    shingle explode runs once; on the scale path callers have already
+    semi-joined ``sh`` down to candidates (``minhash_lsh_pairs``). Callers
+    that feed an ITERATIVE consumer (connected components) pass
+    ``persist=False``: the loop's own checkpoints would keep the full
+    shingle table pinned across every round for a one-shot saving."""
+    if persist:
+        sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -200,6 +211,7 @@ def minhash_signatures_agg(
     shingle_col: str = "__s",
     num_hashes: int = 128,
     seed: int = 7,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingle) rows → one row per id with mh_0..mh_{k-1}.
 
@@ -207,6 +219,10 @@ def minhash_signatures_agg(
     ``(a·h + b) mod p`` folded by ``min`` aggregates — map-side partial
     aggregation shrinks each partition to one signature row per id before the
     shuffle, which is what makes this the 100 TB shape.
+
+    ``carry_cols`` ride along as extra grouping keys (functionally dependent
+    on the id — e.g. a batch/side tag), so callers don't need a post-join to
+    reattach them.
     """
     h = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_MERSENNE31))
     ex = exploded.withColumn("__h", h)
@@ -214,7 +230,7 @@ def minhash_signatures_agg(
         F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -259,6 +275,14 @@ def minhash_lsh_pairs(
     buckets = with_sig.select(
         "__id", F.explode(F.array(*band_cols)).alias("__b")
     ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
+
+    # The self-join below consumes `buckets` twice, and Spark does NOT reuse
+    # the exchange across the two sides — without a persist the whole scan →
+    # shingle → 128-min signature pipeline runs twice (verified in the
+    # physical plan: two identical HashAggregate subtrees). The bucket table
+    # is ~3 longs × bands per doc (~100 B/doc at bands=32) — persisting it is
+    # exactly the artifact a production dedup service materializes anyway.
+    buckets = buckets.persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     # NOT distinct'd: a pair colliding in k bands appears k times, but both
@@ -346,43 +370,59 @@ def minhash_lsh_pairs_incremental(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    def _buckets(src: DataFrame) -> DataFrame:
-        base = _spread(src.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
-        exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
-        sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
-        band_cols = [
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
-            )
-            for band in range(bands)
-        ]
-        return sig.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
-            "__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig")
+    # One signature pass over the UNION with a side tag (carried through the
+    # signature groupBy): separate old/new pipelines would scan, shingle and
+    # aggregate twice for the same total rows — measured ~2× the wall of the
+    # union form at sf0.1. In steady-state production the old side's bucket
+    # table is read from its persisted artifact instead of recomputed; the
+    # union form is the self-contained equivalent with the same join shape.
+    tagged = old_df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(False).alias("__is_new")
+    ).unionByName(
+        new_df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(True).alias("__is_new")
         )
-
+    )
+    base = _spread(tagged)
+    exploded = base.select("__id", "__is_new", F.explode(word_shingles("__t", n)).alias("__s"))
+    sig = minhash_signatures_agg(exploded, num_hashes=num_hashes, carry_cols=("__is_new",))
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for band in range(bands)
+    ]
+    buckets = (
+        sig.select("__id", "__is_new", F.explode(F.array(*band_cols)).alias("__b"))
+        .select("__id", "__is_new", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
+        .persist()  # two filtered consumers below; see minhash_lsh_pairs
+    )
     candidates = (
-        _buckets(new_df)
-        .alias("a")
+        buckets.filter(F.col("__is_new")).alias("a")
         .join(
-            _buckets(old_df).alias("b"),
+            buckets.filter(~F.col("__is_new")).alias("b"),
             (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__sig") == F.col("b.__sig")),
         )
         .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
         .distinct()
         .persist()
     )
-    sh_new = (
-        new_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .join(F.broadcast(candidates.select(F.col("new_id").alias("__id")).distinct()), "__id", "left_semi")
-        .select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    cand_ids = (
+        candidates.select(F.col("new_id").alias("__id"))
+        .union(candidates.select(F.col("old_id").alias("__id")))
+        .distinct()
     )
-    sh_old = (
-        old_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .join(F.broadcast(candidates.select(F.col("old_id").alias("__id")).distinct()), "__id", "left_semi")
-        .select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    sh = (
+        base.join(F.broadcast(cand_ids), "__id", "left_semi")
+        .select("__id", "__is_new", F.explode(word_shingles("__t", n)).alias("__s"))
+        .persist()
     )
-    verified = _jaccard_between(sh_new, sh_old, min_jaccard)
+    verified = _jaccard_between(
+        sh.filter(F.col("__is_new")).select("__id", "__s"),
+        sh.filter(~F.col("__is_new")).select("__id", "__s"),
+        min_jaccard,
+    )
     return verified.join(candidates, ["new_id", "old_id"], "left_semi")
 
 
@@ -468,6 +508,10 @@ def simhash_neardup_pairs(
     buckets = fp.select(
         F.col(id_col).alias("__id"), F.col("simhash"), F.explode(F.array(*band_cols)).alias("__b")
     ).select("__id", "simhash", F.col("__b.band").alias("__band"), F.col("__b.val").alias("__val"))
+    # persist: the self-join's two sides would otherwise each recompute the
+    # 63-bit-sum fingerprint aggregation (no exchange reuse; see
+    # minhash_lsh_pairs). ~4 longs × bands per doc.
+    buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -1905,7 +1905,11 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``component_id``, drop the rest. Oracle: transitive closure via
     recursive CTE over the identical pair set."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+    # persist_shingles=False: the CC loop's checkpoints would pin the full
+    # shingle cache across every iteration (measured +40% wall at sf0.1)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
     comp = dedup.connected_components(pairs)
     return comp.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component_id")

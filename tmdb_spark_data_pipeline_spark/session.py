@@ -50,6 +50,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode runs driver + every executor thread in ONE JVM; Spark's
+        # 1g default heap starves 32 cores (GCLocker alloc stalls under any
+        # persisted table). Applies only when this factory launches the JVM —
+        # a cluster deployment sizes executors via spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
