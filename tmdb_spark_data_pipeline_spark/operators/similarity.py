@@ -202,7 +202,11 @@ def write_lsh_partitioned_corpus(
         l2_norm(vec_col).alias("norm"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
-    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # Repartition on the partition column first: otherwise every write task
+    # opens a file in every bucket directory (tasks × 2^planes tiny files —
+    # the classic dynamic-partition write explosion); after the shuffle each
+    # bucket is written by one task as one right-sized file.
+    out.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def cosine_topk_lsh_probe(
@@ -309,17 +313,28 @@ def assign_ivf_cells(
         F.col(vec_col).alias("__cv"),
         l2_norm(vec_col).alias("__cn"),
     )
-    scored = corpus.join(F.broadcast(c), F.lit(True)).withColumn(
-        "__cos", dot(vec_col, "__cv") / (l2_norm(vec_col) * F.col("__cn"))
+    # Corpus norm computed ONCE per row (not once per centroid pair), and the
+    # per-vector argmax folds as max(struct(cos, -cent_id)) in a partial-agg'd
+    # groupBy keyed on the vector id — no |corpus|×|cells| window sort, and
+    # the map-side combine collapses the cells× replication before the
+    # exchange. cent_id is negated inside the struct so the lexicographic max
+    # breaks cos ties toward the LOWEST id; the other corpus columns are
+    # constant within a group (same row replicated per centroid), so first()
+    # is value-deterministic.
+    rest = [col for col in corpus.columns if col != id_col]
+    base = corpus.withColumn("__norm", l2_norm(vec_col))
+    scored = base.join(F.broadcast(c), F.lit(True)).select(
+        id_col,
+        *rest,
+        F.struct(
+            (dot(vec_col, "__cv") / (F.col("__norm") * F.col("__cn"))).alias("cos"),
+            (-F.col("__cent_id")).alias("neg_id"),
+        ).alias("__s"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cos").desc_nulls_last(), F.col("__cent_id").asc()
+    best = scored.groupBy(id_col).agg(
+        *[F.first(col).alias(col) for col in rest], F.max("__s").alias("__b")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*corpus.columns, F.col("__cent_id").alias("cell_id"))
-    )
+    return best.select(*corpus.columns, (-F.col("__b.neg_id")).alias("cell_id"))
 
 
 def cosine_topk_ivf(
