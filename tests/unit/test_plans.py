@@ -142,3 +142,50 @@ def test_top_supplier_joins_dim_after_rank_filter(spark, sf_smoke):
     # the supplier dim joins broadcast, and only after the rnk=1 filter
     plan = _plan(queries.top_supplier_by_quarter(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_key_locality_and_range(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (255, 255)], ["a", "b"]
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", layout.zorder_key("a", "b").alias("z")).collect()
+    }
+    # bit i of a -> position 2i; bit i of b -> 2i+1
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(255, 255)] == 0xFFFF
+
+
+def test_write_zordered_roundtrip_sorted(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.lit(999) - F.col("id")).alias("b"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "zord")
+    layout.write_zordered(df, path, ("a", "b"), bits=10, modulus=1024)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000 and set(back.columns) == {"a", "b", "v"}
+    # within every parquet file the z-key must be non-decreasing (the layout
+    # contract that makes row-group min/max tight)
+    z = layout.zorder_key(F.pmod("a", F.lit(1024)), F.pmod("b", F.lit(1024)), bits=10)
+    files = back.withColumn("__f", F.input_file_name()).withColumn("__z", z)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__f").orderBy(F.monotonically_increasing_id())
+    viol = (
+        files.withColumn("__prev", F.lag("__z").over(w))
+        .filter(F.col("__prev").isNotNull() & (F.col("__z") < F.col("__prev")))
+        .count()
+    )
+    assert viol == 0

@@ -3432,6 +3432,84 @@ def minhash_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch with the
+    static customer dimension (broadcast — the dim never shuffles, the stream
+    never blocks), then aggregated by segment. The standard streaming
+    enrichment shape; green iff the replayed-stream result equals the batch
+    join+agg oracle over the same files."""
+    import os
+
+    from ..streaming import replay_events
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(F.broadcast(cust), "user_id")
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
+            )
+        )
+
+    return replay_events(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_enrich_mem",
+    ).select("mktsegment", "n", "total")
+
+
+def _zorder_oracle() -> str:
+    # same unrolled Morton interleave as operators/layout.zorder_key
+    terms = " | ".join(
+        f"((((l_orderkey % 65536) >> {i}) & 1) << {2 * i})" for i in range(16)
+    ) + " | " + " | ".join(
+        f"((((l_partkey % 65536) >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+    )
+    return f"""
+    SELECT l_orderkey, l_partkey, ({terms}) AS zkey
+    FROM lineitem
+    ORDER BY zkey ASC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """
+
+
+@query("zorder_key_sample", oracle=_zorder_oracle())
+def zorder_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (``operators/layout.zorder_key``):
+    interleaved bits of (orderkey, partkey) — the multi-column data-skipping
+    layout. The key is pure codegen bit arithmetic, pinned exactly by the
+    oracle's unrolled SQL; ``layout.write_zordered`` sorts-by-range on it at
+    write time so parquet row-group min/max prune on BOTH columns."""
+    from ..operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = layout.zorder_key(
+        F.pmod(F.col("l_orderkey"), F.lit(65536)),
+        F.pmod(F.col("l_partkey"), F.lit(65536)),
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_linenumber", z.alias("zkey"))
+        .orderBy(F.col("zkey").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(20)
+        .select("l_orderkey", "l_partkey", "zkey")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3452,6 +3530,8 @@ _SWEEP_FRONT = (
     "scd2_event_intervals",
     "asof_purchase_next_click",
     "minhash_incremental_neardups",
+    "stream_static_enrich",
+    "zorder_key_sample",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
