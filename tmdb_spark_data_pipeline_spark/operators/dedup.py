@@ -89,9 +89,15 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     min_jaccard: float = 0.5,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard, blocked on shared shingles.
+
+    ``persist_shingles`` defaults OFF here: this entry point shingles the
+    FULL corpus (no candidate restriction), and caching that table measured
+    slower than recomputing the explode for the join's two sides in a busy
+    heap (full-bench context: 3.6 s without vs 7.0 s with). The MinHash
+    verification path persists its candidate-restricted table instead.
 
     explode(shingles) → self equi-join on shingle → count shared per pair →
     ``|A∩B| / (|A|+|B|-|A∩B|)``. Only pairs sharing ≥1 shingle ever meet,
