@@ -189,3 +189,32 @@ def test_write_zordered_roundtrip_sorted(spark, tmp_path):
         .count()
     )
     assert viol == 0
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
+    """Spark's runtime bloom-filter join pruning (on by default in 4.x)
+    injects a might_contain(bloom_filter_agg(...)) filter on the FACT side of
+    a selective join once the fact scan crosses the size threshold. The
+    thresholds are sized for cluster scans (10 GB application side) — scaled
+    to 0 here to pin the plan shape the 100 TB deployment gets for free."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast joins use DPP instead
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
