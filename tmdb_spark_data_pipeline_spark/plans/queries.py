@@ -3510,6 +3510,79 @@ def zorder_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube, §2.4):
+    (flag, status) + (flag) + grand total in ONE pass — Spark's Expand node
+    replicates each input row per set before a single partial-agg'd
+    aggregation, so the three granularities cost one shuffle, not three
+    scans. ``grouping_id`` distinguishes the levels."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+    )
+
+
+@query(
+    "decontaminated_counts",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 3),
+    bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 3),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 3),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id, b.doc_id HAVING count(*) >= 5
+    )
+    SELECT d.lang, count(*) AS n_docs
+    FROM documents d
+    WHERE d.doc_id % 7 <> 3
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY d.lang
+    """,
+)
+def decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination APPLY step: detect train docs overlapping a held
+    benchmark split (≥5 shared 3-gram shingles — same detector as
+    ``benchmark_contamination``), then drop them with a left_anti join and
+    report surviving counts per language. Composition proof that audit
+    output drives the actual filter; the anti-join's right side is the tiny
+    contaminated-id list (broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 3)
+    bench = docs.filter(F.col("doc_id") % 7 == 3)
+    overlaps = dedup.contamination_overlap(
+        train, bench, "text", "doc_id", n=3, min_shared=5
+    )
+    contaminated = overlaps.select(F.col("train_id").alias("doc_id")).distinct()
+    clean = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3532,6 +3605,8 @@ _SWEEP_FRONT = (
     "minhash_incremental_neardups",
     "stream_static_enrich",
     "zorder_key_sample",
+    "grouping_sets_revenue",
+    "decontaminated_counts",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
