@@ -1,0 +1,67 @@
+"""Spark 4 Python DataSource API wrapper for REST ingest."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_spark_data_pipeline_spark.sources import datasource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    datasource.register(spark)
+    return spark
+
+
+def test_fake_transport_truth_table(registered):
+    keys = "m1,m2_404,m3_429,m4_timeout,m5"
+    df = (
+        registered.read.format("tmdb_rest")
+        .option("keys", keys)
+        .option("num_partitions", "2")
+        .load()
+    )
+    rows = {r.key: r for r in df.collect()}
+    assert len(rows) == 5
+    assert rows["m1"].success and rows["m5"].success
+    assert rows["m3_429"].success  # rate-limited once, then retried to 200
+    assert not rows["m2_404"].success and rows["m2_404"].error == "HTTP_404"
+    assert not rows["m4_timeout"].success
+    assert rows["m4_timeout"].error == "TRANSPORT_TimeoutError"
+    payload = json.loads(rows["m1"].payload_json)
+    assert payload["title"] == "movie-m1"
+
+
+def test_fixture_transport_and_quarantine_split(registered, tmp_path):
+    fixture = {"10": {"id": 10, "title": "Ten", "credits": {"cast": [], "crew": []}}}
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    df = (
+        registered.read.format("tmdb_rest")
+        .option("keys", "10,11")
+        .option("transport", "fixture")
+        .option("fixture_path", str(fp))
+        .load()
+    )
+    ok = df.filter(F.col("success")).count()
+    bad = df.filter(~F.col("success")).count()
+    assert (ok, bad) == (1, 1)
+
+
+def test_partition_planning_bounds(registered):
+    df = (
+        registered.read.format("tmdb_rest")
+        .option("keys", "a,b,c")
+        .option("num_partitions", "8")  # more shards than keys -> clamp
+        .load()
+    )
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() <= 3
+
+
+def test_missing_keys_option_raises(registered):
+    with pytest.raises(Exception, match="keys"):
+        registered.read.format("tmdb_rest").load().collect()

@@ -1,0 +1,137 @@
+"""First-class Spark data source for REST ingest (Spark 4 Python DataSource
+API) — ``spark.read.format("tmdb_rest")``.
+
+The reference's ingest is a driver-side script around ``requests``
+(``ingestion/fetch_movies.py``). ``sources/rest.py`` re-architected it as
+executor-side ``mapInPandas``; this module goes one step further and exposes
+it through Spark's DataSource V2 Python API, so REST ingest composes like any
+other source: options instead of code, schema declared up front, partitions
+planned by the source, and the result usable from pure SQL
+(``CREATE TABLE ... USING tmdb_rest`` semantics via ``spark.read``).
+
+Partitioning = one input partition per key shard (``num_partitions`` option):
+cluster-wide fetch concurrency is the shard count, the same rate-limit lever
+as ``rest.fetch_distributed``. Each shard runs the full retry/quarantine
+state machine per key.
+
+Transports (the container has no network; both are deterministic):
+
+- ``transport=fixture``: ``fixture_path`` names a JSON file mapping key →
+  payload. Missing keys are HTTP 404 (permanent reject).
+- ``transport=fake``: synthetic deterministic behavior keyed off the key
+  string — ``*_429`` rate-limits once then succeeds, ``*_404`` rejects,
+  ``*_timeout`` raises a retryable transport error, anything else succeeds
+  with a minimal valid payload. Mirrors the truth table in
+  ``tests/unit/test_rest_ingestion.py``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .rest import RetryPolicy, fetch_with_retry
+
+#: Envelope schema (DDL form of ``rest.FETCH_RESULT_SCHEMA``).
+ENVELOPE_DDL = "key string, success boolean, error string, payload_json string"
+
+
+def _fake_transport():
+    """Deterministic offline transport (see module doc); per-key attempt
+    tracking so a ``*_429`` key rate-limits exactly its own first attempt."""
+    attempts: dict[str, int] = {}
+
+    def _fetch(k: str):
+        ks = str(k)
+        attempts[ks] = attempts.get(ks, 0) + 1
+        if ks.endswith("_timeout"):
+            raise TimeoutError(f"synthetic timeout for {ks}")
+        if ks.endswith("_404"):
+            return 404, {}, None
+        if ks.endswith("_429") and attempts[ks] == 1:
+            return 429, {"Retry-After": "0"}, None
+        return 200, {}, {"id": ks, "title": f"movie-{ks}", "credits": {"cast": [], "crew": []}}
+
+    return _fetch
+
+
+class _KeyShard(InputPartition):
+    def __init__(self, keys: Sequence[str]):
+        self.keys = list(keys)
+
+
+class RestDataSource(DataSource):
+    """``spark.read.format("tmdb_rest").option("keys", "1,2,3").load()``.
+
+    Options: ``keys`` (comma-separated) or ``keys_path`` (newline-separated
+    file); ``transport`` = ``fake`` (default) | ``fixture``;
+    ``fixture_path``; ``num_partitions`` (default 4); ``max_retries``;
+    ``backoff``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "tmdb_rest"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def reader(self, schema) -> "RestReader":
+        return RestReader(self.options)
+
+
+class RestReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        if "keys" in self.options:
+            self.keys = [k for k in str(self.options["keys"]).split(",") if k]
+        elif "keys_path" in self.options:
+            with open(self.options["keys_path"]) as f:
+                self.keys = [line.strip() for line in f if line.strip()]
+        else:
+            raise ValueError("tmdb_rest requires a 'keys' or 'keys_path' option")
+        self.num_partitions = int(self.options.get("num_partitions", "4"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n = max(1, min(self.num_partitions, len(self.keys) or 1))
+        shards = [self.keys[i::n] for i in range(n)]
+        return [_KeyShard(s) for s in shards if s]
+
+    def read(self, partition: _KeyShard) -> Iterator[tuple]:
+        # runs on executors: build the transport lazily per task
+        transport_kind = self.options.get("transport", "fake")
+        if transport_kind == "fixture":
+            with open(self.options["fixture_path"]) as f:
+                table = json.load(f)
+
+            def _fetch(k: str):
+                if str(k) in table:
+                    return 200, {}, table[str(k)]
+                return 404, {}, None
+
+        elif transport_kind == "fake":
+            _fetch = _fake_transport()
+        else:
+            raise ValueError(f"unknown transport {transport_kind!r}")
+
+        policy = RetryPolicy(
+            max_retries=int(self.options.get("max_retries", "3")),
+            backoff=float(self.options.get("backoff", "0")),
+            sleep=lambda _s: None,  # offline transports never need real sleep
+        )
+        for key in partition.keys:
+            r = fetch_with_retry(_fetch, key, policy)
+            yield (
+                str(r["key"]),
+                r["success"],
+                r["error"],
+                json.dumps(r["payload"]) if r["payload"] is not None else None,
+            )
+
+
+def register(spark) -> None:
+    """Register the source on a session: ``register(spark)`` then
+    ``spark.read.format("tmdb_rest")``."""
+    spark.dataSource.register(RestDataSource)
