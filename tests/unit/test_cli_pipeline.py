@@ -38,3 +38,17 @@ def test_pipeline_quarantine_captures_invalid(spark, tmp_path):
     bad = spark.read.json(f"{data}/quarantine")
     assert bad.count() >= 1
     assert bad.filter("success = false").count() == bad.count()
+
+
+def test_ingest_aborts_over_rejection_threshold(spark, tmp_path):
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.__main__ import stage_ingest
+    from tmdb_spark_data_pipeline_spark.pipelines.config import MoviePipelineConfig
+    from tmdb_spark_data_pipeline_spark.sources import io as sio
+
+    strict = MoviePipelineConfig(max_rejection_rate=0.0)  # fixture has 2 rejects
+    with pytest.raises(RuntimeError, match="rejection rate"):
+        stage_ingest(spark, str(tmp_path), "2026-01-01", strict)
+    # abort must leave no done-marker and no bronze output
+    assert sio.find_unprocessed(f"{tmp_path}/bronze", ["2026-01-01"]) == ["2026-01-01"]

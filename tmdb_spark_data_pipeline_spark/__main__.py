@@ -89,9 +89,25 @@ def _fixture_payloads() -> dict[str, dict]:
     return payloads
 
 
-def stage_ingest(spark: SparkSession, data_dir: str, run_date: str) -> None:
+def stage_ingest(
+    spark: SparkSession,
+    data_dir: str,
+    run_date: str,
+    config: MoviePipelineConfig = DEFAULT_CONFIG,
+) -> None:
     """REST-stub fetch → validate → quarantine split → Bronze parquet
-    (≙ ``ingestion/fetch_movies.py`` main)."""
+    (≙ ``ingestion/fetch_movies.py`` main).
+
+    The fetch result is persisted once: every downstream action (quarantine
+    write, bronze write, metrics) would otherwise re-trigger the REST fan-out
+    — re-fetching an external API per Spark action is the one recomputation
+    Spark's lazy model makes easy to ship by accident. Row counts come from
+    a single ``Observation`` on the quarantine write (no extra count scans),
+    and the reference's declared-but-unenforced ``max_rejection_rate``
+    (config.yaml:96-99) ABORTS the stage before the done-marker commits.
+    """
+    from pyspark.sql import Observation
+
     base = f"{data_dir}/bronze"
     if not sio.find_unprocessed(base, [run_date]):
         print(f"ingest: {run_date} already done, skipping")
@@ -104,24 +120,38 @@ def stage_ingest(spark: SparkSession, data_dir: str, run_date: str) -> None:
             return 404, {}, None
         return 200, {}, p
 
-    results = rest.fetch_distributed(spark, sorted(payloads), fetch, num_partitions=4)
-    ok, bad = rest.split_quarantine(
-        results.withColumn(
-            "success",
-            F.col("success")
-            & F.get_json_object("payload_json", "$.id").isNotNull()
-            & F.get_json_object("payload_json", "$.title").isNotNull(),
-        )
+    results = rest.fetch_distributed(
+        spark, sorted(payloads), fetch, num_partitions=4
+    ).withColumn(
+        "success",
+        F.col("success")
+        & F.get_json_object("payload_json", "$.id").isNotNull()
+        & F.get_json_object("payload_json", "$.title").isNotNull(),
+    ).persist()
+    obs = Observation()
+    observed = results.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("n_rejected"),
     )
-    bronze = ok.select(
+    sio.write_json(observed.filter(~F.col("success")), f"{data_dir}/quarantine", mode="overwrite")
+    n_total, n_rejected = obs.get["n_total"], obs.get["n_rejected"]
+    rate = (n_rejected or 0) / n_total if n_total else 0.0
+    if rate > config.max_rejection_rate:
+        raise RuntimeError(
+            f"ingest aborted: rejection rate {rate:.2f} exceeds "
+            f"max_rejection_rate {config.max_rejection_rate} "
+            f"({n_rejected}/{n_total} rejected); bronze NOT written, no done-marker"
+        )
+    bronze = results.filter(F.col("success")).select(
         F.from_json("payload_json", schemas.BRONZE_SCHEMA).alias("m")
     ).select("m.*")
     schemas.validate(bronze, schemas.BRONZE_SCHEMA, layer="bronze")
     bronze = sio.stamp_audit_columns(bronze, run_id=f"run-{run_date}", ingestion_date=run_date)
     sio.write_parquet(bronze, base, mode="overwrite", partition_by=("ingestion_date",))
-    sio.write_json(bad, f"{data_dir}/quarantine", mode="overwrite")
     sio.mark_done(base, run_date)
-    print(f"ingest: wrote {bronze.count()} bronze rows, {bad.count()} quarantined")
+    results.unpersist()
+    print(f"ingest: wrote {n_total - (n_rejected or 0)} bronze rows, {n_rejected} quarantined")
 
 
 def stage_curate(
@@ -196,7 +226,7 @@ def main(argv: list[str] | None = None) -> int:
     stages = STAGES if args.stage == "all" else (args.stage,)
     for s in stages:
         if s == "ingest":
-            stage_ingest(spark, args.data_dir, args.date)
+            stage_ingest(spark, args.data_dir, args.date, config)
         elif s == "curate":
             stage_curate(spark, args.data_dir, args.date, config)
         elif s == "kpis":

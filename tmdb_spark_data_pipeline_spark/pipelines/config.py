@@ -63,6 +63,10 @@ class MoviePipelineConfig:
     sentinels: tuple[str, ...] = ("No Data",)
     #: enforce schemas.BRONZE_SCHEMA / SILVER_SCHEMA at the curate boundary
     validate_schemas: bool = True
+    #: config.yaml:96-99 — the reference DECLARES this threshold but never
+    #: enforces it; here ingest aborts (no done-marker) when the fetch
+    #: rejection rate exceeds it
+    max_rejection_rate: float = 0.2
 
 
 DEFAULT_CONFIG = MoviePipelineConfig()
