@@ -3583,6 +3583,111 @@ def decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+@query(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``):
+    the source replayed twice (every event duplicated) and deduped with
+    state EVICTED as the watermark passes — the unbounded-stream form of
+    ``stream_dedup_counts``, whose global-dedup state grows with distinct
+    keys forever. Correct whenever duplicates arrive within the watermark
+    delay of the original (here: same micro-batch); green iff counts equal
+    the plain batch counts."""
+    import os
+
+    from ..streaming import dedup_stream, replay_events_pair
+
+    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
+        dup = s1.unionByName(s2)
+        return dedup_stream(dup, ("event_id",), within_watermark=True).groupBy(
+            "event_type"
+        ).agg(F.count("*").alias("n"))
+
+    return replay_events_pair(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_dedup_wm_mem",
+        output_mode="complete",
+    )
+
+
+@query(
+    "grouped_topn_ties",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC NULLS LAST) AS INTEGER) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def grouped_topn_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n WITH ties (``rank()``, §2.7): equal account balances
+    share a rank and all qualify, so the result is value-deterministic with
+    no tiebreak column — the companion to ``grouped_topn``'s row_number
+    (which needs a total order). Same single window shuffle."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc_nulls_last())
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "quality_percentile_calibration",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(len(string_split_regex(trim(text), '\\s+')) * 1.0
+                   / greatest(length(text), 1), 6) AS score
+      FROM documents
+    )
+    SELECT doc_id, lang, score,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC), 6)
+             AS pct_rank
+    FROM q
+    """,
+)
+def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration: percent_rank of a cheap quality signal (token
+    density) within each language — the cross-lingual normalization step
+    before mixing corpora (raw scores aren't comparable across languages;
+    percentiles are). One window shuffle keyed by lang; doc_id tiebreak
+    makes equal scores rank deterministically."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    score = F.round(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", score.alias("score"))
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3607,6 +3712,9 @@ _SWEEP_FRONT = (
     "zorder_key_sample",
     "grouping_sets_revenue",
     "decontaminated_counts",
+    "stream_dedup_watermarked",
+    "grouped_topn_ties",
+    "quality_percentile_calibration",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
