@@ -157,3 +157,49 @@ def test_stratified_sample_exact_ceil_counts(spark, rows, frac):
     want = Counter(g for _, g in rows)
     got = Counter(r.grp for r in out)
     assert got == Counter({g: math.ceil(n * frac) for g, n in want.items()})
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef \n", min_size=1, max_size=60), min_size=1, max_size=8
+    )
+)
+def test_char_entropy_bounds_property(spark, texts):
+    """0 ≤ H ≤ log2(#distinct chars), H=0 iff one distinct char."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from tmdb_spark_data_pipeline_spark.operators.text import char_entropy_stats
+
+    out = {r.doc_id: r for r in char_entropy_stats(docs, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        chars = [c for c in t if c != ""]
+        if not chars:
+            assert i not in out
+            continue
+        distinct = len(set(chars))
+        h = out[i].char_entropy_bits
+        assert -1e-9 <= h <= math.log2(distinct) + 1e-6
+        if distinct == 1:
+            assert h == 0.0
+
+
+@SETTINGS
+@given(pairs=st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=20))
+def test_zorder_key_bijective_property(spark, pairs):
+    """Morton interleave is a bijection on [0,2^10)² — distinct (a,b) pairs
+    must get distinct keys, and the key must round-trip to (a,b)."""
+    from tmdb_spark_data_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(list(set(pairs)), ["a", "b"])
+    rows = df.select("a", "b", zorder_key("a", "b", bits=10).alias("z")).collect()
+    seen = {}
+    for r in rows:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (a, b) == (r.a, r.b)
+        assert r.z not in seen
+        seen[r.z] = (r.a, r.b)

@@ -81,3 +81,29 @@ def test_derived_key_agg_franchise_flag(spark):
 def test_percentile_exact_is_exact(spark):
     df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], ["v"])
     assert df.select(agg.percentile_exact("v", 0.5).alias("p")).first().p == 2.5
+
+
+def test_hll_mergeable_rollup_matches_exact(spark, sf_smoke):
+    """Unioned day-sketches must estimate month-level distincts within HLL
+    error (lgK default 12 -> ~1.6% rel. std err)."""
+    from tmdb_spark_data_pipeline_spark.plans.queries import hll_mergeable_rollup
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.month, r.event_type): r.approx_users
+        for r in hll_mergeable_rollup(spark, sf_smoke).collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    exact = {
+        (r.month, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])

@@ -3688,6 +3688,28 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("hll_mergeable_rollup")  # Datasketches HLL — engine-specific, rows-only
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-day sketches of distinct users roll up to
+    per-month estimates by UNIONING the day sketches — the day table is
+    computed once and reused forever, never re-scanning events. This is the
+    incremental-reporting shape ``approx_count_distinct`` can't express (its
+    estimate is final, not re-aggregatable). Unit-tested against exact
+    distinct counts (±2%); rows-only here: sketch bytes are engine-specific.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    monthly = daily.groupBy(
+        F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM").alias("month"),
+        "event_type",
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    return monthly.orderBy("month", "event_type")
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3715,6 +3737,7 @@ _SWEEP_FRONT = (
     "stream_dedup_watermarked",
     "grouped_topn_ties",
     "quality_percentile_calibration",
+    "hll_mergeable_rollup",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
