@@ -218,3 +218,60 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_kmeans_assignment_has_no_window_sort(spark, sf_smoke):
+    """The argmin is a partial-agg'd min(struct), not a row_number window —
+    the |corpus|×k replication must collapse map-side."""
+    from tmdb_spark_data_pipeline_spark.operators import similarity
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    plan = _plan(similarity.assign_nearest(emb, cents))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_unigram_logprob_no_cartesian_on_counts(spark, sf_smoke):
+    """The token↔count join must be an equi-join (broadcast or shuffled),
+    never a nested loop; only the two scalar stats cross-join."""
+    from tmdb_spark_data_pipeline_spark.plans import queries as q
+
+    import re
+
+    plan = _plan(q.unigram_logprob_scores(spark, sf_smoke))
+    # count operator entries, not tree echo lines
+    joins = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    # exactly the one scalar broadcast (n, v) may nested-loop
+    assert len(joins) <= 1, joins
+
+
+def test_stream_static_dim_broadcasts(spark, sf_smoke):
+    """The static dim side of the stream-static join must broadcast (the
+    stream side never shuffles for the join)."""
+    import os
+
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+    from tmdb_spark_data_pipeline_spark.streaming.windows import (
+        _as_event_time,
+        stream_from_parquet_dir,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_smoke, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = stream_from_parquet_dir(
+        spark, os.path.dirname(path), schema, glob_filter="events.parquet"
+    )
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = _as_event_time(stream, "ts").join(F.broadcast(cust), "user_id")
+    # streaming plans can't be physically planned pre-start; the analyzed
+    # logical plan carries the broadcast hint that micro-batch planning honors
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" in plan
