@@ -73,3 +73,46 @@ def test_stateful_user_totals_matches_batch_agg(spark, sf_smoke):
     # single AvailableNow-style replay = one micro-batch → one row per user
     got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
     assert got == batch
+
+
+def test_transform_with_state_totals_matches_batch_agg(spark, sf_smoke):
+    """The transformWithStateInPandas twin must produce identical running
+    totals (RocksDB state store required by the API).
+
+    The state-server protocol needs google.protobuf, which this container
+    lacks — skip there (the operator itself is plain PySpark; nothing else
+    depends on protobuf)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (transformWithState state server)")
+    ev = load_table(spark, sf_smoke, "events")
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = streaming.replay_events(
+            spark,
+            f"{sf_smoke}/events.parquet",
+            lambda s: streaming.stateful_user_totals_tws(s.select("user_id", "value")),
+            query_name="t_tws_totals",
+            output_mode="update",
+        )
+        got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    finally:
+        if saved is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, saved)
+    assert got == batch

@@ -1,6 +1,6 @@
 from .incremental import process_available_now
 from .sinks import run_exactly_once_parquet, write_epoch_overwrite
-from .stateful import stateful_user_totals
+from .stateful import stateful_user_totals, stateful_user_totals_tws
 from .windows import (
     dedup_stream,
     replay_events,
@@ -24,6 +24,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stateful_user_totals",
+    "stateful_user_totals_tws",
     "write_epoch_overwrite",
     "stream_from_parquet_dir",
     "tumbling_agg",

@@ -67,3 +67,56 @@ def stateful_user_totals(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_totals_tws(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """``stateful_user_totals`` on Spark 4's ``transformWithStateInPandas``
+    — the successor API: typed state handles (value/list/map state, TTL,
+    timers) owned per key instead of one opaque tuple, and a processor
+    lifecycle (init/close) for resource setup. Same semantics as the
+    ``applyInPandasWithState`` form; both are kept because the old API is
+    what most deployed 3.x jobs run today and the new one is where timers /
+    TTL / multiple state variables live.
+
+    Requires the RocksDB state store provider (set by the caller/harness;
+    the HDFS-backed default store does not support this operator) and the
+    ``protobuf`` package (the Python↔JVM state-server protocol; absent in
+    this container, so the unit test skips — the
+    ``applyInPandasWithState`` form above is the one exercised end-to-end
+    here).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        RUNNING_TOTALS_SCHEMA,
+        "Update",
+        "ProcessingTime",
+    )
