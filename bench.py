@@ -23,6 +23,17 @@ from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from tmdb_spark_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — None where unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -64,6 +75,11 @@ def main() -> None:
     _reclaim.heavy = True
     _reclaim()
 
+    # This VM shares a host: CPU steal can inflate identical runs 2-2.5×.
+    # Record the steal fraction over the timed region so every BENCH file
+    # carries its own noise indicator.
+    j0 = _cpu_jiffies()
+
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
@@ -84,6 +100,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    j1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (j1[0] - j0[0]) / max(j1[1] - j0[1], 1), 2)
+        if j0 and j1
+        else None
+    )
 
     # The complete per-query map, for the judge and for round-over-round
     # diffing. Kept OFF stdout: the driver records only the last ~2000 chars
@@ -95,6 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host_steal_pct": steal_pct,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
@@ -111,6 +134,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
+        "host_steal_pct": steal_pct,
     }
     line_queries: dict[str, float] = {}
     for name in sorted(timings, key=lambda n: -timings[n]):
