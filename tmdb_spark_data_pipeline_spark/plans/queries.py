@@ -3710,6 +3710,101 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.orderBy("month", "event_type")
 
 
+@query(
+    "capitalized_entities_top20",
+    oracle=r"""
+    WITH ents AS (
+      SELECT unnest(regexp_extract_all(text, '\b([A-Z][a-z]{2,})', 1)) AS ent
+      FROM documents
+    )
+    SELECT ent, count(*) AS n
+    FROM ents GROUP BY ent
+    ORDER BY n DESC, ent ASC LIMIT 20
+    """,
+)
+def capitalized_entities_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-ish span extraction (``regexp_extract_all``, F-surface): all
+    capitalized words ≥3 letters, global top-20 — the cheap NER stand-in a
+    text pipeline runs before a real model. Explode → partial-agg'd count →
+    ``TakeOrderedAndProject``; the regex runs inside codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    ents = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b([A-Z][a-z]{2,})"), 1)
+        ).alias("ent")
+    )
+    return (
+        ents.groupBy("ent")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ent").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "neardup_method_agreement",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    jac AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    emb AS (
+      SELECT least(a.vec_id, b.vec_id) AS id_a, greatest(a.vec_id, b.vec_id) AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            >= 0.4)
+    SELECT
+      CASE WHEN e.id_a IS NULL THEN 'text_only'
+           WHEN j.id_a IS NULL THEN 'embedding_only'
+           ELSE 'both' END AS method,
+      count(*) AS n_pairs
+    FROM jac j FULL OUTER JOIN emb e ON j.id_a = e.id_a AND j.id_b = e.id_b
+    GROUP BY 1
+    """,
+)
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit: near-dup pairs per detector family — lexical
+    (3-gram Jaccard ≥ 0.5 on ``documents``) vs embedding (cosine ≥ 0.4 on
+    ``embeddings``, same id space) — bucketed into text_only /
+    embedding_only / both via a full outer join of the two tiny pair lists.
+    The calibration signal that tells a dedup pipeline whether its cheap
+    lexical pass can gate the expensive semantic one. Composition of two
+    existing operators; only pair IDs ever join."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    jac = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    )
+    cos = similarity.embedding_neardup_pairs(emb, min_cos=0.4).select(
+        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+    )
+    joined = jac.alias("j").join(
+        cos.alias("e"),
+        (F.col("j.id_a") == F.col("e.id_a")) & (F.col("j.id_b") == F.col("e.id_b")),
+        "full_outer",
+    )
+    method = (
+        F.when(F.col("e.id_a").isNull(), "text_only")
+        .when(F.col("j.id_a").isNull(), "embedding_only")
+        .otherwise("both")
+    )
+    return joined.select(method.alias("method")).groupBy("method").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3738,6 +3833,8 @@ _SWEEP_FRONT = (
     "grouped_topn_ties",
     "quality_percentile_calibration",
     "hll_mergeable_rollup",
+    "capitalized_entities_top20",
+    "neardup_method_agreement",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
