@@ -275,3 +275,31 @@ def test_stream_static_dim_broadcasts(spark, sf_smoke):
     # logical plan carries the broadcast hint that micro-batch planning honors
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint (strategy=broadcast)" in plan
+
+
+def test_zorder_key_n_three_columns(spark):
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 0, 0), (0, 1, 0), (0, 0, 1), (7, 7, 7)], ["a", "b", "c"])
+    got = {
+        (r.a, r.b, r.c): r.z
+        for r in df.select(
+            "a", "b", "c", layout.zorder_key_n(["a", "b", "c"], bits=3).alias("z")
+        ).collect()
+    }
+    # bit i of col j -> position i*3+j
+    assert got[(1, 0, 0)] == 1
+    assert got[(0, 1, 0)] == 2
+    assert got[(0, 0, 1)] == 4
+    assert got[(7, 7, 7)] == 0b111111111
+
+
+def test_zorder_key_n_guards(spark):
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    with pytest.raises(ValueError, match="at least two"):
+        layout.zorder_key_n(["a"])
+    with pytest.raises(ValueError, match="overflows"):
+        layout.zorder_key_n(["a", "b", "c", "d"], bits=16)

@@ -18,31 +18,44 @@ dimension, forever after.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import ColumnOrName, _col
 
 
-def zorder_key(a: ColumnOrName, b: ColumnOrName, *, bits: int = 16) -> Column:
-    """Morton-interleave the low ``bits`` of two non-negative integer
-    expressions: bit i of ``a`` lands at position 2i, bit i of ``b`` at
-    2i+1. Callers bucket/clamp wider domains first (e.g. ``pmod(col, 2^16)``
-    or a rank/percentile bucket) — interleaving beyond ~20 bits per column
-    adds no pruning power, the curve's locality lives in the high bits.
+def zorder_key_n(cols: Sequence[ColumnOrName], *, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of N non-negative integer
+    expressions: bit i of column j lands at position ``i*N + j``. Callers
+    bucket/clamp wider domains first (e.g. ``pmod(col, 2^16)`` or a
+    rank/percentile bucket) — interleaving beyond ~20 bits per column adds
+    no pruning power, the curve's locality lives in the high bits.
+    ``N × bits`` must fit a signed long (≤ 62).
 
     Pure integer expressions (shift/and/or) — whole-stage codegen, exactly
     reproducible in any engine with the same bit operators.
     """
-    av, bv = _col(a).cast("long"), _col(b).cast("long")
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits overflows a signed long")
+    vals = [_col(c).cast("long") for c in cols]
     out = F.lit(0).cast("long")
     for i in range(bits):
-        out = out.bitwiseOR(
-            F.shiftleft(F.shiftright(av, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(bv, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, v in enumerate(vals):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     return out
+
+
+def zorder_key(a: ColumnOrName, b: ColumnOrName, *, bits: int = 16) -> Column:
+    """Two-column Morton key: bit i of ``a`` → position 2i, of ``b`` → 2i+1
+    (the ``zorder_key_n`` layout at N=2)."""
+    return zorder_key_n([a, b], bits=bits)
 
 
 def write_zordered(
