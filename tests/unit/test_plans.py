@@ -303,3 +303,21 @@ def test_zorder_key_n_guards(spark):
         layout.zorder_key_n(["a"])
     with pytest.raises(ValueError, match="overflows"):
         layout.zorder_key_n(["a", "b", "c", "d"], bits=16)
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    path = str(tmp_path / "frag")
+    # simulate a fragmented sink: 20 tiny files
+    spark.range(0, 2000).repartition(20).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20
+    n = layout.compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(f"{path}/*.parquet")
+    assert n == 1 and len(after) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))

@@ -58,6 +58,50 @@ def zorder_key(a: ColumnOrName, b: ColumnOrName, *, bits: int = 16) -> Column:
     return zorder_key_n([a, b], bits=bits)
 
 
+def compact_parquet_dir(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (the lakehouse OPTIMIZE /
+    maintenance pass). Streaming sinks and per-batch appends accumulate
+    kilobyte files; at cluster scale the scan's task-scheduling and footer
+    overhead then dominates the read. Returns the new file count.
+
+    Sizing reads the FILESYSTEM byte total (compressed), not Spark's
+    in-memory estimate, so the output honors the on-disk target.
+    ``sort_within_by`` optionally re-sorts rows within each output file to
+    restore min/max pruning tightness (compose with a z-order key for
+    multi-column skipping). The rewrite is staged to a sibling temp dir and
+    atomically swapped via rename, so a concurrent reader sees old or new
+    files, never a mix.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
