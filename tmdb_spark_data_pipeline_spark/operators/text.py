@@ -291,6 +291,84 @@ def char_entropy_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    *,
+    damping: float = 0.85,
+    iters: int = 3,
+    min_len: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the corpus token
+    co-occurrence graph (adjacent lowercase tokens of ≥ ``min_len`` chars,
+    edge weight = adjacency count, both directions).
+
+    The iterative-DataFrame-computation template next to
+    ``dedup.connected_components``: each of the ``iters`` fixed iterations is
+    one weight-keyed equi-join plus one partial-agg'd groupBy over (node,
+    rank) pairs — document text is touched exactly once to build the edge
+    table; iterations shuffle only node ids and decimals. Fixed iteration
+    count (not convergence-tested) keeps the computation oracle-replayable.
+
+    Determinism contract: rank mass accumulates in ``decimal(38,18)`` with
+    per-contribution rounding at 18 dp, so partial-agg order can't perturb
+    results and an external engine replays them bit-for-bit. Output:
+    (token, rank) — ``top_k`` by rank desc, token asc.
+    """
+    toks = tokens(F.lower(_col(text_col)))
+    base = df.select(F.filter(toks, lambda t: F.length(t) >= min_len).alias("__t"))
+    pairs = F.transform(
+        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("a"), F.get(F.col("__t"), i + 1).alias("b")),
+    )
+    ab = base.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.a").alias("a"), F.col("__p.b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        ab.union(ab.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .persist()  # reused every iteration + degree pass
+    )
+    degrees = edges.groupBy("a").agg(F.sum("w").alias("wout"))
+    nodes = degrees.select(F.col("a").alias("node"), "wout")
+    n = nodes.count()  # scalar: graph size (documented driver-side scalar)
+    # all float arithmetic stays IN-ENGINE (same IEEE ops both engines);
+    # Python's round() is half-even while Spark/DuckDB round half-up, so a
+    # driver-side round here would diverge from the oracle
+    base_mass = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
+
+    ranks = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / F.lit(float(n)), 18).cast("decimal(38,18)").alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(nodes.select(F.col("node").alias("a"), "wout"), "a")
+            .join(ranks.select(F.col("node").alias("a"), "rank"), "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    (F.col("rank").cast("double") * F.col("w") / F.col("wout")), 18
+                ).cast("decimal(38,18)").alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = nodes.select("node").join(summed, "node", "left").select(
+            "node",
+            F.round(
+                base_mass + F.lit(damping) * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                18,
+            ).cast("decimal(38,18)").alias("rank"),
+        )
+    return (
+        ranks.select(F.col("node").alias("token"), F.round(F.col("rank").cast("double"), 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
 def oov_stats(
     df: DataFrame,
     text_col: str,

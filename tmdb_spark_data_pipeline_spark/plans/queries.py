@@ -3784,12 +3784,15 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing operators; only pair IDs ever join."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    jac = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5).select(
-        "id_a", "id_b"
+    # both pair lists are tiny (near-dup suspects only); persist them so the
+    # full-outer join's sort/AQE replanning can't re-evaluate the expensive
+    # producer pipelines
+    jac = (
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+        .select("id_a", "id_b")
+        .persist()
     )
-    cos = similarity.embedding_neardup_pairs(emb, min_cos=0.4).select(
-        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
-    )
+    cos = similarity.embedding_neardup_pairs(emb, min_cos=0.4).select("id_a", "id_b").persist()
     joined = jac.alias("j").join(
         cos.alias("e"),
         (F.col("j.id_a") == F.col("e.id_a")) & (F.col("j.id_b") == F.col("e.id_b")),
@@ -3803,6 +3806,72 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(method.alias("method")).groupBy("method").agg(
         F.count("*").alias("n_pairs")
     )
+
+
+def _textrank_oracle(iters: int = 3) -> str:
+    # chained-CTE replay of the fixed-iteration PageRank (see
+    # text.textrank_keywords determinism contract)
+    head = r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> length(t) >= 3) AS t
+      FROM documents
+    ),
+    ab AS (
+      SELECT (p).a AS a, (p).b AS b FROM (
+        SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))]) AS p
+        FROM toks)
+      WHERE (p).a <> (p).b
+    ),
+    edges AS (
+      SELECT a, b, count(*) AS w FROM (
+        SELECT a, b FROM ab UNION ALL SELECT b, a FROM ab)
+      GROUP BY a, b
+    ),
+    degrees AS (SELECT a, sum(w) AS wout FROM edges GROUP BY a),
+    sc AS (SELECT count(*) AS n FROM degrees),
+    r0 AS (
+      SELECT a AS node,
+             CAST(round(CAST(1.0 AS DOUBLE) / sc.n, 18) AS DECIMAL(38,18)) AS rank
+      FROM degrees CROSS JOIN sc
+    )"""
+    body = ""
+    for it in range(1, iters + 1):
+        prev = f"r{it - 1}"
+        body += f""",
+    c{it} AS (
+      SELECT e.b AS node,
+             CAST(round(CAST(r.rank AS DOUBLE) * e.w / d.wout, 18)
+                  AS DECIMAL(38,18)) AS c
+      FROM edges e JOIN degrees d ON e.a = d.a JOIN {prev} r ON e.a = r.node
+    ),
+    r{it} AS (
+      SELECT d.a AS node,
+             CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / sc.n
+                        + CAST(0.85 AS DOUBLE)
+                          * coalesce(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE)), 18)
+                  AS DECIMAL(38,18)) AS rank
+      FROM degrees d CROSS JOIN sc
+      LEFT JOIN (SELECT node, sum(c) AS s FROM c{it} GROUP BY node) s
+        ON d.a = s.node
+    )"""
+    tail = f"""
+    SELECT node AS token, round(CAST(rank AS DOUBLE), 9) AS rank
+    FROM r{iters}
+    ORDER BY rank DESC, token ASC LIMIT 20
+    """
+    return head + body + tail
+
+
+@query("textrank_keywords_top20", oracle=_textrank_oracle())
+def textrank_keywords_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (``text.textrank_keywords``): 3 fixed
+    PageRank iterations over the token co-occurrence graph, top-20 by rank.
+    The iterative-DataFrame template with a decimal determinism contract —
+    the oracle replays every iteration through chained CTEs and must match
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.textrank_keywords(docs, "text", iters=3, top_k=20)
 
 
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
@@ -3835,6 +3904,7 @@ _SWEEP_FRONT = (
     "hll_mergeable_rollup",
     "capitalized_entities_top20",
     "neardup_method_agreement",
+    "textrank_keywords_top20",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
