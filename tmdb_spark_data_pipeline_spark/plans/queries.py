@@ -3874,6 +3874,48 @@ def textrank_keywords_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.textrank_keywords(docs, "text", iters=3, top_k=20)
 
 
+@query(
+    "event_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 3) OVER w AS c1,
+             lag(event_type, 2) OVER w AS c2,
+             lag(event_type, 1) OVER w AS c3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT c1 || '>' || c2 || '>' || c3 AS context, event_type AS next,
+           count(*) AS n
+    FROM seq WHERE c1 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-dataset builder: 3-gram behavioral contexts → next-event
+    transition counts (the Markov table a next-event model trains on, and
+    the label distribution audit for sequence datasets). One window shuffle
+    keyed by user; the three lags share its sort. Context is serialized as
+    a string so the (context, next) groupBy partial-aggs map-side."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+    ).filter(F.col("c1").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "c1", "c2", "c3").alias("context"), "next"
+        )
+        .groupBy("context", "next")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -3905,6 +3947,7 @@ _SWEEP_FRONT = (
     "capitalized_entities_top20",
     "neardup_method_agreement",
     "textrank_keywords_top20",
+    "event_transition_counts",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
