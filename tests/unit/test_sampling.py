@@ -135,3 +135,27 @@ def test_chunk_by_tokens_rejects_bad_overlap(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_negative_pairs_no_self_and_full_coverage(spark):
+    from tmdb_spark_data_pipeline_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i * 10,) for i in range(7)], ["id"])
+    out = negative_pairs(df, "id", k=3).collect()
+    assert len(out) == 21  # every anchor gets exactly k slots
+    for r in out:
+        assert r.neg_id != r.anchor_id
+        assert r.neg_id in {i * 10 for i in range(7)}
+    # determinism: second run identical
+    again = negative_pairs(df, "id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_needs_two_rows(spark):
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="at least two"):
+        negative_pairs(df, "id")

@@ -126,3 +126,49 @@ def rebalance_quota(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 3,
+    mult: int = 2_654_435_761,
+    step: int = 40_503,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive datasets: for every
+    anchor row, ``k`` pseudo-random partner ids drawn by an affine hash over
+    the row's dense index — reproducible across runs/partitionings (no
+    ``rand()``, which re-draws under task retry), and never the anchor
+    itself.
+
+    Shape: a window ``row_number`` assigns the dense index (one sort by id —
+    at 100 TB this would come from a stored dense id instead), negatives are
+    an ``explode(sequence(1, k))`` projection, and partners resolve through
+    a single equi-join on the index. Output: (anchor id, neg id, slot).
+
+    The affine map ``(idx·mult + slot·step) mod (n-1)`` lands uniformly in
+    [0, n-1); indices ≥ the anchor shift by one, which both removes
+    self-pairs and keeps the distribution uniform over the other n-1 rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).asc())
+    idx = df.select(F.col(id_col)).withColumn("__idx", F.row_number().over(w) - 1)
+    n = idx.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least two rows")
+    anchors = idx.select(
+        F.col(id_col).alias("anchor_id"),
+        "__idx",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+    )
+    raw = F.pmod(
+        F.col("__idx") * F.lit(mult) + F.col("slot").cast("long") * F.lit(step),
+        F.lit(n - 1),
+    )
+    picked = anchors.withColumn(
+        "__neg_idx", F.when(raw >= F.col("__idx"), raw + 1).otherwise(raw)
+    )
+    partners = idx.select(F.col(id_col).alias("neg_id"), F.col("__idx").alias("__neg_idx"))
+    return picked.join(partners, "__neg_idx").select("anchor_id", "neg_id", "slot")
