@@ -369,6 +369,73 @@ def textrank_keywords(
     )
 
 
+def token_kl_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Distribution-shift audit: per-language KL divergence KL(new‖old) of
+    unigram token distributions between two corpus snapshots — the drift
+    alarm a training pipeline runs before mixing a fresh crawl into an
+    established mix (a spike means the new batch's language/domain balance
+    moved).
+
+    Add-one smoothing over the UNION vocabulary makes every term finite.
+    Distributed shape: one token-keyed count per side (map-side partial
+    agg), a full-outer join on (lang, token) — co-partitioned, no text
+    moves — then per-language decimal-summed Σ p·ln(p/q). Per-term values
+    round at 12 dp before the decimal sum (cross-engine determinism, same
+    contract as ``unigram_logprob_stats``).
+
+    Output: (lang, n_tokens_old, n_tokens_new, kl_new_vs_old).
+    """
+
+    def _counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(lang_col).alias("__lang"),
+                F.explode(tokens(F.lower(_col(text_col)))).alias("__w"),
+            )
+            .filter(F.col("__w") != "")
+            .groupBy("__lang", "__w")
+            .agg(F.count("*").alias("__c"))
+        )
+
+    old_c = _counts(old_df).withColumnRenamed("__c", "__co")
+    new_c = _counts(new_df).withColumnRenamed("__c", "__cn")
+    joined = old_c.join(new_c, ["__lang", "__w"], "full_outer").select(
+        "__lang",
+        F.coalesce("__co", F.lit(0)).alias("__co"),
+        F.coalesce("__cn", F.lit(0)).alias("__cn"),
+    )
+    totals = joined.groupBy("__lang").agg(
+        F.sum("__co").alias("__no"),
+        F.sum("__cn").alias("__nn"),
+        F.count("*").alias("__v"),
+    )
+    t = joined.join(totals, "__lang")
+    p_new = (F.col("__cn") + 1).cast("double") / (F.col("__nn") + F.col("__v"))
+    q_old = (F.col("__co") + 1).cast("double") / (F.col("__no") + F.col("__v"))
+    term = p_new * F.log(p_new / q_old)
+    return (
+        t.groupBy("__lang")
+        .agg(
+            F.max("__no").alias("n_tokens_old"),
+            F.max("__nn").alias("n_tokens_new"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(30,12)")).cast("double"), 6
+            ).alias("kl_new_vs_old"),
+        )
+        .select(
+            F.col("__lang").alias(lang_col),
+            "n_tokens_old",
+            "n_tokens_new",
+            "kl_new_vs_old",
+        )
+    )
+
+
 def oov_stats(
     df: DataFrame,
     text_col: str,
