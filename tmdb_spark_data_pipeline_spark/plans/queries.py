@@ -1163,7 +1163,7 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cosine_neardups",
     oracle="""
-    SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+    SELECT id_a, id_b, round(cos, 5) + 0.0 AS cos FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.embedding, b.embedding),
                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -1180,7 +1180,7 @@ def cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``embedding_neardup_pairs(block_col=...)``) is the scale path."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_neardup_pairs(emb, min_cos=0.4)
-    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    return out.select("id_a", "id_b", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query(
@@ -1338,7 +1338,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- cosine in explicit double precision (list_cosine_similarity is
     -- float32, which would flip rounded digits vs Spark's double math)
-    SELECT query_id, neighbor_id, round(cos, 5) AS cos FROM (
+    SELECT query_id, neighbor_id, round(cos, 5) + 0.0 AS cos FROM (
       SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1361,7 +1361,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_bruteforce(q, emb, k=10)
-    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 def _lsh_planes(num_planes: int = 6, dim: int = 64, seed: int = 42) -> list[list[float]]:
@@ -1387,7 +1387,7 @@ def _similarity_lsh_oracle() -> str:
              {bucket} AS bucket
       FROM embeddings
     )
-    SELECT query_id, neighbor_id, round(cos, 5) AS cos FROM (
+    SELECT query_id, neighbor_id, round(cos, 5) + 0.0 AS cos FROM (
       SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1427,7 +1427,7 @@ def similarity_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk_lsh(
         q, emb, k=10, num_planes=6, dim=64, seed=42, multiprobe=True
     )
-    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query("similarity_topk_lsh", oracle=_similarity_lsh_oracle())
@@ -1439,7 +1439,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_lsh(q, emb, k=10, num_planes=6, dim=64, seed=42)
-    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query("similarity_topk_lsh_pruned", oracle=_similarity_lsh_oracle())
@@ -1458,13 +1458,13 @@ def similarity_topk_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.write_lsh_partitioned_corpus(emb, path)
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_lsh_probe(q, path, k=10)
-    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query(
     "cosine_neardups_blocked",
     oracle="""
-    SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+    SELECT id_a, id_b, round(cos, 5) + 0.0 AS cos FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.embedding, b.embedding),
                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -1483,7 +1483,7 @@ def cosine_neardups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in here."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_neardup_pairs(emb, min_cos=0.4, block_col="label")
-    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    return out.select("id_a", "id_b", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query(
@@ -3062,7 +3062,7 @@ def _ivf_oracle() -> str:
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assign a ON a.cell_id = p.cell_id
       WHERE a.vec_id <> p.query_id)
-    SELECT query_id, neighbor_id, round(cos, 5) AS cos FROM (
+    SELECT query_id, neighbor_id, round(cos, 5) + 0.0 AS cos FROM (
       SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -3089,7 +3089,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_ivf(q, emb, k=10, nprobe=3)
-    return out.select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
 @query(
