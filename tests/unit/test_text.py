@@ -121,3 +121,24 @@ def test_char_entropy_uniform_vs_constant(spark):
     assert abs(out[2].char_entropy_bits - 1.0) < 1e-9   # two symbols, uniform
     assert abs(out[3].char_entropy_bits - 2.0) < 1e-9   # four symbols, uniform
     assert out[3].n_chars == 4
+
+
+def test_textrank_empty_and_tiny_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = text.textrank_keywords(empty, "text")
+    assert out.columns == ["token", "rank"] and out.count() == 0
+    tiny = spark.createDataFrame([(1, "alpha beta alpha beta")], ["doc_id", "text"])
+    rows = {r.token: r.rank for r in text.textrank_keywords(tiny, "text").collect()}
+    # symmetric two-node graph: equal ranks, each 0.5
+    assert set(rows) == {"alpha", "beta"}
+    assert abs(rows["alpha"] - 0.5) < 1e-6 and abs(rows["beta"] - 0.5) < 1e-6
+
+
+def test_token_kl_drift_identical_halves_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "a b c d e", "en")], ["doc_id", "text", "lang"]
+    )
+    out = text.token_kl_drift(
+        docs.filter("doc_id = 1"), docs.filter("doc_id = 2"), "text", "lang"
+    ).collect()
+    assert len(out) == 1 and out[0].kl_new_vs_old == 0.0

@@ -334,6 +334,12 @@ def textrank_keywords(
     degrees = edges.groupBy("a").agg(F.sum("w").alias("wout"))
     nodes = degrees.select(F.col("a").alias("node"), "wout")
     n = nodes.count()  # scalar: graph size (documented driver-side scalar)
+    if n == 0:
+        # empty corpus / no qualifying tokens: empty result with the
+        # declared schema (the 1/n seed below would divide by zero)
+        return df.sparkSession.createDataFrame(
+            [], "token string, rank double"
+        )
     # all float arithmetic stays IN-ENGINE (same IEEE ops both engines);
     # Python's round() is half-even while Spark/DuckDB round half-up, so a
     # driver-side round here would diverge from the oracle
