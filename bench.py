@@ -83,6 +83,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
+        q0 = _cpu_jiffies()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         if df.isStreaming:  # pragma: no cover - all declared queries are batch
@@ -90,7 +91,13 @@ def main() -> None:
         else:
             df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        q1 = _cpu_jiffies()
+        q_steal = (
+            f" steal={100.0 * (q1[0] - q0[0]) / max(q1[1] - q0[1], 1):.1f}%"
+            if q0 and q1
+            else ""
+        )
+        print(f"# {name}: {timings[name]:.3f}s{q_steal}", file=sys.stderr)
         del df
         # full JVM GC only after queries that pin executor-side state
         # (checkpoints, streaming state stores, big broadcasts) — a System.gc

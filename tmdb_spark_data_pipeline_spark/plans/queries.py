@@ -4029,6 +4029,36 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source cycle (the second columnar interchange format Spark
+    ships natively): typed round-trip must be lossless, and the ORC reader
+    gets the same predicate-pushdown/column-pruning treatment as parquet.
+    The oracle aggregates the ORIGINAL table — the round-trip is checked by
+    being invisible."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4064,6 +4094,7 @@ _SWEEP_FRONT = (
     "negative_sampling_pairs",
     "token_kl_drift_by_lang",
     "user_value_trend",
+    "orc_roundtrip",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
