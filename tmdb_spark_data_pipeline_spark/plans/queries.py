@@ -4059,6 +4059,37 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_customer_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND substr(a.c_name, 1, 10) = substr(b.c_name, 1, 10)
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: customer-name pairs within edit
+    distance ≤ 2, blocked on the shared 10-char prefix so the equi-join IS
+    the candidate generation (the same blocking discipline as the shingle
+    dedup family — never all-pairs). ``levenshtein`` runs inside codegen on
+    the few candidates only."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("__na"),
+                 F.substring("c_name", 1, 10).alias("__blk"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("__nb"),
+                 F.substring("c_name", 1, 10).alias("__blk"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__na", "__nb").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4095,6 +4126,7 @@ _SWEEP_FRONT = (
     "token_kl_drift_by_lang",
     "user_value_trend",
     "orc_roundtrip",
+    "fuzzy_customer_name_pairs",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
