@@ -4064,23 +4064,33 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-    FROM customer a JOIN customer b
+    FROM (SELECT * FROM customer WHERE c_custkey % 10 = 0) a
+    JOIN (SELECT * FROM customer WHERE c_custkey % 10 = 0) b
       ON a.c_custkey < b.c_custkey
-     AND substr(a.c_name, 1, 10) = substr(b.c_name, 1, 10)
+     AND substr(a.c_name, 15, 4) = substr(b.c_name, 15, 4)
     WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy matching: customer-name pairs within edit
-    distance ≤ 2, blocked on the shared 10-char prefix so the equi-join IS
-    the candidate generation (the same blocking discipline as the shingle
-    dedup family — never all-pairs). ``levenshtein`` runs inside codegen on
-    the few candidates only."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    distance ≤ 2, blocked on a shared name SUFFIX so the equi-join IS the
+    candidate generation (the same blocking discipline as the shingle dedup
+    family — never all-pairs). Blocking-key choice is load-bearing: these
+    names share a constant head (``Customer#0...``), so a prefix block is
+    degenerate — one block containing everything, i.e. the all-pairs join in
+    disguise (measured 300+ s at sf0.1 before the suffix block; entity
+    resolvers block on the DISCRIMINATING part of the key, or on multiple
+    keys). Runs on a deterministic 10% sample; ``levenshtein`` runs inside
+    codegen on the few candidates only."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name")
+    )
     a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("__na"),
-                 F.substring("c_name", 1, 10).alias("__blk"))
+                 F.substring("c_name", 15, 4).alias("__blk"))
     b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("__nb"),
-                 F.substring("c_name", 1, 10).alias("__blk"))
+                 F.substring("c_name", 15, 4).alias("__blk"))
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
