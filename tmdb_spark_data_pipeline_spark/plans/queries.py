@@ -4100,6 +4100,83 @@ def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("window", "sort", "column")
+
+
+@query(
+    "bm25_search_top20",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+    sc AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tk
+      WHERE w IN ('window', 'sort', 'column') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((sc.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / sc.avglen)), 12)
+             AS DECIMAL(30,12)) AS term_score
+      FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN sc
+    )
+    SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the relevance upgrade over the boolean ``search_documents`` surface.
+    One token-keyed pass builds tf/df/doc-length; the two corpus scalars
+    (N, avg length) broadcast; per-term scores round at 12 dp and sum in
+    decimal so ranking is aggregation-order independent. Final top-20 is a
+    ``TakeOrderedAndProject``."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("len"))
+    sc = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    tf = (
+        tk.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 12).cast("decimal(30,12)").alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4137,6 +4214,7 @@ _SWEEP_FRONT = (
     "user_value_trend",
     "orc_roundtrip",
     "fuzzy_customer_name_pairs",
+    "bm25_search_top20",
     # then event-time queries: the round-3 testdata switched events.ts to
     # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
     # the driver's bounded sweep
