@@ -65,6 +65,15 @@ def main() -> None:
         # doesn't inflate query N+1's time. One JVM, 78 queries — without
         # this, heavy queries late in the run measured ~1.7× slower than the
         # same query in a fresh session.
+        #
+        # clearCache drains the JVM CacheManager: operators that persist()
+        # intermediates (LSH buckets, candidate pairs) leave entries behind
+        # that Python GC never releases — cached plans are keyed in the
+        # CacheManager, not reference-tracked. 127 warmup + timed queries of
+        # accumulation measured the round-3 near-dup family 2-3× slower than
+        # the same queries in a clean session (cosine_neardups 6.99 s in-suite
+        # vs 1.6-2.4 s steady-state; verified with tools/probe_suite.py).
+        spark.catalog.clearCache()
         import gc
 
         gc.collect()

@@ -201,3 +201,64 @@ def test_incremental_minhash_new_vs_old_only(corpus):
         if (a in new_ids) != (b in new_ids)
     }
     assert got == expected
+
+
+def test_edit_distance_pairs_known_distances(spark):
+    from pyspark.sql import functions as F
+
+    # Fixed-format names: "X#" + 6 digits. Blocking = the three 2-digit
+    # chunks of the digit span (positions 3/5/7).
+    rows = [
+        (1, "X#000111"),  # vs 2: 1 substitution (last digit)
+        (2, "X#000112"),
+        (3, "X#990112"),  # vs 2: 2 substitutions, BOTH inside the leading
+                          # chunk — lost by any single-suffix block
+        (4, "X#550112"),  # vs 2 and 3: 2 substitutions (leading chunk)
+        (5, "X#123456"),  # ≥3 edits from everything: never reported
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    blocks = [F.substring("name", 3, 2), F.substring("name", 5, 2), F.substring("name", 7, 2)]
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df, "name", "id", blocks, max_dist=2).collect()
+    }
+    # (1,3)/(1,4) are 3 substitutions apart — candidates via the shared
+    # trailing chunks, but the levenshtein verify drops them
+    assert got == {(1, 2): 1, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+
+def test_edit_distance_pairs_pigeonhole_recall(spark):
+    """Every pair within 2 substitution edits must be found (pigeonhole over
+    3 chunks); pairs needing ≥3 edits must be absent."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    def hamming(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+
+    names = [
+        (i, f"X#{d:06d}")
+        for i, d in enumerate([111, 112, 113, 211, 990112, 550112, 123456, 101, 110111])
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    blocks = [F.substring("name", 3, 2), F.substring("name", 5, 2), F.substring("name", 7, 2)]
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df, "name", "id", blocks, max_dist=2).collect()
+    }
+    for (ia, na), (ib, nb) in combinations(names, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        if hamming(na, nb) <= 2:
+            assert (a, b) in got, f"substitution pair {na} {nb} lost by blocking"
+            assert got[(a, b)] == lev(na, nb)
+        if lev(na, nb) > 2:
+            assert (a, b) not in got

@@ -321,3 +321,39 @@ def test_compact_parquet_dir_reduces_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))
+
+
+def test_boilerplate_stats_single_corpus_scan(spark, sf_smoke):
+    # window-count restructure: doc frequency comes from count() OVER
+    # (PARTITION BY shingle), so the scan -> split -> shingle pipeline runs
+    # once — the old groupBy+rejoin shape scanned the corpus twice
+    plan = _plan(queries.boilerplate_exposure(spark, sf_smoke))
+    # one "Location:" line per scan node detail block — the "Scan parquet"
+    # string itself appears twice per node (tree line + detail header)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Window" in plan
+
+
+def test_write_zordered_wide_domain_keeps_range_pruning(spark, tmp_path):
+    """Without a modulus, wide domains reduce by RIGHT-SHIFT (high bits):
+    order-preserving, so each written file covers a near-disjoint range of
+    the raw column and min/max row-group pruning survives. (pmod bucketing
+    would interleave values from the whole domain into every file.)"""
+    import pyspark.sql.functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import layout
+
+    n, bits = 1_000_000, 10
+    df = spark.range(0, n, 997).select(
+        F.col("id").alias("a"), F.lit(7).alias("b"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "zord_wide")
+    layout.write_zordered(df, path, ("a", "b"), bits=bits, num_files=4)
+    back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    spans = back.groupBy("__f").agg(F.min("a").alias("lo"), F.max("a").alias("hi")).collect()
+    assert len(spans) > 1, "need multiple files to test disjointness"
+    shift_granularity = 1 << max(0, (n - 1).bit_length() - bits)
+    ordered = sorted(((r.lo, r.hi) for r in spans))
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        # consecutive files may share at most one shifted bucket
+        assert lo2 >= hi1 - shift_granularity, (ordered, shift_granularity)

@@ -85,15 +85,14 @@ def test_percentile_exact_is_exact(spark):
 
 def test_hll_mergeable_rollup_matches_exact(spark, sf_smoke):
     """Unioned day-sketches must estimate month-level distincts within HLL
-    error (lgK default 12 -> ~1.6% rel. std err)."""
+    error (lgK=14 -> ~0.4% rel. std err); the query's own within_2pct gate
+    must agree with the exact column it ships."""
     from tmdb_spark_data_pipeline_spark.plans.queries import hll_mergeable_rollup
     from tmdb_spark_data_pipeline_spark.sources.io import load_table
     import pyspark.sql.functions as F
 
-    got = {
-        (r.month, r.event_type): r.approx_users
-        for r in hll_mergeable_rollup(spark, sf_smoke).collect()
-    }
+    rows = hll_mergeable_rollup(spark, sf_smoke).collect()
+    got = {(r.month, r.event_type): r for r in rows}
     ev = load_table(spark, sf_smoke, "events")
     exact = {
         (r.month, r.event_type): r.n
@@ -105,5 +104,6 @@ def test_hll_mergeable_rollup_matches_exact(spark, sf_smoke):
         .collect()
     }
     assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+    for k, r in got.items():
+        assert r.n_exact == exact[k], (k, r.n_exact, exact[k])
+        assert r.within_2pct, k

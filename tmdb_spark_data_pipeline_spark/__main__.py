@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from datetime import date as _date
 
@@ -134,23 +135,36 @@ def stage_ingest(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("n_rejected"),
     )
-    sio.write_json(observed.filter(~F.col("success")), f"{data_dir}/quarantine", mode="overwrite")
-    n_total, n_rejected = obs.get["n_total"], obs.get["n_rejected"]
-    rate = (n_rejected or 0) / n_total if n_total else 0.0
-    if rate > config.max_rejection_rate:
-        raise RuntimeError(
-            f"ingest aborted: rejection rate {rate:.2f} exceeds "
-            f"max_rejection_rate {config.max_rejection_rate} "
-            f"({n_rejected}/{n_total} rejected); bronze NOT written, no done-marker"
-        )
-    bronze = results.filter(F.col("success")).select(
-        F.from_json("payload_json", schemas.BRONZE_SCHEMA).alias("m")
-    ).select("m.*")
-    schemas.validate(bronze, schemas.BRONZE_SCHEMA, layer="bronze")
-    bronze = sio.stamp_audit_columns(bronze, run_id=f"run-{run_date}", ingestion_date=run_date)
-    sio.write_parquet(bronze, base, mode="overwrite", partition_by=("ingestion_date",))
-    sio.mark_done(base, run_date)
-    results.unpersist()
+    try:
+        # Quarantine goes to a STAGING path first: the rejection-rate check
+        # below may abort the stage, and an abort must not have destroyed the
+        # previous run's quarantine output (the observe-action needs a write
+        # to fire, so the write cannot simply move after the check).
+        quarantine_dir = f"{data_dir}/quarantine"
+        staging = f"{quarantine_dir}__staging"
+        sio.write_json(observed.filter(~F.col("success")), staging, mode="overwrite")
+        n_total, n_rejected = obs.get["n_total"], obs.get["n_rejected"]
+        rate = (n_rejected or 0) / n_total if n_total else 0.0
+        if rate > config.max_rejection_rate:
+            raise RuntimeError(
+                f"ingest aborted: rejection rate {rate:.2f} exceeds "
+                f"max_rejection_rate {config.max_rejection_rate} "
+                f"({n_rejected}/{n_total} rejected); bronze NOT written, no done-marker"
+            )
+        import shutil
+
+        shutil.rmtree(quarantine_dir, ignore_errors=True)
+        os.rename(staging, quarantine_dir)
+        bronze = results.filter(F.col("success")).select(
+            F.from_json("payload_json", schemas.BRONZE_SCHEMA).alias("m")
+        ).select("m.*")
+        schemas.validate(bronze, schemas.BRONZE_SCHEMA, layer="bronze")
+        bronze = sio.stamp_audit_columns(bronze, run_id=f"run-{run_date}", ingestion_date=run_date)
+        sio.write_parquet(bronze, base, mode="overwrite", partition_by=("ingestion_date",))
+        sio.mark_done(base, run_date)
+    finally:
+        # the abort path must release the cached fetch result too
+        results.unpersist()
     print(f"ingest: wrote {n_total - (n_rejected or 0)} bronze rows, {n_rejected} quarantined")
 
 

@@ -94,9 +94,13 @@ def ngram_jaccard_pairs(
     """Exact near-dup pairs by n-gram Jaccard, blocked on shared shingles.
 
     ``persist_shingles`` defaults OFF here: this entry point shingles the
-    FULL corpus (no candidate restriction), and caching that table measured
-    slower than recomputing the explode for the join's two sides in a busy
-    heap (full-bench context: 3.6 s without vs 7.0 s with). The MinHash
+    FULL corpus (no candidate restriction), so the cached table is O(corpus
+    shingles) — at 100 TB that is a second copy of the tokenized corpus in
+    executor memory/disk for a one-shot saving, while recomputing the explode
+    costs one extra scan of an already-columnar projection. (An earlier
+    in-suite measurement claiming persist was 2× slower was confounded by
+    CacheManager accumulation across the bench sweep — see cache_scope in
+    session.py; clean-session difference is small either way.) The MinHash
     verification path persists its candidate-restricted table instead.
 
     explode(shingles) → self equi-join on shingle → count shared per pair →
@@ -288,6 +292,9 @@ def minhash_lsh_pairs(
     # physical plan: two identical HashAggregate subtrees). The bucket table
     # is ~3 longs × bands per doc (~100 B/doc at bands=32) — persisting it is
     # exactly the artifact a production dedup service materializes anyway.
+    # Cache lifetime is CALLER-owned: wrap the consuming action in
+    # session.cache_scope (or clearCache) — the CacheManager does not release
+    # these entries when the Python objects go away.
     buckets = buckets.persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -618,20 +625,27 @@ def boilerplate_shingle_stats(
 
     The C4/RefinedWeb-style "repeated across the corpus → it's template,
     not content" signal, at shingle granularity (line granularity is the
-    same pipeline with a ``\\n`` split). Two aggregations over the exploded
-    shingle table — doc frequency per shingle, then a per-doc rollup; the
-    shuffle carries (shingle, id) pairs, never documents. The doc-frequency
-    side is Zipf-skewed by construction and safe for the same reason word
-    counting is: partial aggregation collapses each map task's duplicates
-    first.
+    same pipeline with a ``\\n`` split). ONE pass over the corpus: explode
+    shingles, doc-frequency via ``count() OVER (PARTITION BY shingle)``,
+    then the per-doc rollup — two shuffles, one scan, and the shuffle
+    carries (shingle, id) pairs, never documents. (The earlier
+    groupBy-docfreq + rejoin shape computed the scan→split→shingle pipeline
+    twice — Spark reuses no exchange between the agg and join sides because
+    the agg's exchange carries partially-aggregated rows.) Skew note: a
+    corpus-wide boilerplate shingle puts all its (id, shingle) rows in one
+    window partition; the count-only frame streams them (no per-row state
+    beyond the count), and a corpus where single shingles reach billions of
+    docs should pre-aggregate with the groupBy+join shape plus AQE skew-join
+    instead — that variant is one ``persist`` of ``sh`` away.
     """
+    from pyspark.sql import Window
+
     sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
         "__id", F.explode(word_shingles("__t", n)).alias("__s")
     )
-    docfreq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+    with_df = sh.withColumn("__df", F.count("*").over(Window.partitionBy("__s")))
     return (
-        sh.join(docfreq, "__s")
-        .groupBy("__id")
+        with_df.groupBy("__id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(F.when(F.col("__df") >= min_docs, 1).otherwise(0)).alias(
@@ -646,6 +660,63 @@ def boilerplate_shingle_stats(
                 "boilerplate_ratio"
             ),
         )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    blocks: list[Column],
+    *,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Multi-pass blocked entity resolution: pairs with Levenshtein distance
+    ≤ ``max_dist``, where candidate generation is a UNION of equi-joins —
+    one per blocking key in ``blocks`` — and only candidates pay the
+    Levenshtein verify. Output: (id_a, id_b, dist).
+
+    Recall contract (pigeonhole): if the blocking keys partition the
+    *varying* span of the name into ``max_dist + 1`` disjoint segments, any
+    pair within ``max_dist`` SUBSTITUTION edits agrees exactly on at least
+    one segment, so the union of single-key joins finds every such pair —
+    same guarantee as ``simhash_neardup_pairs``'s band blocking.
+    Insertions/deletions shift the tail and can break segment alignment;
+    add a length-insensitive key (e.g. a phonetic code or q-gram sketch) to
+    the pass list when the domain needs indel recall.
+
+    Scale: each pass is a plain equi-join shuffle; block-size skew follows
+    the key distribution (a degenerate key value → one giant block → the
+    all-pairs join in disguise), so choose keys over the DISCRIMINATING part
+    of the name and let AQE's skew-join split stragglers. Candidate pairs
+    may match several keys; ``distinct`` before the verify dedups them.
+    """
+    # blocks are expressions over df's own columns — evaluate them in the
+    # same projection that renames, or they'd dangle after the alias
+    sides = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        *[b.alias(f"__blk{i}") for i, b in enumerate(blocks)],
+    )
+    cand = None
+    for i in range(len(blocks)):
+        a = sides.select(
+            F.col("__id").alias("id_a"), F.col("__name").alias("__na"),
+            F.col(f"__blk{i}").alias("__k"),
+        )
+        b = sides.select(
+            F.col("__id").alias("id_b"), F.col("__name").alias("__nb"),
+            F.col(f"__blk{i}").alias("__k"),
+        )
+        pass_i = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "__na", "__nb"
+        )
+        cand = pass_i if cand is None else cand.unionByName(pass_i)
+    return (
+        cand.distinct()
+        .withColumn("dist", F.levenshtein("__na", "__nb").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )
 
 

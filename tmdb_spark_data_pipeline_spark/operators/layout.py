@@ -75,29 +75,49 @@ def compact_parquet_dir(
     in-memory estimate, so the output honors the on-disk target.
     ``sort_within_by`` optionally re-sorts rows within each output file to
     restore min/max pruning tightness (compose with a z-order key for
-    multi-column skipping). The rewrite is staged to a sibling temp dir and
-    atomically swapped via rename, so a concurrent reader sees old or new
-    files, never a mix.
+    multi-column skipping).
+
+    Swap semantics (POSIX rename, no indirection layer): the rewrite stages
+    to a sibling temp dir, then swaps with two renames — ``path`` →
+    ``path__compact_old`` → new data at ``path``. A reader never sees a MIX
+    of old and new files, but between the two renames ``path`` briefly does
+    not exist (a reader in that window fails and retries); true
+    single-rename atomicity needs a symlink or manifest indirection, which
+    ordinary parquet paths don't have. Crash-safe: a leftover
+    ``__compact_old`` (crash between the renames or before cleanup) is
+    detected on the next run — restored if ``path`` is missing, discarded if
+    ``path`` exists — so no state is stranded.
     """
     import math
     import os
     import shutil
 
+    base = path.rstrip("/")
+    tmp = base + "__compact_tmp"
+    old = base + "__compact_old"
+    # recover from a prior crash: data stranded at __compact_old moves back;
+    # a stale __compact_old next to a live path is post-swap residue
+    if os.path.isdir(old):
+        if not os.path.isdir(base):
+            os.rename(old, base)
+        else:
+            shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in os.walk(base):
         for fn in files:
             if fn.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, fn))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(base)
     out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
+    os.rename(base, old)
+    os.rename(tmp, base)
     shutil.rmtree(old)
     return n_files
 
@@ -109,22 +129,50 @@ def write_zordered(
     *,
     bits: int = 16,
     modulus: int | None = None,
+    domain_max: tuple[int, int] | None = None,
+    num_files: int | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order curve of two columns.
 
     ``repartitionByRange`` on the z-key range-partitions the sort (each task
     sorts its slice — the scalable distributed sort), and the within-partition
     ``sortWithinPartitions`` tightens row-group min/max bounds for BOTH
-    underlying columns. ``modulus`` buckets wide key domains into the
-    interleaved bit budget.
+    underlying columns.
+
+    Wide domains are reduced into the ``bits`` budget by RIGHT-SHIFT (keep
+    the HIGH bits): order-preserving, so min/max row-group pruning on the
+    raw columns survives — the curve's locality lives in the high bits
+    (``zorder_key_n`` docstring). The shift is sized from ``domain_max``
+    (per-column non-negative maxima) or, when omitted, from one cheap
+    max-aggregate over the input (a driver-side scalar; at scale pass
+    ``domain_max`` from table stats instead). ``modulus`` (pmod — keeps the
+    LOW bits) remains for layouts queried ONLY by equality: it spreads
+    hash-like, and values ``m-1``/``m`` land at opposite curve ends, so
+    range pruning on the raw column is lost.
     """
-    m = modulus if modulus is not None else (1 << bits)
-    a = F.pmod(F.col(cols[0]), F.lit(m))
-    b = F.pmod(F.col(cols[1]), F.lit(m))
+    if modulus is not None:
+        a: Column = F.pmod(F.col(cols[0]), F.lit(modulus))
+        b: Column = F.pmod(F.col(cols[1]), F.lit(modulus))
+    else:
+        if domain_max is None:
+            row = df.agg(
+                F.max(F.col(cols[0]).cast("long")).alias("a"),
+                F.max(F.col(cols[1]).cast("long")).alias("b"),
+            ).first()
+            domain_max = (row.a or 0, row.b or 0)
+        shifts = [max(0, int(m).bit_length() - bits) for m in domain_max]
+        a = F.shiftright(F.col(cols[0]).cast("long"), shifts[0])
+        b = F.shiftright(F.col(cols[1]).cast("long"), shifts[1])
     keyed = df.withColumn("__z", zorder_key(a, b, bits=bits))
+    # num_files pins the output file count (e.g. from a compaction target);
+    # default lets AQE size the range partitions from the data
+    ranged = (
+        keyed.repartitionByRange(num_files, "__z")
+        if num_files is not None
+        else keyed.repartitionByRange("__z")
+    )
     (
-        keyed.repartitionByRange("__z")
-        .sortWithinPartitions("__z")
+        ranged.sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)

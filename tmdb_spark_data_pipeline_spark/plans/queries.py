@@ -3416,7 +3416,7 @@ def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     JOIN sizes sa ON new_id = sa.doc_id
     JOIN sizes sb ON old_id = sb.doc_id
-    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.7
     """,
 )
 def minhash_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3424,11 +3424,17 @@ def minhash_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a simulated new batch (doc_id % 10 = 7) against the already-accepted
     corpus, new-vs-old bands only — the continuously-ingesting pipeline
     shape. Exact-verified candidates, checked against the exact cross-corpus
-    Jaccard oracle (same recall argument as ``minhash_neardups``)."""
+    Jaccard oracle. Threshold 0.7, NOT the family's default 0.5: the oracle
+    is exact while the implementation verifies only band-collision
+    candidates, and at (b=32, r=4) a pair at exactly j=0.5 collides with
+    only ~0.88 probability — a data-dependent green. At j≥0.7 the miss
+    probability is ≤1.5e-4 (and every qualifying pair in this corpus has
+    j≥0.88, miss ≈3e-14), so oracle and implementation agree by
+    construction, not by luck (round-3 advisory)."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 7)
     old = docs.filter(F.col("doc_id") % 10 != 7)
-    out = dedup.minhash_lsh_pairs_incremental(old, new, "text", "doc_id")
+    out = dedup.minhash_lsh_pairs_incremental(old, new, "text", "doc_id", min_jaccard=0.7)
     return out.select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -3688,26 +3694,51 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("hll_mergeable_rollup")  # Datasketches HLL — engine-specific, rows-only
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+           count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
+    FROM events GROUP BY month, event_type
+    """,
+)
 def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Datasketches ``hll_sketch_agg`` /
     ``hll_union_agg``): per-day sketches of distinct users roll up to
     per-month estimates by UNIONING the day sketches — the day table is
     computed once and reused forever, never re-scanning events. This is the
     incremental-reporting shape ``approx_count_distinct`` can't express (its
-    estimate is final, not re-aggregatable). Unit-tested against exact
-    distinct counts (±2%); rows-only here: sketch bytes are engine-specific.
+    estimate is final, not re-aggregatable).
+
+    Driver-visible gate: DuckDB can't evaluate Spark's sketch bytes, so the
+    query emits the EXACT per-month distinct count (hash-matched by the
+    oracle) plus ``within_2pct`` — sketch estimate vs exact — which the
+    oracle pins to TRUE; a drifting sketch flips the boolean and fails the
+    hash. lgConfigK=14 keeps HLL relative error ~0.4%, well inside the
+    gate. Unit test additionally pins ±2% per-row at multiple SFs.
     """
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.col("event_type"),
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
     monthly = daily.groupBy(
         F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM").alias("month"),
         "event_type",
     ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
-    return monthly.orderBy("month", "event_type")
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(monthly, ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= 0.02 * F.col("n_exact")
+        ).alias("within_2pct"),
+    )
 
 
 @query(
@@ -4062,41 +4093,52 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_customer_name_pairs",
     oracle="""
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-    FROM (SELECT * FROM customer WHERE c_custkey % 10 = 0) a
-    JOIN (SELECT * FROM customer WHERE c_custkey % 10 = 0) b
-      ON a.c_custkey < b.c_custkey
-     AND substr(a.c_name, 15, 4) = substr(b.c_name, 15, 4)
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0),
+    cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS na, b.c_name AS nb
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 10, 3) = substr(b.c_name, 10, 3)
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 13, 3) = substr(b.c_name, 13, 3)
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3)
+    )
+    SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 2
     """,
 )
 def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy matching: customer-name pairs within edit
-    distance ≤ 2, blocked on a shared name SUFFIX so the equi-join IS the
-    candidate generation (the same blocking discipline as the shingle dedup
-    family — never all-pairs). Blocking-key choice is load-bearing: these
-    names share a constant head (``Customer#0...``), so a prefix block is
-    degenerate — one block containing everything, i.e. the all-pairs join in
-    disguise (measured 300+ s at sf0.1 before the suffix block; entity
-    resolvers block on the DISCRIMINATING part of the key, or on multiple
-    keys). Runs on a deterministic 10% sample; ``levenshtein`` runs inside
-    codegen on the few candidates only."""
+    distance ≤ 2 via ``edit_distance_pairs`` — multi-pass blocking where the
+    union of per-key equi-joins IS the candidate generation (never
+    all-pairs). The 18-char names are ``Customer#`` + 9 digits; the three
+    blocking keys are the 3-digit chunks of the digit span (positions 10/13/
+    16), so by pigeonhole any pair within 2 substitution edits agrees
+    exactly on ≥1 chunk — full recall for the substitution class, unlike the
+    earlier single-suffix block (which silently lost pairs whose edits both
+    fell inside the suffix; round-3 verdict). Key-choice lesson retained: a
+    block on the constant ``Customer#`` head is the all-pairs join in
+    disguise (measured 300+ s at sf0.1); for sequential zero-padded ids the
+    LEADING chunk is near-degenerate too, which is exactly the skew the
+    operator docstring tells callers to hand to AQE's skew-join — real-name
+    domains don't share one key value corpus-wide. Runs on a deterministic
+    10% sample; ``levenshtein`` runs inside codegen on candidates only."""
     c = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 0)
         .select("c_custkey", "c_name")
     )
-    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("__na"),
-                 F.substring("c_name", 15, 4).alias("__blk"))
-    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("__nb"),
-                 F.substring("c_name", 15, 4).alias("__blk"))
-    return (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__na", "__nb").cast("int"))
-        .filter(F.col("dist") <= 2)
-        .select("id_a", "id_b", "dist")
+    return dedup.edit_distance_pairs(
+        c,
+        "c_name",
+        "c_custkey",
+        [F.substring("c_name", 10, 3), F.substring("c_name", 13, 3), F.substring("c_name", 16, 3)],
+        max_dist=2,
     )
 
 

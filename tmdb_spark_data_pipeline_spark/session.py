@@ -22,6 +22,8 @@ correctness parity with a DuckDB oracle:
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -71,3 +73,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def cache_scope(spark: SparkSession) -> Iterator[SparkSession]:
+    """Bound the lifetime of operator-internal ``persist()`` calls.
+
+    Several operators (LSH banding, SimHash buckets, candidate pair tables)
+    persist small intermediates because Spark does not reuse exchanges across
+    self-join sides. Those cache entries live in the JVM CacheManager, which
+    is keyed by logical plan and NOT released when the Python ``DataFrame``
+    is garbage-collected — a long-lived session composing these operators
+    accumulates cache without bound (measured: a 127-query sweep inflated
+    later heavy queries 2-3×). Wrap each unit of work::
+
+        with cache_scope(spark):
+            pairs = minhash_lsh_pairs(df, "text", "doc_id")
+            pairs.write.parquet(out)
+
+    On exit every cached table in the session is dropped. The scope is
+    session-global (Spark has no finer-grained cache namespace), so don't
+    nest scopes around work whose caches must outlive the inner scope.
+    ``bench.py`` applies the same policy by clearing the cache between
+    timed queries.
+    """
+    try:
+        yield spark
+    finally:
+        spark.catalog.clearCache()
