@@ -52,3 +52,36 @@ def test_ingest_aborts_over_rejection_threshold(spark, tmp_path):
         stage_ingest(spark, str(tmp_path), "2026-01-01", strict)
     # abort must leave no done-marker and no bronze output
     assert sio.find_unprocessed(f"{tmp_path}/bronze", ["2026-01-01"]) == ["2026-01-01"]
+
+
+def test_to_pandas_bridge_post_aggregation(spark):
+    """S13 (reference visualization/visualize.py:56-57): the sanctioned
+    pandas bridge — project + toPandas via Arrow, presentation edge only."""
+    from tmdb_spark_data_pipeline_spark.sources.io import to_pandas
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 5)], ["genre", "n"]
+    )
+    pdf = to_pandas(df, cols=("genre", "n"))
+    assert list(pdf.columns) == ["genre", "n"]
+    assert sorted(map(tuple, pdf.itertuples(index=False))) == [("a", 3), ("b", 5)]
+    # projection argument prunes columns before the collect
+    pdf2 = to_pandas(df.withColumn("extra", df.n * 2), cols=("genre",))
+    assert list(pdf2.columns) == ["genre"]
+
+
+def test_stamp_audit_columns(spark):
+    """S14 (reference fetch_movies.py:303-305): run_id + ingestion timestamp
+    stamping, optional partition date."""
+    from tmdb_spark_data_pipeline_spark.sources.io import stamp_audit_columns
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = stamp_audit_columns(df, run_id="run-2024-01-01", ingestion_date="2024-01-01")
+    row = out.first()
+    assert row.run_id == "run-2024-01-01"
+    assert row.ingestion_date == "2024-01-01"
+    assert row.ingestion_timestamp is not None
+    # without a date the partition column is absent (append-only audit stamp)
+    no_date = stamp_audit_columns(df, run_id="r2")
+    assert "ingestion_date" not in no_date.columns
+    assert {"id", "ingestion_timestamp", "run_id"} <= set(no_date.columns)

@@ -262,3 +262,49 @@ def test_edit_distance_pairs_pigeonhole_recall(spark):
             assert got[(a, b)] == lev(na, nb)
         if lev(na, nb) > 2:
             assert (a, b) not in got
+
+
+def test_connected_components_path_and_star(spark):
+    """Pathological shapes for the min-label + pointer-jump loop: a long
+    PATH (worst-case diameter — pure one-hop propagation needs ~n rounds,
+    pointer jumping must finish in O(log n)) and a giant STAR (one hub,
+    max-degree skew — the shape the docstring's large-star/small-star note
+    is about). Labels must be the component minimum for every node."""
+    # path 0-1-2-...-40 plus a disjoint star centered at 100
+    path_edges = [(i, i + 1) for i in range(40)]
+    star_edges = [(100, 100 + i) for i in range(1, 30)]
+    pairs = spark.createDataFrame(path_edges + star_edges, ["id_a", "id_b"])
+    comp = {r.id: r.comp for r in dedup.connected_components(pairs, max_iter=12).collect()}
+    assert all(comp[i] == 0 for i in range(41))
+    assert all(comp[100 + i] == 100 for i in range(30))
+    # two components, no cross-contamination
+    assert len(set(comp.values())) == 2
+
+
+def test_shingle_containment_asymmetric(spark):
+    """A short doc fully quoted inside a long doc: containment(short in
+    long) = 1.0 while Jaccard is low; the reverse direction must NOT
+    qualify. Unrelated docs never pair."""
+    quoted = "alpha beta gamma delta epsilon"
+    long_doc = quoted + " plus lots of extra framing words around the quote body here"
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, long_doc), (3, "totally different content altogether now")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in dedup.shingle_containment_pairs(
+            docs, "text", "doc_id", n=3, min_containment=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # the long doc is NOT contained in the quote
+    assert all(3 not in pair for pair in out)
+    # sanity: the same pair is far below a 0.9 JACCARD (subset, not twin)
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, min_jaccard=0.9
+        ).collect()
+    }
+    assert (1, 2) not in jac

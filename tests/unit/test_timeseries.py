@@ -84,3 +84,27 @@ def test_change_intervals_same_ts_tiebreak(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "state", "id"])
     out = {r.state: (r.valid_to is None) for r in timeseries.change_intervals(df, ("k",), "ts", "state", tiebreak="id").collect()}
     assert out == {"a": False, "b": True}  # a closed by b; b current
+
+
+def test_rolling_zscore_flags_known_outlier(spark):
+    """Stable baseline then a spike: z = (spike - mean) / std over the
+    PRECEDING window only (self-exclusive — the spike can't mask itself);
+    cold-start rows (fewer than min_obs preceding) get NULL z."""
+    import pyspark.sql.functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, i, float(10 + (i % 2))) for i in range(12)]  # 10,11 alternating
+    rows.append((1, 12, 100.0))  # spike
+    df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+    out = {r.seq: r.z for r in rolling_zscore(
+        df, "user_id", ("seq",), "value", window=20, min_obs=10
+    ).collect()}
+    assert out[0] is None and out[9] is None  # cold start: 0..9 lack 10 priors
+    assert out[10] is not None and abs(out[10]) < 2  # in-distribution
+    assert out[12] > 3  # the spike flags
+    # exact value: mean of 12 alternating obs = 10.5, std = sqrt(3/11)
+    import math
+
+    exp = (100.0 - 10.5) / math.sqrt((12 * 0.25) / 11)
+    assert abs(out[12] - exp) < 1e-6

@@ -663,6 +663,47 @@ def boilerplate_shingle_stats(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_containment: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where document A's
+    shingle set is (almost) contained in document B's —
+    ``|A∩B| / |A| ≥ min_containment`` → ``(contained_id, container_id,
+    containment)``.
+
+    Jaccard misses subset relationships (a paragraph quoted inside a much
+    longer page scores low), but for training-data hygiene the CONTAINED
+    side is exactly what gets dropped: its content contributes nothing the
+    container doesn't already. Same blocking discipline as
+    ``ngram_jaccard_pairs`` — the shingle equi-join IS the candidate
+    generation, only the contained side's size normalizes the count, and
+    both orientations fall out of one join (the pair row count is 2× the
+    Jaccard form's, the shuffle still carries (shingle, id) pairs only).
+    """
+    sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id", F.explode(word_shingles("__t", n)).alias("__s")
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") != F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("contained_id"), F.col("b.__id").alias("container_id"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("contained_id"), F.col("__sz").alias("__sza"))
+    return (
+        shared.join(sa, "contained_id")
+        .withColumn("containment", F.col("__shared") / F.col("__sza"))
+        .filter(F.col("containment") >= min_containment)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     name_col: str,

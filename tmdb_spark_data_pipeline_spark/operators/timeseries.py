@@ -143,3 +143,49 @@ def hourly_gap_filled(
     return gap_fill(
         agg, keys, "bucket", grid, zero_cols=("n_events",), ffill_cols=("hour_total",)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    *,
+    window: int = 20,
+    min_obs: int = 10,
+) -> DataFrame:
+    """Per-key rolling z-score of ``value_col`` against the PRECEDING
+    ``window`` observations (the current row excluded — a self-exclusive
+    baseline, so an outlier can't mask itself) — the streaming-friendly
+    anomaly/feature signal a monitoring or feature-engineering pipeline
+    computes per entity.
+
+    Determinism contract (DuckDB-oracle parity): the rolling mean/variance
+    come from DECIMAL(30,6) windowed sums of value and value², so the window
+    aggregates are bit-identical in any engine regardless of accumulation
+    order; only the final scalar arithmetic is double. ``order_cols`` must
+    be a total order per key (include a unique id) or frame contents are
+    engine-dependent. Rows with fewer than ``min_obs`` preceding
+    observations get NULL z (cold start).
+
+    One window pass per key — a single hash-partition shuffle on the key;
+    skew bound = events per entity. Adds column ``z``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    dv = F.col(value_col).cast("decimal(30,6)")
+    dv2 = (F.col(value_col) * F.col(value_col)).cast("decimal(30,6)")
+    n = F.count(dv).over(w)
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum(dv2).over(w).cast("double")
+    nn = n.cast("double")
+    mean = s1 / nn
+    var = (s2 - (s1 * s1) / nn) / (nn - F.lit(1.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (n >= min_obs) & (std > 0), (F.col(value_col) - mean) / std
+    )
+    return df.withColumn("z", z)

@@ -4219,6 +4219,128 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "containment_neardups",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS sc
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT contained_id, container_id,
+           round(sc * 1.0 / sizes.sz, 6) AS containment
+    FROM shared JOIN sizes ON contained_id = sizes.doc_id
+    WHERE sc * 1.0 / sizes.sz >= 0.9
+    """,
+)
+def containment_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (``dedup.shingle_containment_pairs``):
+    ordered pairs where ≥90% of the contained doc's shingles appear in the
+    container — the quote/subset relationship Jaccard under-scores (a
+    paragraph inside a long page has low Jaccard but full containment).
+    Training-data hygiene drops the CONTAINED side; the shingle equi-join is
+    the blocking, as in the Jaccard family."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.shingle_containment_pairs(docs, "text", "doc_id", n=3, min_containment=0.9)
+    return out.select(
+        "contained_id", "container_id", F.round("containment", 6).alias("containment")
+    )
+
+
+@query(
+    "neardup_dedup_apply",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS component_id
+      FROM reach GROUP BY s)
+    SELECT d.lang, count(*) AS n_docs_kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component_id)
+    GROUP BY d.lang
+    """,
+)
+def neardup_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup application: near-dup pairs → connected components →
+    drop every doc that is not its cluster's canonical (minimum-id)
+    representative → surviving corpus counts per language. The composition a
+    production pipeline actually ships (``neardup_components`` is the
+    decision table; this query ACTS on it). The drop list is tiny (near-dup
+    non-representatives only) so the anti-join broadcasts; the corpus is
+    never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("doc_id"))
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs_kept"))
+
+
+@query(
+    "event_value_anomalies",
+    oracle="""
+    WITH z AS (
+      SELECT event_id, user_id, value,
+             count(CAST(value AS DECIMAL(30,6))) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - s1 / n) / sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1.0), 0.0)), 6) + 0.0 AS z
+    FROM z
+    WHERE n >= 10
+      AND sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1.0), 0.0)) > 0
+      AND abs((value - s1 / n) / sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1.0), 0.0))) > 3.0
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly detection (``timeseries.rolling_zscore``):
+    each event's value scored against the mean/std of that user's previous
+    ≤20 events (self-exclusive frame), |z| > 3 flagged. The monitoring /
+    feature-engineering signal computed per entity in one key-partitioned
+    window pass. Decimal windowed sums make the aggregates
+    accumulation-order independent, so the double z is reproducible
+    bit-for-bit against the SQL oracle."""
+    ev = _t(spark, sf_dir, "events")
+    scored = timeseries.rolling_zscore(
+        ev, "user_id", ("ts", "event_id"), "value", window=20, min_obs=10
+    )
+    return scored.filter(F.abs(F.col("z")) > 3.0).select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4227,67 +4349,68 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-3 priority: the three entries that fell past round 2's cap, then
-    # the round-3 additions — none has a driver CORRECTNESS row yet
-    "important_brand_value",
-    "customer_distribution",
-    "forecast_revenue_change",
-    "unigram_logprob_scores",
-    "char_entropy_scores",
-    "kmeans_cluster_profile",
-    "event_value_percentiles",
-    "scd2_event_intervals",
-    "asof_purchase_next_click",
-    "minhash_incremental_neardups",
-    "stream_static_enrich",
-    "zorder_key_sample",
-    "grouping_sets_revenue",
-    "decontaminated_counts",
-    "stream_dedup_watermarked",
-    "grouped_topn_ties",
-    "quality_percentile_calibration",
-    "hll_mergeable_rollup",
-    "capitalized_entities_top20",
-    "neardup_method_agreement",
-    "textrank_keywords_top20",
-    "event_transition_counts",
-    "negative_sampling_pairs",
-    "token_kl_drift_by_lang",
-    "user_value_trend",
-    "orc_roundtrip",
+    # round-4 priority: NEW queries (no driver row yet) and queries whose
+    # implementation or oracle CHANGED this round (fuzzy rewrite, HLL gate,
+    # incremental-minhash threshold, boilerplate single-scan) need fresh
+    # driver rows first; then staleness order — the 40 queries last
+    # driver-verified in round 1, then round 2's 37 (round 3's 50 are the
+    # freshest and rotate behind them; rows-only entries sink within each
+    # tier since their check is weakest). Built from the union of
+    # CORRECTNESS_r01-r03.
+    "containment_neardups",
+    "neardup_dedup_apply",
+    "event_value_anomalies",
     "fuzzy_customer_name_pairs",
-    "bm25_search_top20",
-    # then event-time queries: the round-3 testdata switched events.ts to
-    # TIMESTAMP_NTZ, so re-verifying these is the next-most-valuable use of
-    # the driver's bounded sweep
-    "sessionization",
-    "user_running_totals",
-    "events_hourly",
-    "events_sliding",
-    "events_sessions",
-    "stream_hourly",
-    "stream_sliding",
-    "stream_dedup_counts",
-    "stream_stream_join",
-    "asof_purchase_last_click",
-    "range_join_click_context",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "hourly_gap_filled_series",
-    "rolling_7day_revenue",
-    "top_supplier_by_quarter",
-    "pivot_event_types",
-    # remaining slots: green in earlier rounds, rotated for re-verification
-    "token_counts_bpe",
-    "language_id",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_pruned",
+    "hll_mergeable_rollup",
+    "minhash_incremental_neardups",
+    "boilerplate_exposure",
+    "scan_filter_project",
+    "derived_metrics",
+    "cleaning_normalize",
+    "dedup_by_key",
+    "top_orders_by_price",
+    "bottom_orders_by_price",
+    "grouped_topn",
+    "pricing_summary",
+    "orders_priority_agg",
+    "orders_by_year",
+    "franchise_style_agg",
+    "rollup_lineitem",
+    "cube_lineitem",
+    "distinct_parts_per_flag",
+    "having_big_customers",
+    "revenue_by_region",
+    "shipping_priority",
+    "supplier_revenue_by_nation",
+    "promo_revenue_pct",
+    "customers_without_orders",
+    "customer_order_counts",
+    "left_join_nation_counts",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "word_counts_top20",
+    "search_documents",
+    "nested_hof_orders",
+    "json_extract_props",
+    "dedup_exact_by_source",
+    "ngram_jaccard_neardups",
+    "minhash_neardups",
+    "cosine_neardups",
+    "text_stats",
+    "doc_fingerprints",
+    "lang_stopword_stats",
+    "doc_quality_scores",
+    "approx_distinct_parts",
+    "simhash_fingerprints",
+    "simhash_neardups",
+    "similarity_topk_multiprobe",
     "cosine_neardups_blocked",
-    "partitioned_roundtrip",
+    "embedding_stats",
+    "multimodal_payload_stats",
+    "multimodal_features",
     "json_roundtrip",
-    "stream_dedup_counts",
-    "stream_stream_join",
+    "partitioned_roundtrip",
     "hash_split_counts",
     "stratified_sample_docs",
     "source_quota_rebalance",
@@ -4296,43 +4419,27 @@ _SWEEP_FRONT = (
     "neardup_components",
     "profile_documents",
     "salted_fact_join",
-    "similarity_topk_multiprobe",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
     "small_quantity_revenue",
     "repetition_scores",
-    "boilerplate_exposure",
     "benchmark_contamination",
     "csv_roundtrip",
-    "hourly_gap_filled_series",
     "quality_deciles",
-    "rolling_7day_revenue",
     "disjunctive_part_revenue",
     "idle_customer_balances",
     "asia_market_share_by_year",
     "tfidf_top_terms",
     "order_price_histogram",
-    "top_supplier_by_quarter",
     "chunk_sliding_windows",
     "bigram_merge_candidates",
-    "embedding_stats",
-    "multimodal_payload_stats",
-    "multimodal_features",
-    "sessionization",
-    # round-2 additions, most novel shapes first (anything past the cap
-    # rotates into the next round's prefix once earlier entries go green)
-    "similarity_topk_ivf",
-    "embedding_quantization",
-    "vocab_coverage_oov",
-    "waiting_supplier_orders",
+    "order_priority_exists",
     "volume_shipping",
     "product_type_profit",
     "returned_items_report",
     "large_volume_customers",
-    "order_priority_exists",
-    "important_brand_value",
-    "customer_distribution",
-    "forecast_revenue_change",
+    "waiting_supplier_orders",
+    "similarity_topk_ivf",
+    "embedding_quantization",
+    "vocab_coverage_oov",
 )
 
 
