@@ -308,3 +308,45 @@ def test_shingle_containment_asymmetric(spark):
         ).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_duplicate_chunk_stats_drops_shared_spans(spark):
+    # ten-token span shared verbatim by docs 1 and 2; doc 3 fully unique.
+    span = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, span + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, span + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_chunk_stats(
+            df, "text", "doc_id", chunk_tokens=10, max_occurrences=1
+        ).collect()
+    }
+    # docs 1/2: 2 chunks each, the shared first chunk dropped, the unique tail kept
+    for d in (1, 2):
+        assert out[d].total_chunks == 2 and out[d].kept_chunks == 1
+        assert out[d].total_tokens == 20 and out[d].kept_tokens == 10
+        assert out[d].kept_ratio == 0.5
+    # doc 3: single unique chunk survives whole
+    assert out[3].kept_chunks == 1 and out[3].kept_ratio == 1.0
+
+
+def test_duplicate_chunk_stats_occurrence_threshold(spark):
+    # max_occurrences=2 tolerates a doubled span, still drops a tripled one
+    span = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(i, span) for i in (1, 2)] + [(3, "k l m n o p q r s t")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.kept_chunks
+        for r in dedup.duplicate_chunk_stats(
+            df, "text", "doc_id", chunk_tokens=10, max_occurrences=2
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # doubled span within tolerance

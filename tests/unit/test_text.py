@@ -142,3 +142,21 @@ def test_token_kl_drift_identical_halves_zero(spark):
         docs.filter("doc_id = 1"), docs.filter("doc_id = 2"), "text", "lang"
     ).collect()
     assert len(out) == 1 and out[0].kl_new_vs_old == 0.0
+
+
+def test_pmi_collocations_ranks_bound_pair_over_glue(spark):
+    # "san francisco" always co-occur; "the" pairs with everything (glue).
+    rows = [(i, "the city of san francisco is near the bay area") for i in range(5)]
+    rows += [(100 + i, "the weather in san francisco is foggy in the bay") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.pmi_collocations(df, "text", "doc_id", min_count=5, top_k=20).collect()
+    pmi = {(r.a, r.b): r.pmi for r in out}
+    assert ("san", "francisco") in pmi
+    # perfectly-bound pairs score ln(T^2/(n·B)): the RARER bound pair ranks
+    # higher ("city of", n=5, beats "san francisco", n=10) — the defining
+    # PMI behavior (frequency top-k would invert it)
+    assert pmi[("city", "of")] > pmi[("san", "francisco")] > 0
+    # glue pairs ("the" attaches to everything) score strictly lower than
+    # any perfectly-bound pair despite equal-or-higher frequency
+    glue = [v for (a, b), v in pmi.items() if a == "the" or b == "the"]
+    assert glue and all(v < pmi[("san", "francisco")] for v in glue)

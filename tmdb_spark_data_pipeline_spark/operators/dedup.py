@@ -663,6 +663,73 @@ def boilerplate_shingle_stats(
     )
 
 
+def duplicate_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 10,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Sub-document exact dedup (the C4 "repeated three-sentence span" rule
+    at token-window granularity): split each document into NON-overlapping
+    ``chunk_tokens``-token windows, count each chunk's occurrences
+    corpus-wide, and drop every chunk occurring more than
+    ``max_occurrences`` times → per-document surviving stats
+    ``(id, total_chunks, kept_chunks, total_tokens, kept_tokens,
+    kept_ratio)``.
+
+    Document-level dedup (``dedup_exact``) misses the common real-world
+    case — distinct pages sharing duplicated spans (syndicated paragraphs,
+    licence blocks, quoted threads); this is the finer-grained filter that
+    C4/RefinedWeb actually ship. One corpus scan: chunk via
+    ``packing.chunk_by_tokens`` (overlap=0 → exact partition of the token
+    stream), occurrence count via ``count() OVER (PARTITION BY digest)`` —
+    the single-scan window shape proven in ``boilerplate_shingle_stats`` —
+    then the per-doc rollup. The window shuffle carries
+    ``(id, n_tokens, sha2-digest)``, never chunk text; a pathological chunk
+    repeated across billions of docs streams through the count-only frame
+    (no per-row state), same skew posture as boilerplate stats.
+    """
+    from pyspark.sql import Window
+
+    from .packing import chunk_by_tokens
+
+    chunks = chunk_by_tokens(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        max_tokens=chunk_tokens,
+        overlap=0,
+    ).select(
+        "__id",
+        F.col("chunk_tokens").alias("__ct"),
+        F.sha2(F.col("chunk_text"), 256).alias("__dig"),
+    )
+    occ = chunks.withColumn("__occ", F.count("*").over(Window.partitionBy("__dig")))
+    kept = F.when(F.col("__occ") <= max_occurrences, F.lit(1)).otherwise(F.lit(0))
+    return (
+        occ.groupBy("__id")
+        .agg(
+            F.count("*").alias("total_chunks"),
+            F.sum(kept).cast("long").alias("kept_chunks"),
+            F.sum("__ct").cast("long").alias("total_tokens"),
+            F.sum(kept * F.col("__ct")).cast("long").alias("kept_tokens"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "total_chunks",
+            "kept_chunks",
+            "total_tokens",
+            "kept_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(F.col("kept_tokens") / F.col("total_tokens"), 6),
+            ).alias("kept_ratio"),
+        )
+    )
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     text_col: str,

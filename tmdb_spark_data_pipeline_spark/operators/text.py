@@ -496,3 +496,64 @@ def oov_stats(
         )
         .select(F.col("__lang").alias(lang_col), "n_docs", "avg_oov_rate")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the ``top_k``
+    adjacent token pairs whose co-occurrence most exceeds chance —
+    ``pmi = ln( p(a,b) / (p(a)·p(b)) )`` with pair probability over the
+    bigram total and word probabilities over the unigram total. The classic
+    phrase detector (word2vec-style "new_york" merging); raw frequency
+    (``adjacent_pairs`` → ``bigram_merge_candidates``) surfaces common
+    glue words, PMI surfaces *bound* pairs.
+
+    Two partial-agg'd counting passes over the exploded corpus (unigrams,
+    bigrams), two scalar totals broadcast via the house crossJoin pattern,
+    then the pair table joins the unigram table twice on the word key. The
+    unigram table is vocabulary-sized (Zipf: ~10^6 rows at any corpus
+    scale), so both lookups broadcast and the only real shuffles are the
+    two counting aggs. ``min_count`` drops the noise tail BEFORE the joins
+    (PMI of hapax pairs is degenerate — maximal for any 1-count pair).
+    The log's argument is assembled with an explicit multiply/divide shape
+    mirrored verbatim in the SQL oracle so the rounded double reproduces
+    bit-for-bit.
+    """
+    uni = df.select(F.explode(tokens(F.lower(_col(text_col)))).alias("__w")).filter(
+        F.col("__w") != ""
+    )
+    uc = uni.groupBy("__w").agg(F.count("*").alias("__n_w"))
+    t_total = uni.groupBy().agg(F.count("*").alias("__t"))
+    pairs = adjacent_pairs(df, text_col, id_col)
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    b_total = pairs.groupBy().agg(F.count("*").alias("__b"))
+    ua = uc.select(F.col("__w").alias("a"), F.col("__n_w").alias("__n_a"))
+    ub = uc.select(F.col("__w").alias("b"), F.col("__n_w").alias("__n_b"))
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__b"))
+        / ((F.col("__n_a") / F.col("__t")) * (F.col("__n_b") / F.col("__t")))
+    )
+    return (
+        pc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )

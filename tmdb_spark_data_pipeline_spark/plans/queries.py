@@ -4341,6 +4341,352 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_dedup_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS t
+      FROM documents),
+    meta AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 10 THEN 1
+                  ELSE CAST(ceil((len(t)-10)/10.0) AS INTEGER)+1 END AS n_chunks
+      FROM tok),
+    c AS (SELECT doc_id, t, n,
+                 CAST(unnest(generate_series(0, n_chunks-1)) AS INTEGER) AS chunk_id
+          FROM meta),
+    ch AS (SELECT doc_id, chunk_id,
+                 len(list_slice(t, chunk_id*10+1, least(chunk_id*10+10, n))) AS ctoks,
+                 array_to_string(list_slice(t, chunk_id*10+1, least(chunk_id*10+10, n)), ' ') AS ctext
+           FROM c),
+    occ AS (SELECT doc_id, ctoks, count(*) OVER (PARTITION BY ctext) AS n_occ FROM ch)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(sum(CASE WHEN n_occ<=1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(sum(ctoks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_occ<=1 THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           round(sum(CASE WHEN n_occ<=1 THEN ctoks ELSE 0 END) * 1.0 / sum(ctoks), 6)
+             AS kept_ratio
+    FROM occ GROUP BY doc_id
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (``dedup.duplicate_chunk_stats``): C4's
+    "drop any span occurring more than once in the corpus" rule at
+    10-token-window granularity — per-document total vs surviving
+    chunk/token counts. Document-level dedup can't see distinct pages
+    sharing syndicated spans; this is the filter that actually removes
+    them. Non-vacuous at sf0.01: 96/500 documents lose chunks. One corpus
+    scan (chunk → digest → ``count() OVER (PARTITION BY digest)``), the
+    window shuffle carries 32-B digests, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_chunk_stats(
+        docs, "text", "doc_id", chunk_tokens=10, max_occurrences=1
+    )
+
+
+@query(
+    "pmi_collocations_top20",
+    oracle=r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM tok),
+    uni2 AS (SELECT w FROM uni WHERE w <> ''),
+    uc AS (SELECT w, count(*) AS n_w FROM uni2 GROUP BY w),
+    tt AS (SELECT count(*) AS t_total FROM uni2),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    pc AS (SELECT a, b, count(*) AS n_pair FROM pairs GROUP BY a, b
+           HAVING count(*) >= 5),
+    bt AS (SELECT count(*) AS b_total FROM pairs)
+    SELECT a, b, n_pair,
+           round(ln((n_pair / b_total)
+                    / ((ua.n_w / t_total) * (ub.n_w / t_total))), 6) AS pmi
+    FROM pc
+    JOIN uc ua ON ua.w = pc.a
+    JOIN uc ub ON ub.w = pc.b, tt, bt
+    ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def pmi_collocations_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (``text.pmi_collocations``): top-20 adjacent
+    token pairs by pointwise mutual information — the word2vec-style phrase
+    detector. Frequency top-20 (``bigram_merge_candidates``) surfaces glue
+    words; PMI surfaces pairs *bound* to each other. Two counting shuffles;
+    the vocabulary-sized unigram table broadcasts into both lookups; the
+    log argument's multiply/divide shape is mirrored verbatim in the oracle
+    for bit-stable rounded doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=20)
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '1999-01-01') AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT monetary,
+             ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(sum(CAST(monetary AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+             AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency / frequency /
+    monetary over purchasing customers (``ntile(4)`` with a custkey
+    tiebreak → fully deterministic bucket assignment), rolled up to segment
+    sizes + average spend. The fact scan aggregates to one row per customer
+    BEFORE any window — the global ntile sorts the customer dim, never the
+    fact table. At warehouse scale the exact global quartile is the
+    documented cost (single-partition sort of ~|customers| 3-column rows);
+    the bounded-memory twin is bucketing against broadcast
+    ``percentile_approx`` cutoffs, traded away here so the oracle can pin
+    exact quartile semantics."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1999-01-01"), F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        _dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        (_dsum(F.col("monetary")) / F.count("*")).alias("avg_monetary"),
+    )
+
+
+@query(
+    "approx_percentile_gate",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory quantile sketch with a driver-visible accuracy gate
+    (the ``hll_mergeable_rollup`` pattern for quantiles): exact grouped
+    p50/p95 (hash-matched by the oracle) alongside ``percentile_approx``
+    at accuracy 10000, gated on RANK error — the guarantee the GK sketch
+    actually makes (the returned value's rank within ±ε of the target;
+    value-space tolerance is meaningless where the tail is sparse). The
+    gate recomputes each approx value's true rank with exact integer
+    counts (``count(v < a)/n ≤ q + ε`` and ``count(v ≤ a)/n ≥ q − ε``,
+    ε = 0.005 ≫ the sketch's 1/accuracy), so the booleans are
+    deterministic at every SF; a drifting sketch flips them and fails the
+    hash. Two passes by construction (the rank audit needs the sketch
+    output); both are partial-agg'd shuffles on (event_type) and the
+    second carries only the 5-row sketch table as a broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.5D)").alias("__e50"),
+        F.expr("percentile(value, 0.95D)").alias("__e95"),
+        F.percentile_approx("value", 0.5, 10000).alias("__a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("__a95"),
+    )
+    ranks = (
+        ev.join(F.broadcast(agg.select("event_type", "__a50", "__a95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("__a50")).cast("long")).alias("__lt50"),
+            F.sum((F.col("value") <= F.col("__a50")).cast("long")).alias("__le50"),
+            F.sum((F.col("value") < F.col("__a95")).cast("long")).alias("__lt95"),
+            F.sum((F.col("value") <= F.col("__a95")).cast("long")).alias("__le95"),
+        )
+    )
+    eps = 0.005
+
+    def rank_ok(lt, le, q):
+        n = F.col("n_events")
+        return (F.col(lt) / n <= q + eps) & (F.col(le) / n >= q - eps)
+
+    return agg.join(ranks, "event_type").select(
+        "event_type",
+        "n_events",
+        F.round("__e50", 6).alias("p50_exact"),
+        F.round("__e95", 6).alias("p95_exact"),
+        rank_ok("__lt50", "__le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("__lt95", "__le95", 0.95).alias("p95_rank_ok"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH kc AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM kc)
+    SELECT key, n,
+           round(n * 1.0 / total, 6) AS share,
+           round(n * n_keys * 1.0 / total, 4) AS skew_ratio
+    FROM kc, tot
+    ORDER BY n DESC, key ASC LIMIT 20
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the 20 heaviest join/agg keys with their
+    frequency share and skew ratio (observed count ÷ uniform expectation) —
+    the audit run BEFORE choosing a salting factor or trusting AQE's
+    skew-join split (``salted_fact_join`` is the remediation this measures
+    for). One partial-agg'd count shuffle carrying (key, count); scalar
+    totals broadcast; top-20 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    tot = kc.groupBy().agg(
+        F.sum("n").cast("long").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("__n_keys") / F.col("__total"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "source_mixture_weights",
+    oracle=r"""
+    WITH st AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS k FROM st)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / total, 6) AS token_share,
+           round(least(total * 1.0 / (k * n_tokens), 3.0), 6) AS mixture_weight
+    FROM st, tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token shares and the
+    sampling weight that moves the mix toward uniform-over-sources
+    (``weight = target_share / observed_share``, capped at 3.0 so a tiny
+    source is never oversampled into memorization) — the table a data-mix
+    sweep feeds into the sampler. One partial-agg'd count shuffle over
+    (source); scalar totals broadcast. The weights multiply per-document
+    sampling probabilities downstream (``sampling.rebalance_quota`` is the
+    hard-cap sibling)."""
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(packing.whitespace_token_count(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    tot = st.groupBy().agg(
+        F.sum("n_tokens").cast("long").alias("__total"), F.count("*").alias("__k")
+    )
+    return st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+        F.round(
+            F.least(
+                F.col("__total") / (F.col("__k") * F.col("n_tokens")), F.lit(3.0)
+            ),
+            6,
+        ).alias("mixture_weight"),
+    )
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '5 minutes' AND c.ts < p.ts
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution query where
+    unmatched purchases must still emit (with null click) once the
+    watermark proves no qualifying click can arrive. The state-eviction
+    semantics ``stream_stream_join`` (inner) never exercises: outer rows
+    materialize only when the watermark passes the purchase's join window,
+    driven here by the no-data micro-batch after the bounded source drains.
+    The week-bound filter sits after the watermark node, so late-January
+    events still advance the watermark past every bounded purchase. Green
+    iff the emitted pairs equal the batch LEFT JOIN."""
+    import os
+
+    from ..streaming import replay_events_pair
+
+    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
+        p = (
+            s1.filter(F.col("ts") < "2024-01-08")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_event_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        c = (
+            s2.filter(F.col("ts") < "2024-01-08")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_event_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        cond = (
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        return p.join(c, cond, "left_outer").select("p_event_id", "c_event_id")
+
+    return replay_events_pair(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_left_join_mem",
+        output_mode="append",
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4357,6 +4703,13 @@ _SWEEP_FRONT = (
     # freshest and rotate behind them; rows-only entries sink within each
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
+    "chunk_dedup_stats",
+    "pmi_collocations_top20",
+    "rfm_segments",
+    "approx_percentile_gate",
+    "key_skew_profile",
+    "source_mixture_weights",
+    "stream_stream_left_join",
     "containment_neardups",
     "neardup_dedup_apply",
     "event_value_anomalies",
