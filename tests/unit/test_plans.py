@@ -357,3 +357,14 @@ def test_write_zordered_wide_domain_keeps_range_pruning(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         # consecutive files may share at most one shifted bucket
         assert lo2 >= hi1 - shift_granularity, (ordered, shift_granularity)
+
+
+def test_chunk_dedup_single_corpus_scan(spark, sf_smoke):
+    # same single-scan contract as boilerplate stats: occurrence counts come
+    # from count() OVER (PARTITION BY digest), so the scan -> tokenize ->
+    # chunk pipeline runs once, and the window shuffle carries digests, not
+    # chunk text
+    plan = _plan(queries.chunk_dedup_stats(spark, sf_smoke))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Window" in plan
+    assert "chunk_text" not in plan.split("Exchange")[-1]
