@@ -117,3 +117,25 @@ def test_asof_unmatched_left_rows_survive_with_nulls(spark):
     out = joins.asof_join(left, right, on="k", left_time="ts", right_time="ts")
     row = out.select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid")).first()
     assert (row.lid, row.rid) == (1, None)
+
+
+def test_interval_overlap_pairs_blocking_and_verify(spark):
+    iv = spark.createDataFrame(
+        [
+            # A and B overlap mid-interval; C touches B exactly at its end
+            # instant (closed intervals -> overlap); D is disjoint; E spans
+            # MANY hour buckets and overlaps only D-adjacent F
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:30:00")),  # A
+            (2, _ts("2024-01-01T10:15:00"), _ts("2024-01-01T11:00:00")),  # B
+            (3, _ts("2024-01-01T11:00:00"), _ts("2024-01-01T11:20:00")),  # C
+            (4, _ts("2024-01-02T09:00:00"), _ts("2024-01-02T09:10:00")),  # D
+            (5, _ts("2024-01-01T20:00:00"), _ts("2024-01-02T09:05:00")),  # E (13h span)
+        ],
+        ["id", "s", "e"],
+    )
+    out = joins.interval_overlap_pairs(iv, "id", "s", "e", bucket_seconds=3600)
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    # (1,2) mid overlap; (2,3) boundary instant; (4,5) long-span E reaches D;
+    # dedup: E and D share bucket 09:00 only once despite E covering 14 buckets
+    assert got == [(1, 2), (2, 3), (4, 5)]
+    assert out.count() == len(set(got))  # distinct survived the multi-bucket fanout

@@ -140,3 +140,73 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
     )
     return lsalted.join(rsalted, [on, "__salt"], how).drop("__salt")
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    distinct_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-interval OVERLAP self-join: unordered pairs of rows whose
+    closed intervals ``[start, end]`` intersect (``a.start ≤ b.end AND
+    b.start ≤ a.end``), with ``a.id < b.id``. Output: the pair ids plus
+    both intervals (``id_a, start_a, end_a, id_b, start_b, end_b``).
+
+    Spark has no native interval join, and the naive form is a
+    nested-loop cross product with a non-equi condition — the classic
+    scale-killer. The standard distributed shape: EXPLODE each interval to
+    the fixed-width time buckets it covers, equi-join on the bucket (the
+    blocking step — only co-bucketed intervals ever meet), ``distinct`` the
+    candidate pairs (an interval pair sharing k buckets meets k times),
+    then verify the exact overlap predicate. Complete by construction:
+    overlapping intervals share at least one covered bucket. Cost scales
+    with intervals-per-bucket density, not |rows|²; long intervals fan out
+    by ``duration/bucket_seconds`` rows — pick ``bucket_seconds`` near the
+    typical interval span so the fan-out stays O(1) per row. A degenerate
+    hot bucket (everything overlapping one rush hour) is a skew key like
+    any other: AQE skew-split applies to the bucket equi-join.
+
+    ``distinct_on``: extra key columns carried through blocking (and the
+    pair-distinct) — e.g. partition the overlap test by day so the bucket
+    key never collides across unrelated ranges.
+    """
+    sec_start = F.unix_timestamp(F.col(start_col))
+    sec_end = F.unix_timestamp(F.col(end_col))
+    extra = distinct_on or []
+    buckets = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        *[F.col(c) for c in extra],
+        F.explode(
+            F.sequence(
+                F.floor(sec_start / bucket_seconds).cast("long"),
+                F.floor(sec_end / bucket_seconds).cast("long"),
+            )
+        ).alias("__bkt"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    join_cond = (F.col("a.__bkt") == F.col("b.__bkt")) & (
+        F.col("a.__id") < F.col("b.__id")
+    )
+    for c in extra:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("a.__s").alias("start_a"),
+            F.col("a.__e").alias("end_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("b.__s").alias("start_b"),
+            F.col("b.__e").alias("end_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(
+        (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a"))
+    )

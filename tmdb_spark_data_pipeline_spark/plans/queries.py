@@ -4687,6 +4687,275 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_overlap_pairs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    runs AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, user_id * 1000000 + run AS sid, min(ts) AS s, max(ts) AS e
+      FROM runs GROUP BY user_id, run),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b
+      FROM sessions a JOIN sessions b
+        ON a.sid < b.sid AND a.user_id <> b.user_id
+       AND a.s <= b.e AND b.s <= a.e)
+    SELECT user_a, user_b, count(*) AS n_overlaps
+    FROM pairs GROUP BY user_a, user_b
+    ORDER BY n_overlaps DESC, user_a ASC, user_b ASC LIMIT 50
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (``joins.interval_overlap_pairs``):
+    sessionize each user (lag-gap + cumsum runs), then find cross-user
+    pairs of sessions whose time intervals intersect — the concurrency
+    analysis (who is online together) no built-in Spark join expresses.
+    The operator explodes intervals to hour buckets and equi-joins on the
+    bucket — blocking, not a nested loop — then exact-verifies the overlap
+    predicate on the deduped candidates; the oracle is the plain
+    non-equi join. Top-50 co-occurring user pairs with a total-order
+    tiebreak."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = runs.groupBy("user_id", "run").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).select(
+        "user_id",
+        (F.col("user_id") * 1000000 + F.col("run")).alias("sid"),
+        "s",
+        "e",
+    )
+    pairs = joins.interval_overlap_pairs(sessions, "sid", "s", "e", bucket_seconds=3600)
+    ua = (F.col("id_a") / 1000000).cast("long")
+    ub = (F.col("id_b") / 1000000).cast("long")
+    return (
+        pairs.select(ua.alias("user_a"), ub.alias("user_b"))
+        .filter(F.col("user_a") != F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), F.col("user_a").asc(), F.col("user_b").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*) AS n,
+           round(min(d.med), 6) AS median_value,
+           round(min(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per event type
+    (median/MAD shrug off the contamination that inflates mean/stddev —
+    the robust twin of ``event_value_anomalies``'s rolling z-score), with
+    outliers flagged beyond 3 scaled MADs (1.4826 ≈ Φ⁻¹ consistency
+    constant). Two exact-percentile passes by construction (MAD is a
+    median OF deviations FROM a median); each is a per-group sort, and the
+    5-row median tables broadcast back onto the fact scan. Counts are
+    exact integers; med/MAD rounded at 6."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "daily_new_users_cume",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    daily AS (SELECT d, count(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cume_users
+    FROM daily
+    """,
+)
+def daily_new_users_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: first-seen day per user → daily new-user counts →
+    running cumulative registered users. The canonical "distinct users to
+    date" series, which a naive per-day ``count(DISTINCT)`` recomputes
+    quadratically — first-seen + cumsum does it in two partial-agg'd
+    shuffles plus a window over the tiny daily table (single-partition,
+    |days| rows). Day formatted as a string for engine-neutral output."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cume_users"),
+    )
+
+
+@query(
+    "revenue_pareto_deciles",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey),
+    dec AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS decile
+      FROM cr),
+    agg AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS decile_revenue
+      FROM dec GROUP BY decile),
+    tot AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS total FROM cr)
+    SELECT decile, n_customers,
+           round(decile_revenue, 2) AS decile_revenue,
+           round(decile_revenue / total, 6) AS revenue_share,
+           round(sum(decile_revenue) OVER (ORDER BY decile ASC ROWS UNBOUNDED PRECEDING)
+                 / total, 6) AS cume_share
+    FROM agg, tot
+    """,
+)
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: customers ranked into revenue deciles
+    (``ntile(10)``, custkey tiebreak), each decile's share and the running
+    cumulative share — the "top 10% of customers drive X% of revenue"
+    report. The fact table aggregates to the customer dim before the
+    global window (same discipline as ``rfm_segments``); the decile rollup
+    and cumulative window then run over 10 rows. Decimal sums throughout;
+    shares rounded at 6."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    dec = cr.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()))
+        .alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(F.col("revenue")).alias("decile_revenue"),
+    )
+    tot = cr.groupBy().agg(_dsum(F.col("revenue")).alias("__total"))
+    w = Window.orderBy(F.col("decile").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("decile_revenue", 2).alias("decile_revenue"),
+            F.round(F.col("decile_revenue") / F.col("__total"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                F.sum("decile_revenue").over(w) / F.col("__total"), 6
+            ).alias("cume_share"),
+        )
+    )
+
+
+@query(
+    "stream_hourly_users",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE ts < TIMESTAMP '2024-01-29' GROUP BY 1
+    """,
+)
+def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count: users per hour via CHAINED stateful
+    operators — ``dropDuplicates`` on (user, window) bounded by the
+    watermark, then a windowed count — the standard streaming workaround
+    for ``count(DISTINCT)`` being unsupported in aggregations. Exercises
+    multi-stateful-operator pipelines (Spark ≥3.5 requirement: window
+    column, not raw event time, in the downstream group). Append mode is
+    mandatory for chained stateful ops, so tail windows the final
+    watermark never passes would be withheld — the query bounds data to
+    Jan 29 AFTER the watermark node, letting the unbounded tail drive the
+    watermark past every bounded window (same discipline as the
+    stream-stream joins). Green iff equal to the batch exact distinct
+    count over the same bound."""
+    import os
+
+    from ..streaming import replay_events
+
+    def build(s: DataFrame) -> DataFrame:
+        dedup = (
+            s.filter(F.col("ts") < "2024-01-29")
+            .select(F.window("ts", "1 hour").alias("win"), "user_id")
+            .dropDuplicates(["win", "user_id"])
+        )
+        return (
+            dedup.groupBy("win")
+            .agg(F.count("*").alias("n_users"))
+            .select(
+                F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n_users",
+            )
+        )
+
+    return replay_events(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        build,
+        query_name="stream_hourly_users_mem",
+        output_mode="append",
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4703,6 +4972,11 @@ _SWEEP_FRONT = (
     # freshest and rotate behind them; rows-only entries sink within each
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
+    "session_overlap_pairs",
+    "event_value_mad_outliers",
+    "daily_new_users_cume",
+    "revenue_pareto_deciles",
+    "stream_hourly_users",
     "chunk_dedup_stats",
     "pmi_collocations_top20",
     "rfm_segments",
