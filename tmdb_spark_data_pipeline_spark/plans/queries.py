@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import (
+    calibrate,
     cleaning,
     dedup,
     funnel,
@@ -4956,6 +4957,140 @@ def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_isotonic_calibration",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             round(len(string_split_regex(trim(text), '\s+')) * 1.0
+                   / greatest(length(text), 1), 6) AS score
+      FROM documents),
+    binned AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) AS bin
+      FROM q),
+    b AS (
+      SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+             CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS h
+      FROM binned GROUP BY lang, bin),
+    p AS (
+      SELECT lang, bin, n, h,
+             sum(n) OVER w AS pn, sum(h) OVER w AS ph
+      FROM b WINDOW w AS (PARTITION BY lang ORDER BY bin ASC ROWS UNBOUNDED PRECEDING)),
+    pairs AS (
+      SELECT a.lang AS lang, a.bin AS j, c.bin AS k,
+             (c.ph - a.ph + a.h) * 1.0 / (c.pn - a.pn + a.n) AS avg_jk
+      FROM p a JOIN p c ON a.lang = c.lang AND a.bin <= c.bin),
+    mins AS (
+      SELECT pr.lang AS lang, pr.j AS j, i.bin AS i, min(pr.avg_jk) AS m
+      FROM pairs pr JOIN b i ON i.lang = pr.lang AND pr.j <= i.bin AND pr.k >= i.bin
+      GROUP BY pr.lang, pr.j, i.bin)
+    SELECT b.lang AS lang, b.bin AS bin, b.n AS n, b.h AS h,
+           b.h * 1.0 / b.n AS y_raw,
+           max(m2.m) AS y_fit
+    FROM mins m2 JOIN b ON b.lang = m2.lang AND b.bin = m2.i
+    GROUP BY b.lang, b.bin, b.n, b.h
+    """,
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic score calibration (``calibrate.isotonic_fit``): per-language
+    score deciles -> hit rate (docs >= 300 chars) -> PAVA-pooled monotone
+    curve, the classifier-calibration step before a quality score gates a
+    corpus. The genuinely sequential algorithm in the library, run through
+    ``applyInPandas`` on bins-per-group rows (the corpus-sized work stays in
+    the upstream binning agg); the oracle replays the fit EXACTLY via the
+    minimax identity ``fit_i = max_{j<=i} min_{k>=i} avg(y[j..k])`` —
+    integer cross-multiplied violation checks and single int/int divisions
+    make the doubles bit-identical."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    score = F.round(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    binned = docs.select(
+        "lang", "n_chars", score.alias("score"), "doc_id"
+    ).select("lang", "n_chars", F.ntile(10).over(w).cast("long").alias("bin"))
+    b = binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0)).cast("long").alias("h"),
+    )
+    return calibrate.isotonic_fit(b, "lang", "bin", "h", "n").select(
+        "lang", "bin", "n", "h", "y_raw", "y_fit"
+    )
+
+
+@query(
+    "similarity_topk_pandas",
+    oracle="""
+    SELECT query_id, neighbor_id, round(cos, 5) + 0.0 AS cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+      )
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar ``pandas_udf`` tier of the UDF policy, oracle-gated: the
+    numpy Arrow-batched cosine twin of ``similarity_topk`` against the
+    SAME exact-SQL oracle. Proves the sanctioned Python escape hatch
+    reproduces the Catalyst fold at reporting precision (scores differ by
+    ulps from SIMD partial-sum order — see the operator docstring — which
+    round-5 absorbs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_pandas(q, emb, k=10)
+    return out.select(
+        "query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos")
+    )
+
+
+@query(
+    "embedding_label_dispersion",
+    oracle="""
+    WITH pos AS (
+      SELECT label, vec_id, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    meanvec AS (
+      SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos),
+    mnorm AS (
+      SELECT label, sqrt(sum(m * m)) AS norm_of_mean FROM meanvec GROUP BY label),
+    vnorm AS (
+      SELECT label, vec_id, sqrt(sum(v * v)) AS nrm FROM pos GROUP BY label, vec_id),
+    avnorm AS (
+      SELECT label, count(*) AS n_vectors, avg(nrm) AS mean_norm FROM vnorm GROUP BY label)
+    SELECT a.label AS label, a.n_vectors,
+           round(m.norm_of_mean / a.mean_norm, 6) AS dispersion
+    FROM avnorm a JOIN mnorm m USING (label)
+    """,
+)
+def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding concentration (mean resultant length ``R =
+    ‖mean(v)‖ / mean(‖v‖)``) via the GROUPED_AGG ``pandas_udf`` tier
+    (``similarity.label_dispersion``) — the label-coherence audit a
+    classification corpus runs before training (labels whose vectors
+    scatter are noise candidates). The UDF sorts the complete group by
+    vec_id before reducing, so float sums are shuffle-order-independent;
+    the oracle replays R with per-position averages (summation order
+    differs by ulps, absorbed at round-6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_dispersion(emb).select(
+        "label", "n_vectors", "dispersion"
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -4972,6 +5107,9 @@ _SWEEP_FRONT = (
     # freshest and rotate behind them; rows-only entries sink within each
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
+    "quality_isotonic_calibration",
+    "similarity_topk_pandas",
+    "embedding_label_dispersion",
     "session_overlap_pairs",
     "event_value_mad_outliers",
     "daily_new_users_cume",
