@@ -23,6 +23,25 @@ from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from tmdb_spark_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _speed_canary() -> float:
+    """Milliseconds for a fixed single-thread compute+memory workload.
+
+    /proc/stat steal only reports hypervisor-preempted jiffies; a co-tenant
+    saturating the MEMORY BUS slows this VM with steal at 0.0% (observed:
+    the same query 2.2 s vs 24 s across runs, both "0% steal"). A fixed
+    canary timed at bench start and end makes those windows visible: compare
+    canary_ms across runs before comparing query times.
+    """
+    import numpy as np
+
+    a = np.random.default_rng(0).random((64, 1 << 17))  # ~64 MB: exceeds LLC
+    t0 = time.perf_counter()
+    for _ in range(4):
+        s = a.sum(axis=1)  # streaming reads, bandwidth-bound
+        a[:, :1] += s[:, None] * 1e-12
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _cpu_jiffies() -> tuple[int, int] | None:
     """(steal, total) jiffies from /proc/stat — None where unavailable."""
     try:
@@ -88,6 +107,7 @@ def main() -> None:
     # Record the steal fraction over the timed region so every BENCH file
     # carries its own noise indicator.
     j0 = _cpu_jiffies()
+    canary0 = _speed_canary()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -122,6 +142,7 @@ def main() -> None:
         if j0 and j1
         else None
     )
+    canary1 = _speed_canary()
 
     # The complete per-query map, for the judge and for round-over-round
     # diffing. Kept OFF stdout: the driver records only the last ~2000 chars
@@ -134,6 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "host_steal_pct": steal_pct,
+        "canary_ms": [canary0, canary1],
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
@@ -151,6 +173,7 @@ def main() -> None:
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
         "host_steal_pct": steal_pct,
+        "canary_ms": [canary0, canary1],
     }
     line_queries: dict[str, float] = {}
     for name in sorted(timings, key=lambda n: -timings[n]):

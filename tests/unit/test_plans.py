@@ -368,3 +368,59 @@ def test_chunk_dedup_single_corpus_scan(spark, sf_smoke):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Window" in plan
     assert "chunk_text" not in plan.split("Exchange")[-1]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_smoke):
+    """A-ES weighted sampling must compile to TakeOrderedAndProject
+    (per-partition top-k heaps), never a global Sort."""
+    plan = _plan(queries.weighted_sample_docs(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_path_windows_share_one_user_exchange(spark, sf_smoke):
+    """The (user_id) window and the (user_id, run) window must share one
+    hash exchange: HashPartitioning(user_id) satisfies the clustered
+    distribution on (user_id, run), so sessionization + path leads cost a
+    single shuffle of the events; only the tiny path-count aggregate adds
+    its own."""
+    plan = _plan(queries.session_path_trigrams(spark, sf_smoke))
+    # all three windows (session flag, run sum, trigram leads) hang off ONE
+    # hashpartitioning(user_id) exchange; the only other exchange is the
+    # tiny path-count aggregate's
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_semantic_dedup_pair_join_is_equi_join(spark, sf_smoke):
+    """Cluster-blocked pair enumeration must be an equi-join on the cell id
+    (sort-merge/shuffled-hash), never the all-pairs nested loop. The ONLY
+    nested-loop joins allowed in the plan are kmeans' deliberate
+    broadcast-centroid assigns (tiny build side by construction); the pair
+    join itself — the one that would be N² — must be key-based."""
+    plan = _plan(queries.semantic_dedup_pairs(spark, sf_smoke))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # nested loops only where a BroadcastExchange feeds them (centroid
+    # assign); formatted explain prints each node twice (tree line with the
+    # "Inner BuildRight" qualifier + bare detail header)
+    assert plan.count("BroadcastNestedLoopJoin") == 2 * plan.count(
+        "BroadcastNestedLoopJoin Inner BuildRight"
+    )
+
+
+def test_heavy_hitter_candidate_pass_is_map_only(spark, sf_smoke):
+    """The sketch pass itself must not shuffle the token stream: the only
+    exchanges in the candidate subtree are for the summary merge (grouped
+    sum over ≤counters rows per batch), downstream of the Arrow map."""
+    from tmdb_spark_data_pipeline_spark.operators import sketch, text
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    plan = _plan(sketch.heavy_hitter_candidates(toks, "token", counters=80))
+    # exactly one exchange NODE: the candidate-summary groupBy; the token
+    # stream itself flows scan -> explode -> MapInPandas with no
+    # repartitioning (formatted explain prints each node twice: tree + detail)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "MapInPandas" in plan

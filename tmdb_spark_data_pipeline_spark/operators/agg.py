@@ -80,3 +80,39 @@ def derived_key_agg(
         aggs,
         round_to=round_to,
     )
+
+
+def combine_rollups(
+    parts: list[DataFrame],
+    keys: tuple[str, ...],
+    *,
+    sum_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge pre-aggregated rollups — incremental view maintenance.
+
+    Each part is an already-aggregated table over the same ``keys`` whose
+    measure columns are MERGEABLE partials: counts/sums re-add, maxes/mins
+    re-extremize. ``union`` then one re-aggregate gives exactly the rollup
+    of the concatenated inputs, so yesterday's materialized rollup plus
+    today's delta rollup replaces a full recompute — the pattern that turns
+    a daily 100 TB scan into a 1 TB scan of the new partition.
+
+    Decimal/exact measures keep the merge bit-exact regardless of how the
+    history was split (addition is associative for decimals and integers;
+    callers should aggregate doubles through ``decimal`` partials first,
+    as ``money_sum`` does). Averages and other non-mergeable measures must
+    travel as (sum, count) pairs and divide after the merge.
+    """
+    if not parts:
+        raise ValueError("combine_rollups needs at least one part")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

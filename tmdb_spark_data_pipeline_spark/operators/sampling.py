@@ -172,3 +172,42 @@ def negative_pairs(
     )
     partners = idx.select(F.col(id_col).alias("neg_id"), F.col("__idx").alias("__neg_idx"))
     return picked.join(partners, "__neg_idx").select("anchor_id", "neg_id", "slot")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    *,
+    key_out: str = "samp_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): every row gets the key ``ln(u) / w`` where ``u`` is a
+    portable md5-derived uniform in (0,1) and ``w`` its weight; the ``k``
+    largest keys are exactly a weighted sample without replacement (a row's
+    inclusion probability is proportional to its weight among the remaining
+    rows at every draw).
+
+    Same no-``rand()`` discipline as the rest of this module: ``u`` comes
+    from the content hash, so the sample is identical across engines, runs,
+    retries, and cluster sizes — re-runs of a 100 TB sampling job pick the
+    same documents. Physical shape: a projection plus a global top-k, which
+    Catalyst executes as ``TakeOrderedAndProject`` (per-partition heaps of
+    size k, no full sort, no shuffle of non-winners). Ties (astronomically
+    unlikely on a 32-bit hash) break on key asc for a total order.
+
+    Weights must be strictly positive; rows with nonpositive weights are
+    filtered out before the top-k (never sampled, even when fewer than ``k``
+    valid rows exist).
+    """
+    u = (
+        portable_hash(key_col, buckets=1 << 32).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    wcol = F.col(weight_col).cast("double")
+    return (
+        df.filter(wcol > 0)
+        .withColumn(key_out, F.log(u) / wcol)
+        .orderBy(F.col(key_out).desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,75 @@
+"""Mergeable sketch operators that need the Python boundary.
+
+Unlike ``operators/text.py`` (pure Catalyst expressions), the sketches here
+run per-Arrow-batch Python — always ``mapInPandas`` (vectorized pandas over
+Arrow batches), never row-at-a-time UDFs (§2.10 policy). Each sketch is
+*mergeable*: per-batch summaries combine associatively in a normal grouped
+aggregate, which is what makes them work on a 1000-executor cluster — the
+full data never concentrates anywhere; only the tiny summaries shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def heavy_hitter_candidates(
+    df: DataFrame,
+    col: str,
+    *,
+    counters: int = 80,
+) -> DataFrame:
+    """Misra–Gries-style heavy-hitter candidate set over a value column, in
+    one bounded-memory pass.
+
+    Per Arrow batch, emit every value whose batch count *exceeds*
+    ``n_batch / (counters + 1)`` — at most ``counters`` values can clear
+    that bar (t values each > n/(c+1) sum past n once t reaches c+1), so
+    per-batch state is bounded exactly like a Misra–Gries summary with
+    ``counters`` slots. The emitted batch counts then merge in an ordinary
+    ``groupBy(value).sum()``.
+
+    Recall guarantee (the property a dedup/vocab pipeline actually needs):
+    any value with GLOBAL count > N / (counters + 1) appears in the output.
+    Pigeonhole: if its count were ≤ n_b/(counters+1) in every batch b, the
+    global total would be ≤ Σ n_b/(counters+1) = N/(counters+1). No false
+    negatives above the threshold; false positives are pruned by one exact
+    recount of the (≤ counters × n_batches)-row candidate set — the same
+    two-pass discipline as ``approx_percentile_gate``.
+
+    The merged ``mg_count`` is a lower bound on the true count (only
+    above-bar batches contribute) — audit metadata, not a point estimate.
+
+    Scale shape: the corpus pass is map-only (no shuffle); only candidate
+    summaries — ~counters rows per batch, ~100 bytes each — reach the
+    exchange. NULLs are ignored (not heavy-hitter material).
+    """
+    if counters < 1:
+        raise ValueError(f"counters must be >= 1, got {counters}")
+    import pandas as pd  # noqa: F811
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            if vals.empty:
+                continue
+            vc = vals.value_counts()
+            bar = len(vals) / (counters + 1)
+            keep = vc[vc > bar]
+            if keep.empty:
+                continue
+            yield pd.DataFrame(
+                {"value": keep.index.astype(str), "mg_count": keep.to_numpy()}
+            )
+
+    cand = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        op, "value string, mg_count long"
+    )
+    return cand.groupBy("value").agg(F.sum("mg_count").alias("mg_count"))

@@ -189,3 +189,87 @@ def rolling_zscore(
         (n >= min_obs) & (std > 0), (F.col(value_col) - mean) / std
     )
     return df.withColumn("z", z)
+
+
+def last_state(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    *,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """CDC changelog apply (last-write-wins): collapse a change feed to the
+    current state — the newest row per key under ``order_cols``; if ``op_col``
+    is given, keys whose *final* operation equals ``delete_op`` drop out of
+    the state entirely (a delete tombstone erases the key, it does not
+    resurrect an older version).
+
+    ``order_cols`` must be a total order per key (include a unique id as the
+    last column) or "newest" is engine-dependent.
+
+    Shape: the grouped top-1 window (§2.7) — one hash-partition shuffle on
+    the key, per-partition sort, ``row_number`` cutoff at 1. At 100 TB this
+    is the standard compaction pass over a CDC mirror; AQE skew splitting
+    handles hot keys, and because the filter keeps exactly one row per key
+    the output is |keys|, not |changes|.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != delete_op)
+    return out
+
+
+def ewma_finite(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    alpha: float = 0.2,
+    window: int = 30,
+    out_col: str = "ewma",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Finite-horizon exponentially weighted moving average: over the trailing
+    ``window`` observations (frame order = ``order_col`` asc), weight the
+    i-th-newest value by ``(1-alpha)**i`` and normalize by the realized weight
+    mass ``(1 - (1-alpha)**m) / alpha`` (m = rows actually in the frame), so
+    the series is unbiased from the first row — no warm-up NULLs, no infinite
+    recursion. Truncating the horizon at ``window`` drops weight mass
+    ``(1-alpha)**window`` (~0.1% at the defaults), the standard bounded-state
+    EWMA used by monitoring systems.
+
+    Determinism contract: the trailing values are collected in frame order
+    (``collect_list`` over a running window appends in the window's sort
+    order) and folded left-to-right, so both engines accumulate in the same
+    sequence; outputs should still be rounded at a fixed scale because
+    ``pow`` may differ in the last ulp across libm implementations.
+
+    Shape: one window pass. Unpartitioned it is a single-partition sort —
+    correct for an already-aggregated global series (|days|-scale, which is
+    what a dashboard EWMA smooths); per-entity EWMAs pass ``partition_cols``
+    and shuffle once on the key like any §2.7 window.
+    """
+    lam = 1.0 - alpha
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    m = F.size(xs)
+    weighted = F.zip_with(
+        xs,
+        F.reverse(F.sequence(F.lit(0), m - 1)),
+        lambda x, e: x * F.pow(F.lit(lam), e.cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = (F.lit(1.0) - F.pow(F.lit(lam), m.cast("double"))) / F.lit(alpha)
+    return df.withColumn(out_col, num / den)

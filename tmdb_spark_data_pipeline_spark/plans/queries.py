@@ -33,6 +33,7 @@ from ..operators import (
     search,
     setops,
     similarity,
+    sketch,
     text,
     timeseries,
 )
@@ -5091,6 +5092,879 @@ def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_last_state",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, value, ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, event_type AS last_op, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at
+    FROM s WHERE event_type <> 'error'
+    """,
+)
+def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (``timeseries.last_state``): the event feed read
+    as a change stream per user — last-write-wins on (ts, event_id), and a
+    key whose FINAL operation is the tombstone ('error' modeled as DELETE)
+    drops out of the state entirely. The compaction pass a CDC mirror runs;
+    output is |keys| rows, one shuffle (grouped top-1 window)."""
+    ev = _t(spark, sf_dir, "events")
+    out = timeseries.last_state(
+        ev, ("user_id",), ("ts", "event_id"), op_col="event_type", delete_op="error"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 9) AS samp_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+             doc_id ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (``sampling.weighted_sample``, Efraimidis–Spirakis A-ES): 100 documents
+    drawn with probability proportional to length (``n_chars``), keys from
+    the portable md5 uniform — identical sample on every engine/run/retry.
+    Physical plan is a projection + ``TakeOrderedAndProject`` (per-partition
+    top-k heaps, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "n_chars", "doc_id", 100)
+    return out.select("doc_id", "n_chars", F.round("samp_key", 9).alias("samp_key"))
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+    wl AS (
+      SELECT d, rev,
+             list(rev) OVER (ORDER BY d ASC
+                             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS xs
+      FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS d, round(rev, 2) AS daily_rev,
+           round(
+             list_sum(list_transform(
+               list_zip(xs, generate_series(len(xs) - 1, 0, -1)),
+               p -> p[1] * pow(0.8, p[2])))
+             / ((1 - pow(0.8, len(xs))) / 0.2), 4) AS ewma_30d
+    FROM wl
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA (``timeseries.ewma_finite``, α=0.2, 30-day
+    horizon) over daily revenue — the smoothed trend line every ops
+    dashboard draws. Aggregate-before-window (window state is |days|, not
+    |orders|), decimal daily sums, then a fixed-order fold of the trailing
+    frame normalized by realized weight mass (unbiased from day one).
+    Output rounded at 4: ``pow`` may differ in the last ulp across libm
+    implementations (operator docstring)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        _dsum(F.col("o_totalprice")).alias("rev")
+    )
+    out = timeseries.ewma_finite(daily, "rev", "d", alpha=0.2, window=30)
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round("rev", 2).alias("daily_rev"),
+        F.round("ewma", 4).alias("ewma_30d"),
+    )
+
+
+@query(
+    "semantic_dedup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (SELECT vec_id, cid FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+    ex AS (
+      SELECT a1.cid, unnest(e.embedding) AS val,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    mu AS (SELECT cid, pos,
+                  CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+           FROM ex GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM mu GROUP BY cid),
+    dt AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM e CROSS JOIN c1 c
+    ),
+    a2 AS (SELECT vec_id, cid FROM dt
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)
+    SELECT id_a, id_b, round(cos, 5) + 0.0 AS cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM e a JOIN a2 ca ON a.vec_id = ca.vec_id
+      JOIN a2 cb ON cb.cid = ca.cid
+      JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: one Lloyd iteration of k-means blocks
+    the corpus into 8 cells (``similarity.kmeans_lloyd`` — broadcast assign,
+    ≤k×dim centroid shuffle), then exact cosine pairs ≥ 0.4 are enumerated
+    WITHIN cells only (``embedding_neardup_pairs(block_col="cid")`` — an
+    equi-join on the cell id, never the all-pairs nested loop). The oracle
+    replays the full Lloyd iteration + intra-cell pair join in SQL, so the
+    green row certifies the clustering AND the blocked pair semantics.
+    Recall caveat (documented, inherent to SemDeDup): pairs straddling a
+    cell boundary are not candidates; the exact twin ``cosine_neardups``
+    bounds the loss."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1)
+    blocked = emb.join(assigned.select("vec_id", "cid"), "vec_id")
+    out = similarity.embedding_neardup_pairs(blocked, min_cos=0.4, block_col="cid")
+    return out.select(
+        "id_a", "id_b", (F.round("cos", 5) + F.lit(0.0)).alias("cos")
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    ex AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+    SELECT token, n, TRUE AS in_sketch
+    FROM ex ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters with a driver-visible recall gate (the
+    ``approx_percentile_gate`` pattern for frequency sketches): a
+    Misra–Gries-style candidate pass (``sketch.heavy_hitter_candidates``,
+    80 counters, Arrow-batched, map-only — only ~counters summary rows per
+    batch reach the exchange), then one exact recount ranks the true top-20
+    (hash-matched by the oracle) and flags each against the candidate set.
+    The sketch guarantees recall for every value with count > N/81; the
+    corpus top-20 sit far above that bar at every SF, so ``in_sketch`` is
+    deterministically TRUE — a sketch that dropped a heavy hitter flips the
+    bit and fails the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cand = sketch.heavy_hitter_candidates(toks, "token", counters=80)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    return top.join(
+        F.broadcast(cand.select(F.col("value").alias("token"), F.lit(True).alias("__hit"))),
+        "token",
+        "left",
+    ).select("token", "n", F.coalesce("__hit", F.lit(False)).alias("in_sketch"))
+
+
+@query(
+    "stream_cdc_last_state",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, value, ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, event_type AS last_op, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at
+    FROM s WHERE event_type <> 'error'
+    """,
+)
+def stream_cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_last_state``: the event feed replayed through
+    a real streaming query into ``streaming.stateful_last_state``
+    (``applyInPandasWithState`` — one tiny state row per key, last-write-wins
+    on (event time, id), tombstones retained in state so late stragglers
+    can't resurrect a deleted key). The reader-side filter drops tombstoned
+    keys, exactly like a compacted-topic consumer. Green iff the streaming
+    materialization equals the batch CDC oracle."""
+    from ..streaming import replay_events, stateful_last_state
+
+    out = replay_events(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: stateful_last_state(s),
+        query_name="stream_cdc_mem",
+        output_mode="update",
+    )
+    return out.filter(F.col("last_op") != "error").select(
+        "user_id",
+        "last_op",
+        "last_value",
+        F.date_format(
+            F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("updated_at"),
+    )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``agg.combine_rollups``): the corpus is
+    split at a cutoff into 'yesterday's materialized rollup' and 'today's
+    delta', each aggregated independently, then MERGED — counts/decimal sums
+    re-add, maxes re-extremize — instead of recomputed. The oracle is the
+    full single-pass aggregate, so the green row certifies merge-equals-
+    recompute, the property that lets a 100 TB daily pipeline aggregate only
+    the new partition. Decimal partials make the merge bit-exact no matter
+    where history is cut."""
+    ev = _t(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).alias("total_d"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    cutoff = "2024-01-20"
+    from ..operators import agg as agg_ops
+
+    merged = agg_ops.combine_rollups(
+        [
+            rollup(ev.filter(F.col("ts") < cutoff)),
+            rollup(ev.filter(F.col("ts") >= cutoff)),
+        ],
+        ("event_type",),
+        sum_cols=("n", "total_d"),
+        max_cols=("max_ts",),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_d").cast("double"), 2).alias("total"),
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈dim join via write-time bucketing
+    (``sources.io.write_bucketed_table``): both sides land pre-hashed into 8
+    bucket files on the join key, so the sort-merge join reads co-located
+    buckets with NO exchange on either side (plan-pinned in
+    ``tests/unit/test_bucketing.py``; the ``merge`` hint keeps the question
+    honest by disabling the broadcast fallback). This is SCALE.md's
+    fact⋈fact strategy: at 100 TB the bucket layout is written once and
+    every subsequent join/aggregation on the key is shuffle-free."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from ..sources.io import write_bucketed_table
+
+    write_bucketed_table(o, "q_bkt_orders", ("o_custkey",), 8, mode="overwrite")
+    write_bucketed_table(c, "q_bkt_customer", ("c_custkey",), 8, mode="overwrite")
+    ob = spark.table("q_bkt_orders")
+    cb = spark.table("q_bkt_customer")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total"),
+    )
+
+
+@query(
+    "seasonal_hour_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, extract(hour FROM ts) AS hr, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT e.event_id, e.event_type, CAST(b.hr AS INTEGER) AS hr, e.value,
+             (e.value - b.s1 / b.n)
+             / sqrt(greatest((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1), 1e-300)) AS z
+      FROM events e
+      JOIN base b ON e.event_type = b.event_type
+                 AND extract(hour FROM e.ts) = b.hr
+      WHERE b.n >= 5)
+    SELECT event_id, event_type, hr, value, round(z, 4) AS z
+    FROM scored
+    ORDER BY abs(z) DESC, event_id ASC
+    LIMIT 20
+    """,
+)
+def seasonal_hour_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly report: each event scored against the
+    mean/std of its OWN (event_type, hour-of-day) cell — the diurnal
+    baseline a monitoring pipeline uses so a nightly batch spike isn't
+    flagged just for being nightly. Exact decimal moment sums per cell
+    (shuffle carries ≤ |types|×24 rows after partial agg), baselines
+    broadcast back onto the stream, top-20 by |z| (never-vacuous fixed-size
+    output; a threshold query at small SF returns 0 rows and proves
+    nothing). Variance floored at 1e-300 to keep the division ANSI-safe;
+    rank order is |z| desc with event_id as total-order tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    nn = F.col("n").cast("double")
+    scored = (
+        ev.withColumn("hr", F.hour("ts"))
+        .join(F.broadcast(base), ["event_type", "hr"])
+        .filter(F.col("n") >= 5)
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            (
+                (F.col("value") - F.col("s1") / nn)
+                / F.sqrt(
+                    F.greatest(
+                        (F.col("s2") - F.col("s1") * F.col("s1") / nn)
+                        / (nn - F.lit(1.0)),
+                        F.lit(1e-300),
+                    )
+                )
+            ).alias("z"),
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "event_type", "hr", "value", F.round("z", 4).alias("z"))
+    )
+
+
+@query(
+    "pit_join_event_state",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    r AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    r2 AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM r),
+    iv AS MATERIALIZED (SELECT user_id, run, min(event_type) AS state, min(ts) AS vf
+           FROM r2 GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    mx AS (
+      SELECT p.event_id, max(iv.vf) AS best_vf
+      FROM p LEFT JOIN iv ON iv.user_id = p.user_id AND iv.vf <= p.ts
+      GROUP BY 1),
+    m AS (
+      SELECT p.event_id, p.value, max(iv.state) AS state
+      FROM p
+      LEFT JOIN mx ON mx.event_id = p.event_id
+      LEFT JOIN iv ON iv.user_id = p.user_id AND iv.vf = mx.best_vf
+      GROUP BY 1, 2)
+    SELECT coalesce(state, 'none') AS state, count(*) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+    FROM m GROUP BY 1
+    """,
+)
+def pit_join_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join to an SCD2 dimension: each purchase joined to the
+    user-state interval VALID AT ITS EVENT TIME — the dimension version
+    history (``timeseries.change_intervals`` over the non-purchase feed)
+    probed with the as-of composition (intervals tile time per key, so
+    'latest valid_from ≤ ts' IS interval containment, no between-join
+    needed). Purchases before any interval get state 'none' (left as-of).
+    The temporal-correctness join every warehouse needs and Spark lacks
+    natively; one shuffle on user_id for each side."""
+    ev = _t(spark, sf_dir, "events")
+    dim = timeseries.change_intervals(
+        ev.filter(F.col("event_type") != "purchase"),
+        ("user_id",),
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    ).select("user_id", F.col("valid_from").alias("vf"), F.col("event_type").alias("state"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pit = joins.asof_join(
+        purchases,
+        dim,
+        on="user_id",
+        left_time="ts",
+        right_time="vf",
+        direction="backward",
+        left_id="event_id",
+        tiebreak="state",
+    )
+    return pit.groupBy(
+        F.coalesce(F.col("r.state"), F.lit("none")).alias("state")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(_dsum(F.col("l.value")), 2).alias("total_value"),
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < 9000 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_pairs
+    FROM jp JOIN sp a ON jp.id_a = a.doc_id JOIN sp b ON jp.id_b = b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-dup pairs (exact 3-shingle Jaccard ≥
+    0.5) classified by which hash-splits their two documents landed in — the
+    off-diagonal cells (train×test) are contamination the split itself can't
+    prevent, because hash splitting is per-document while near-dups are
+    cross-document. The audit every LLM data pipeline runs between dedup and
+    training; composition of ``dedup.ngram_jaccard_pairs`` (shingle-blocked
+    equi-join) + ``sampling.hash_split`` (pure projection), two label joins,
+    one tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+    splits = sampling.hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH s AS (
+      SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             vec_id, embedding
+      FROM embeddings),
+    pos AS (
+      SELECT label, snap, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM s),
+    mu AS (
+      SELECT label, snap, pos,
+             CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+      FROM pos GROUP BY 1, 2, 3),
+    cent AS (SELECT label, snap, list(m ORDER BY pos) AS c FROM mu GROUP BY 1, 2),
+    cnt AS (SELECT label, snap, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT a.label AS label, ca.n AS n_a, cb.n AS n_b,
+           round(list_sum(list_transform(list_zip(a.c, b.c), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.c, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.c, x -> x * x)))), 6) + 0.0
+             AS drift_cos
+    FROM cent a
+    JOIN cent b ON a.label = b.label AND a.snap = 'a' AND b.snap = 'b'
+    JOIN cnt ca ON ca.label = a.label AND ca.snap = 'a'
+    JOIN cnt cb ON cb.label = a.label AND cb.snap = 'b'
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift audit between corpus snapshots: per-label centroids of
+    snapshot A (even ids) vs snapshot B (odd ids), compared by cosine — the
+    check that a re-embedded or re-crawled corpus still means the same thing
+    per class (drift_cos ≪ 1 flags an embedding-space shift). Centroid means
+    accumulate in decimal(30,12) per (label, snapshot, position) — exact
+    regardless of partial-agg order, ≤ |labels|×2×dim rows after map-side
+    combine — then one tiny join and a codegen cosine fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    snap = emb.withColumn(
+        "snap", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+    )
+    ex = snap.select("label", "snap", F.posexplode("embedding").alias("pos", "val"))
+    mu = ex.groupBy("label", "snap", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / F.count("*")).alias("m")
+    )
+    cent = mu.groupBy("label", "snap").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    cnt = snap.groupBy("label", "snap").agg(F.count("*").alias("n"))
+    a = cent.filter(F.col("snap") == "a").select("label", F.col("c").alias("ca"))
+    b = cent.filter(F.col("snap") == "b").select("label", F.col("c").alias("cb"))
+    na = cnt.filter(F.col("snap") == "a").select("label", F.col("n").alias("n_a"))
+    nb = cnt.filter(F.col("snap") == "b").select("label", F.col("n").alias("n_b"))
+    drift = (
+        similarity.dot("ca", "cb")
+        / (similarity.l2_norm("ca") * similarity.l2_norm("cb"))
+    )
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            (F.round(drift, 6) + F.lit(0.0)).alias("drift_cos"),
+        )
+    )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id,
+                 CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                      THEN 'high' ELSE 'low' END AS channel
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id, c.channel, p.value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST,
+                                         c.event_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT coalesce(channel, 'none') AS channel, count(*) AS n_conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+    FROM m WHERE rn = 1 GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the channel of the
+    user's most recent preceding click (channel banded from the click's JSON
+    props — explicit schema, never inferred), 'none' when no click precedes.
+    The composition a marketing pipeline runs daily: as-of join (backward,
+    deterministic tiebreak) + semi-structured extraction + grouped revenue
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.from_json("props", "k INT")["k"] >= 50, "high")
+        .otherwise("low")
+        .alias("channel"),
+    )
+    touched = joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="backward",
+        left_id="event_id",
+        tiebreak="event_id",
+    )
+    return touched.groupBy(
+        F.coalesce(F.col("r.channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.round(_dsum(F.col("l.value")), 2).alias("total_value"),
+    )
+
+
+@query(
+    "bigram_heldout_logprob",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < 9000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents),
+    bg AS (
+      SELECT tk.doc_id, sp.split, w[i] AS a, w[i+1] AS b
+      FROM tk JOIN sp USING (doc_id),
+           unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+    c12 AS (SELECT a, b, count(*) AS c FROM bg WHERE split = 'train' GROUP BY 1, 2),
+    c1 AS (SELECT a, sum(c) AS c FROM c12 GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab FROM (
+        SELECT unnest(w) AS tok FROM tk JOIN sp USING (doc_id)
+        WHERE sp.split = 'train')
+      WHERE tok <> '')
+    SELECT t.doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln((coalesce(c12.c, 0) + 1) * 1.0
+                                         / (coalesce(c1.c, 0) + v.vocab)), 12)
+                              AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+             AS avg_neg_logprob
+    FROM (SELECT * FROM bg WHERE split = 'test') t
+    LEFT JOIN c12 ON t.a = c12.a AND t.b = c12.b
+    LEFT JOIN c1 ON t.a = c1.a
+    CROSS JOIN v
+    GROUP BY t.doc_id
+    """,
+)
+def bigram_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation — the eval loop of a data pipeline done
+    leakage-free: an add-one-smoothed bigram LM fitted ONLY on the hash-split
+    train docs (the same split documents train on, so eval never sees
+    training text), scored as mean −ln P(b|a) per test document. Bigrams are
+    pure array expressions (``arrays_zip`` of two slices — no window, no
+    extra shuffle); the model is two token-keyed grouped counts; scoring
+    joins carry (a, b) pairs, never documents. −ln p values are rounded then
+    decimal-summed so the per-doc mean is partial-agg-order independent."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    n = F.size("w")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("a"),
+                    F.slice("w", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    split = sampling.hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.9, "test": 0.1}
+    )
+    bg = bg.join(split, "doc_id")
+    train = bg.filter(F.col("split") == "train")
+    c12 = train.groupBy("a", "b").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("a").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toks.join(split, "doc_id")
+        .filter(F.col("split") == "train")
+        .select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    test = bg.filter(F.col("split") == "test")
+    neg_ln = -F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+    )
+    return (
+        test.join(c12, ["a", "b"], "left")
+        .join(c1, "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(neg_ln, 12).cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    r2 AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged),
+    p AS (
+      SELECT event_type AS t0,
+             lead(event_type, 1) OVER w2 AS t1,
+             lead(event_type, 2) OVER w2 AS t2
+      FROM r2
+      WINDOW w2 AS (PARTITION BY user_id, run ORDER BY ts ASC, event_id ASC))
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+    FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining lite: the top-20 three-event paths users take
+    WITHIN a session (30-min gap sessionization — paths must not span the
+    overnight break, or 'view>purchase' yesterday→today reads as one
+    journey). One shuffle on user_id serves both the session assignment and
+    the lead windows (same partitioning, Catalyst reuses the sort); the
+    trigram paths are three columns of the same window pass, then a tiny
+    grouped count and deterministic top-k."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "run",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "run").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    paths = flagged.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w2).alias("t1"),
+        F.lead("event_type", 2).over(w2).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    counts = paths.groupBy(
+        F.concat_ws(">", "t0", "t1", "t2").alias("path")
+    ).agg(F.count("*").alias("n"))
+    return rank.top_k(counts, "n", order="desc", k=20, tiebreak=("path",))
+
+
+@query(
+    "trimmed_mean_event_values",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS p10,
+             quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY 1)
+    SELECT e.event_type, count(*) AS n_total,
+           round(CAST(sum(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_all,
+           CAST(sum(CASE WHEN e.value >= b.p10 AND e.value <= b.p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN e.value >= b.p10 AND e.value <= b.p90
+                              THEN CAST(e.value AS DECIMAL(30,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN e.value >= b.p10 AND e.value <= b.p90
+                            THEN 1 ELSE 0 END), 6) AS mean_trimmed
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust grouped statistics: the 10–90% trimmed mean per event type
+    alongside the raw mean — the report that survives a corrupted feed
+    spraying outliers. Two passes (exact percentile bounds, then the
+    conditional decimal aggregate with the 5-row bounds broadcast back);
+    trimming bounds are exact sort-based percentiles so both engines agree
+    on interpolation (same contract as ``event_value_percentiles``)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1D)").alias("p10"),
+        F.expr("percentile(value, 0.9D)").alias("p90"),
+    )
+    kept = (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_all"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.when(kept, F.col("value").cast("decimal(30,6)"))).cast(
+                    "double"
+                )
+                / F.sum(kept.cast("long")),
+                6,
+            ).alias("mean_trimmed"),
+        )
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -5107,6 +5981,22 @@ _SWEEP_FRONT = (
     # freshest and rotate behind them; rows-only entries sink within each
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
+    "cdc_last_state",
+    "bigram_heldout_logprob",
+    "session_path_trigrams",
+    "trimmed_mean_event_values",
+    "pit_join_event_state",
+    "split_leakage_audit",
+    "embedding_centroid_drift",
+    "last_touch_attribution",
+    "stream_cdc_last_state",
+    "incremental_rollup_merge",
+    "bucketed_join_revenue",
+    "seasonal_hour_outliers",
+    "weighted_sample_docs",
+    "ewma_daily_revenue",
+    "semantic_dedup_pairs",
+    "heavy_hitter_tokens",
     "quality_isotonic_calibration",
     "similarity_topk_pandas",
     "embedding_label_dispersion",

@@ -57,6 +57,20 @@ def get_spark(
         # persisted table). Applies only when this factory launches the JVM —
         # a cluster deployment sizes executors via spark-submit instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Whole-stage codegen emits several JIT-compiled classes PER QUERY
+        # PLAN; a session that executes hundreds of distinct plans (the bench
+        # sweep, a notebook, a long-lived service) fills the JVM's default
+        # 240 MB code cache, after which the JIT stops compiling new hot
+        # loops and heavy queries run partially interpreted (measured: the
+        # same query 2-3× slower late in a 161-query sweep than isolated,
+        # at 0% CPU steal). Spark's own tuning guide recommends raising it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

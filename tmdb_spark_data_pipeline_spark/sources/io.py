@@ -143,7 +143,21 @@ def write_bucketed_table(
     WRITE time so later equi-joins/aggregations on the bucket key need no
     exchange — the 100 TB lever SCALE.md leans on for fact⋈fact joins.
     (Bucketing requires ``saveAsTable``; path-only parquet can't carry bucket
-    metadata.)"""
+    metadata.)
+
+    ``mode="overwrite"`` also clears a STALE managed-table location: with the
+    in-memory catalog, a previous session's table dir survives in the
+    warehouse while its registration doesn't, and ``saveAsTable`` then fails
+    with LOCATION_ALREADY_EXISTS instead of overwriting."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import os
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -1,6 +1,6 @@
 from .incremental import process_available_now
 from .sinks import run_exactly_once_parquet, write_epoch_overwrite
-from .stateful import stateful_user_totals, stateful_user_totals_tws
+from .stateful import stateful_last_state, stateful_user_totals, stateful_user_totals_tws
 from .windows import (
     dedup_stream,
     replay_events,
@@ -23,6 +23,7 @@ __all__ = [
     "run_stream_to_memory",
     "session_agg",
     "sliding_agg",
+    "stateful_last_state",
     "stateful_user_totals",
     "stateful_user_totals_tws",
     "write_epoch_overwrite",

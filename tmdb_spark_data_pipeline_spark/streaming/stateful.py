@@ -120,3 +120,82 @@ def stateful_user_totals_tws(
         "Update",
         "ProcessingTime",
     )
+
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("op", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_op", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def stateful_last_state(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    op_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC merge as a per-key state machine: keep only the NEWEST change per
+    key (total order (event time, id)), emit the current state row each
+    micro-batch — the streaming materialization of ``timeseries.last_state``.
+
+    Tombstones stay IN state rather than deleting it: a late-arriving older
+    update must not resurrect a deleted key, so the delete marker itself is
+    the state and the *reader* filters it (exactly how Kafka-compacted
+    topics and CDC mirrors handle deletes). State is one tiny row per key —
+    O(distinct keys), unbounded-stream viable.
+
+    Each Arrow batch is reduced vectorized (sort by (ts, id), take the last
+    row) before the scalar state compare — no per-row Python.
+    """
+    import pandas as pd
+
+    def update(
+        key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        cur = state.get if state.exists else None  # (ts_us, id, op, value)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.sort_values([ts_col, id_col]).iloc[-1]
+            ts_us = int(top[ts_col].value // 1_000)  # pandas ns -> micros
+            cand = (
+                ts_us,
+                int(top[id_col]),
+                str(top[op_col]),
+                float(top[value_col]) if top[value_col] == top[value_col] else None,
+            )
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_op": [cur[2]],
+                "last_value": [cur[3]],
+                "ts_us": [cur[0]],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        CDC_OUT_SCHEMA,
+        CDC_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
