@@ -424,3 +424,90 @@ def test_heavy_hitter_candidate_pass_is_map_only(spark, sf_smoke):
     # repartitioning (formatted explain prints each node twice: tree + detail)
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "MapInPandas" in plan
+
+
+def test_registry_wide_plan_invariants(spark, sf_smoke):
+    """Every declared query's physical plan obeys the engine-wide rules:
+
+    - no row-at-a-time Python UDFs (``BatchEvalPython``) — Python only via
+      Arrow (`MapInPandas`/`FlatMapGroupsInPandas`/`...WithState`)
+    - no ``CartesianProduct`` anywhere
+    - ``BroadcastNestedLoopJoin`` only in queries that DECLARE an all-pairs
+      or scalar-broadcast shape (exact-baseline similarity, centroid
+      assigns, 1-row scalar joins) — everything else must be key-based.
+
+    Streaming queries are checked on their batch-plan twin where they expose
+    one; pure-streaming replays are skipped (their operators are pinned by
+    the streaming tests)."""
+    from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY
+
+    # queries whose declared semantics REQUIRE a nested-loop or 1-row
+    # broadcast join (documented in each docstring)
+    NESTED_LOOP_OK = {
+        "cosine_neardups",          # exact all-pairs correctness baseline
+        "similarity_topk",          # brute-force exactness baseline
+        "similarity_topk_pandas",   # same, pandas tier
+        "similarity_topk_lsh",      # hamming-probe superset join
+        "similarity_topk_lsh_pruned",
+        "similarity_topk_multiprobe",
+        "similarity_topk_ivf",      # broadcast-centroid assign
+        "kmeans_cluster_profile",   # broadcast-centroid assign
+        "semantic_dedup_pairs",     # broadcast-centroid assign
+        "embedding_quantization",
+        "forecast_revenue_change",  # scalar crossJoin
+        "tfidf_top_terms",          # scalar doc-count broadcast
+        "bm25_search_top20",        # scalar avgdl broadcast
+        "vocab_coverage_oov",
+        "unigram_logprob_scores",   # scalar corpus-size broadcast
+        "char_entropy_scores",
+        "token_kl_drift_by_lang",
+        "repetition_scores",
+        "lang_stopword_stats",
+        "doc_quality_scores",
+        "language_id",
+        "benchmark_contamination",
+        "decontaminated_counts",
+        "key_skew_profile",         # scalar total broadcast
+        "idle_customer_balances",   # scalar avg-acctbal threshold (Q22 shape)
+        "important_brand_value",    # scalar avg-revenue threshold (ref KPI)
+        "source_mixture_weights",
+        "revenue_pareto_deciles",   # scalar grand-total broadcast
+        "embedding_stats",
+        "embedding_label_dispersion",
+        "bigram_heldout_logprob",   # scalar vocab-size broadcast
+        "boilerplate_exposure",
+        "neardup_method_agreement",
+        "quality_percentile_calibration",
+        "quality_isotonic_calibration",
+        "quality_deciles",
+        "event_value_percentiles",
+        "hourly_gap_filled_series",  # global grid range join
+        "pmi_collocations_top20",
+        "minhash_neardups",
+        "minhash_incremental_neardups",
+        "chunk_sliding_windows",
+        "text_stats",
+    }
+    # pure streaming replays: executing them in a plan probe would run a
+    # real streaming query; their plan discipline is pinned in
+    # tests/unit/test_streaming.py instead
+    STREAMING = {n for n in REGISTRY if n.startswith("stream_")}
+    # queries with write side-effects exercised elsewhere
+    SIDE_EFFECT = {
+        "json_roundtrip", "csv_roundtrip", "orc_roundtrip",
+        "partitioned_roundtrip", "zorder_key_sample", "bucketed_join_revenue",
+        "multimodal_features",
+    }
+    offenders: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        if name in STREAMING or name in SIDE_EFFECT:
+            continue
+        df = spec.fn(spark, sf_smoke)
+        plan = _plan(df)
+        if "BatchEvalPython" in plan:
+            offenders[name] = "row-at-a-time Python UDF"
+        elif "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            offenders[name] = "undeclared BroadcastNestedLoopJoin"
+    assert not offenders, offenders
