@@ -5965,6 +5965,55 @@ def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_exactly_once_totals",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming SINK semantics, driver-gated
+    (``streaming.run_exactly_once_parquet``): the event stream lands in a
+    plain-parquet layout via ``foreachBatch`` + per-epoch dynamic partition
+    overwrite + ``Trigger.AvailableNow`` — a retried epoch overwrites its
+    own ``__epoch`` partition instead of appending duplicates, and the sink
+    is run TWICE against the same checkpoint (the second run must be a
+    committed-offset no-op) before the written rows are aggregated. Green
+    iff the doubly-run sink still equals the batch aggregate: duplication
+    from either retry path would break the counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import run_exactly_once_parquet
+    from ..streaming.windows import stream_from_parquet_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_eos_out_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_eos_ckpt_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def _stream() -> DataFrame:
+        return stream_from_parquet_dir(
+            spark, os.path.dirname(src), schema, glob_filter=os.path.basename(src)
+        ).select("event_id", "event_type", "value")
+
+    run_exactly_once_parquet(_stream(), out, ckpt, query_name="eos_totals_1")
+    # second run, same checkpoint: offsets are committed -> must write nothing
+    run_exactly_once_parquet(_stream(), out, ckpt, query_name="eos_totals_2")
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(_dsum(F.col("value")), 2).alias("total"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -5990,6 +6039,7 @@ _SWEEP_FRONT = (
     "embedding_centroid_drift",
     "last_touch_attribution",
     "stream_cdc_last_state",
+    "stream_exactly_once_totals",
     "incremental_rollup_merge",
     "bucketed_join_revenue",
     "seasonal_hour_outliers",
