@@ -203,3 +203,88 @@ def test_zorder_key_bijective_property(spark, pairs):
         assert (a, b) == (r.a, r.b)
         assert r.z not in seen
         seen[r.z] = (r.a, r.b)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.integers(min_value=0, max_value=50),  # seq (may collide)
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_last_state_matches_python_model(spark, rows):
+    from tmdb_spark_data_pipeline_spark.operators import timeseries
+
+    # make seq unique per row (total order) the same way the operator requires
+    uniq = [(k, i, op) for i, (k, _, op) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "k int, seq int, op string")
+    got = {r.k: r.op for r in timeseries.last_state(
+        df, ("k",), ("seq",), op_col="op", delete_op="delete"
+    ).collect()}
+    model = {}
+    for k, seq, op in uniq:
+        model[k] = op  # seq strictly increasing => last write wins
+    expect = {k: op for k, op in model.items() if op != "delete"}
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.integers(min_value=-50, max_value=50),  # summable value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(min_value=0, max_value=30),
+)
+def test_combine_rollups_any_split_equals_full(spark, rows, cut):
+    from tmdb_spark_data_pipeline_spark.operators import agg as agg_ops
+
+    idx = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(idx, "k int, v long, i int")
+
+    def rollup(part):
+        return part.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"), F.max("i").alias("hi")
+        )
+
+    full = {tuple(r) for r in rollup(df).collect()}
+    merged = agg_ops.combine_rollups(
+        [rollup(df.filter(F.col("i") < cut)), rollup(df.filter(F.col("i") >= cut))],
+        ("k",),
+        sum_cols=("n", "s"),
+        max_cols=("hi",),
+    )
+    assert {tuple(r) for r in merged.collect()} == full
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=60,
+    ),
+    counters=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitter_recall_property(spark, vals, counters):
+    from collections import Counter
+
+    from tmdb_spark_data_pipeline_spark.operators import sketch
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(3)
+    cand = {r.value for r in sketch.heavy_hitter_candidates(
+        df, "v", counters=counters
+    ).collect()}
+    n = len(vals)
+    for v, c in Counter(vals).items():
+        if c > n / (counters + 1):  # the guarantee threshold
+            assert v in cand, (v, c, n, counters)
