@@ -6014,6 +6014,139 @@ def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "basket_item_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, together,
+           round(together * 1.0 * n.n / (fa.f * fb.f), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.l_partkey
+    JOIN freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n_orders n
+    WHERE together >= 2
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def basket_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs that co-occur in the
+    same order, scored by LIFT (observed co-rate over independence), minimum
+    support 2 — the recommendation/affinity primitive. The within-basket
+    self-join is naturally blocked (pairs only form inside one order, and
+    baskets are bounded — ~7 lines for TPC-H-ish orders — so fan-out is
+    |order|² on a small |order|); item frequencies broadcast back; the
+    order count is the scalar-broadcast pattern. Top-20 by (lift, part_a,
+    part_b) for a total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (a.o == b.o) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("__fa"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("__fb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together") * F.col("n") / (F.col("__fa") * F.col("__fb")), 6
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        ).limit(20)
+    )
+
+
+@query(
+    "snapshot_diff_counts",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, event_type, count(*) AS n, max(ts) AS latest
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-28' AND user_id % 10 <> 3
+      GROUP BY 1, 2),
+    new AS (
+      SELECT user_id, event_type, count(*) AS n, max(ts) AS latest
+      FROM events GROUP BY 1, 2)
+    SELECT CASE WHEN old.user_id IS NULL THEN 'added'
+                WHEN new.n <> old.n OR new.latest <> old.latest THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           count(*) AS n_keys
+    FROM new LEFT JOIN old USING (user_id, event_type)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-versioning audit: per-(user, type)
+    aggregates of an OLD snapshot (a prior cutoff, with one user slice
+    simulating since-onboarded accounts) compared with the NEW one, every
+    key classified added/changed/unchanged (removals can't occur in an
+    append-only feed, and the LEFT join encodes that). All three classes
+    are populated at every SF — a single-class report would green without
+    exercising the classifier. The shape a data-diff/CDC-validation tool
+    runs between pipeline versions: two partial-agg'd scans, one
+    key-partitioned join, a 3-row report."""
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"), F.max("ts").alias("latest")
+        )
+
+    old = snap(
+        ev.filter((F.col("ts") < "2024-01-28") & (F.col("user_id") % 10 != 3))
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("__on"),
+        F.col("latest").alias("__ol"),
+    )
+    new = snap(ev)
+    kind = (
+        F.when(F.col("__on").isNull(), "added")
+        .when(
+            (F.col("n") != F.col("__on")) | (F.col("latest") != F.col("__ol")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        new.join(old, ["user_id", "event_type"], "left")
+        .groupBy(kind.alias("change_kind"))
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6040,6 +6173,8 @@ _SWEEP_FRONT = (
     "last_touch_attribution",
     "stream_cdc_last_state",
     "stream_exactly_once_totals",
+    "basket_item_lift",
+    "snapshot_diff_counts",
     "incremental_rollup_merge",
     "bucketed_join_revenue",
     "seasonal_hour_outliers",
