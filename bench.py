@@ -109,25 +109,44 @@ def main() -> None:
     j0 = _cpu_jiffies()
     canary0 = _speed_canary()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        spec = REGISTRY[name]
-        q0 = _cpu_jiffies()
+    def _run_once(spec) -> float:
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         if df.isStreaming:  # pragma: no cover - all declared queries are batch
             df.count()
         else:
             df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    # Heavy queries get re-timed and the MIN kept: shared-host noise (memory
+    # bus, disk — invisible to steal%) inflates a single execution 2-10×
+    # (observed: same query 2.2 s vs 24 s across runs at ~0% steal, canary
+    # flat), and one timing per query makes the artifact hostage to whichever
+    # window it lands in. The min of k executions estimates quiet-machine
+    # cost; light queries (<3 s) stay single-shot to bound total wall.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    retime_above = float(os.environ.get("BENCH_RETIME_ABOVE_SEC", "3"))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        q0 = _cpu_jiffies()
+        best = _run_once(spec)
+        extra = 0
+        while best > retime_above and extra < repeats - 1:
+            _reclaim.heavy = True
+            _reclaim()
+            best = min(best, _run_once(spec))
+            extra += 1
+        timings[name] = best
         q1 = _cpu_jiffies()
         q_steal = (
             f" steal={100.0 * (q1[0] - q0[0]) / max(q1[1] - q0[1], 1):.1f}%"
             if q0 and q1
             else ""
         )
-        print(f"# {name}: {timings[name]:.3f}s{q_steal}", file=sys.stderr)
-        del df
+        rerun = f" (min of {extra + 1})" if extra else ""
+        print(f"# {name}: {timings[name]:.3f}s{q_steal}{rerun}", file=sys.stderr)
         # full JVM GC only after queries that pin executor-side state
         # (checkpoints, streaming state stores, big broadcasts) — a System.gc
         # after every light query costs more than the residue it frees
