@@ -479,20 +479,44 @@ def simhash64(text: ColumnOrName, *, use_bits: int = 63) -> Column:
     return out
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, *, use_bits: int = 63) -> DataFrame:
+def _token_hash(tok: Column, hasher: str) -> Column:
+    """Token → long hash for SimHash. ``"xxhash64"`` (default): fastest,
+    engine-specific — results have no cross-engine twin. ``"md5_60"``: the
+    portable-hash discipline (``sampling.portable_hash``) widened to 60 bits
+    — ``conv(substr(md5(tok), 1, 15), 16, 10)``, bit-identical in DuckDB as
+    ``CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`` — so the whole
+    SimHash pipeline becomes oracle-checkable. md5 costs ~2-3× xxhash64 per
+    token; production dedup keeps xxhash64, correctness gates use md5_60."""
+    if hasher == "xxhash64":
+        return F.xxhash64(tok)
+    if hasher == "md5_60":
+        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    use_bits: int = 63,
+    hasher: str = "xxhash64",
+) -> DataFrame:
     """Per-document SimHash via the exploded-aggregate shape: explode tokens,
-    hash each once (``xxhash64``), then ``use_bits`` conditional ±1 sums with
-    map-side partial aggregation; pack sign bits into a long.
+    hash each once, then ``use_bits`` conditional ±1 sums with map-side
+    partial aggregation; pack sign bits into a long.
 
     Same result as the ``simhash64`` expression, but the per-row expression
     tree stays small enough for whole-stage codegen and the bit sums
     parallelize across partitions (the 100 TB shape, mirroring
-    ``minhash_signatures_agg``).
+    ``minhash_signatures_agg``). With ``hasher="md5_60"`` (pass
+    ``use_bits<=60``) the fingerprints are portable across engines — see
+    ``_token_hash``.
     """
     base = _spread(df.select(F.col(id_col), F.col(text_col)))
     ex = base.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
-    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    ).withColumn("__h", _token_hash(F.col("__tok"), hasher))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -514,6 +538,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     use_bits: int = 63,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
@@ -525,7 +550,7 @@ def simhash_neardup_pairs(
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee requires max_hamming < bands")
-    fp = simhash_fingerprints(df, text_col, id_col, use_bits=use_bits)
+    fp = simhash_fingerprints(df, text_col, id_col, use_bits=use_bits, hasher=hasher)
     width = -(-use_bits // bands)
     mask = (1 << width) - 1
     band_cols = [

@@ -403,14 +403,34 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")  # HLL sketch — engine-specific, rows-only check
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY 1
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct: the 100 TB path for distinct counts (no shuffle
-    of the distinct keys, fixed-size sketch). No oracle: HLL estimates are
-    engine-specific."""
+    """approx_count_distinct — the 100 TB path for distinct counts (no
+    shuffle of the distinct keys, fixed-size sketch) — with a driver-visible
+    accuracy gate (the ``hll_mergeable_rollup`` pattern): the exact distinct
+    count is hash-matched by the oracle, and the HLL++ estimate (rsd=0.01)
+    must land within ±5% of it or the boolean flips and fails the hash. HLL
+    values themselves are engine-specific, so the sketch is BOUNDED by the
+    oracle rather than compared to it (rows-only until round 4)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
     )
 
 
@@ -1145,21 +1165,64 @@ def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("simhash_fingerprints")  # xxhash64-based — no DuckDB twin, rows-only
+_SIMHASH_FP_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, g.b,
+             sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, unnest(generate_series(0, 59)) AS g(b)
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY 1)
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=_SIMHASH_FP_CTE + "SELECT doc_id, simhash FROM fp",
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash fingerprints per document (near-dup sketch whose
-    hamming distance approximates cosine distance of token sets)."""
+    """60-bit SimHash fingerprints per document (near-dup sketch whose
+    hamming distance approximates cosine distance of token sets), computed
+    with the PORTABLE md5-derived token hash so the whole pipeline — token
+    hash, per-bit majority sums, sign packing — hash-matches the DuckDB
+    replay bit-for-bit (rows-only until round 4; ``hasher="xxhash64"``
+    remains the production fast path, same plan shape)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_fingerprints(docs, "text", "doc_id")
+    return dedup.simhash_fingerprints(
+        docs, "text", "doc_id", use_bits=60, hasher="md5_60"
+    )
 
 
-@query("simhash_neardups")  # xxhash64-based fingerprints — rows-only check
+@query(
+    "simhash_neardups",
+    oracle=_SIMHASH_FP_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 via pigeonhole band blocking
-    (4 bands ⇒ every qualifying pair shares ≥1 exact band — full recall,
-    no probabilistic miss)."""
+    (4 bands ⇒ every qualifying pair shares ≥1 exact band — full recall, no
+    probabilistic miss), portable-hash fingerprints. The oracle computes
+    ALL-PAIRS exact hamming — the banding must reproduce it exactly, so the
+    green row certifies the pigeonhole recall guarantee, not just the
+    fingerprint math."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+    return dedup.simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bands=4, use_bits=60, hasher="md5_60"
+    )
 
 
 @query(
