@@ -6300,6 +6300,9 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "simhash_fingerprints",
+    "simhash_neardups",
+    "approx_distinct_parts",
     "bigram_heldout_logprob",
     "session_path_trigrams",
     "trimmed_mean_event_values",
@@ -6378,9 +6381,6 @@ _SWEEP_FRONT = (
     "doc_fingerprints",
     "lang_stopword_stats",
     "doc_quality_scores",
-    "approx_distinct_parts",
-    "simhash_fingerprints",
-    "simhash_neardups",
     "similarity_topk_multiprobe",
     "cosine_neardups_blocked",
     "embedding_stats",
