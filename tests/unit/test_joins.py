@@ -139,3 +139,65 @@ def test_interval_overlap_pairs_blocking_and_verify(spark):
     # dedup: E and D share bucket 09:00 only once despite E covering 14 buckets
     assert got == [(1, 2), (2, 3), (4, 5)]
     assert out.count() == len(set(got))  # distinct survived the multi-bucket fanout
+
+
+def test_asof_cogrouped_matches_composed_form(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import joins
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    composed = {
+        (r["p_id"], r["c_id"])
+        for r in joins.asof_join(
+            purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+            direction="backward", left_id="event_id", tiebreak="event_id",
+        )
+        .select(F.col("l.event_id").alias("p_id"), F.col("r.event_id").alias("c_id"))
+        .collect()
+    }
+    cogrouped = {
+        (r["event_id"], r["r_event_id"])
+        for r in joins.asof_join_cogrouped(
+            purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+            right_cols=("event_id", "value"), tiebreak="event_id",
+        ).collect()
+    }
+    assert cogrouped == composed
+
+
+def test_asof_cogrouped_tolerance_and_empty_right(spark):
+    import datetime as dt
+
+    from tmdb_spark_data_pipeline_spark.operators import joins
+
+    def ts(d, h=0):
+        return dt.datetime(2024, 1, d, h)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(20)), (3, 2, ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100, 1.0), (1, ts(2), 101, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {
+        r["event_id"]: r["r_event_id"]
+        for r in joins.asof_join_cogrouped(
+            left, right, on="user_id", left_time="ts", right_time="ts",
+            right_cols=("event_id", "value"), tiebreak="event_id",
+            tolerance="7D",
+        ).collect()
+    }
+    # event 1: click 1 day before -> within 7D tolerance
+    # event 2: nearest click 11 days before -> OUTSIDE tolerance -> null
+    # event 3: user 2 has NO right rows at all -> null (empty-right path)
+    assert out == {1: 100, 2: None, 3: None}

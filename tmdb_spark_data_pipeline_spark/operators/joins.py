@@ -210,3 +210,86 @@ def interval_overlap_pairs(
     return cand.filter(
         (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a"))
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: tuple[str, ...],
+    tolerance: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join via COGROUPED ``applyInPandas`` + ``pd.merge_asof`` — the
+    sixth tier of the sanctioned-Python matrix (scalar / grouped-agg /
+    applyInPandas / mapInPandas / applyInPandasWithState / cogroup), and the
+    escape hatch the expression-composed ``asof_join`` documents: both sides
+    cogroup on the key, each (left-group, right-group) pair merges
+    backward-as-of inside one Arrow batch.
+
+    Semantics match ``asof_join(direction="backward")``: ``merge_asof``
+    takes the LAST right row at an equal timestamp, so sorting the right
+    side by ``(right_time, tiebreak)`` reproduces the composed form's
+    ``tiebreak DESC`` exactly; without a tiebreak, equal timestamps resolve
+    by input order (nondeterministic under shuffling). ``tolerance`` (a
+    pandas offset alias like ``"7D"``) bounds how stale a match may be — a
+    feature the range-join form would express as an extra predicate.
+
+    The right side is re-aliased to fresh ``r_*`` attributes BEFORE the
+    cogroup: when both sides derive from the same source, same-name columns
+    share attribute ids and Spark's self-join deduplication rewrites one
+    side's projection out from under the UDF (observed: the right batch
+    arriving without its time column).
+
+    Scale shape: one shuffle per side on ``on`` (exactly like the composed
+    form's range join), then per-key pandas merges — state is one key's
+    rows, so skew bound = rows per key. Right-side output columns are
+    prefixed ``r_``.
+    """
+    import pandas as pd
+
+    lcols = left.columns
+    rkey = f"r_{on}"
+    rtime = f"r_{right_time}"
+    rsel = right.select(
+        F.col(on).alias(rkey),
+        *([] if right_time in right_cols else [F.col(right_time).alias(rtime)]),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        *(
+            [F.col(tiebreak).alias(f"r_{tiebreak}")]
+            if tiebreak and tiebreak not in right_cols
+            else []
+        ),
+    )
+    rtb = f"r_{tiebreak}" if tiebreak else None
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    )
+    rstruct = {f.name: f for f in right.schema.fields}
+    out_fields += ", " + ", ".join(
+        f"r_{c} {rstruct[c].dataType.simpleString()}" for c in right_cols
+    )
+
+    def merge(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        l = l.sort_values(left_time)
+        if r.empty:
+            out = l.copy()
+            for c in right_cols:
+                out[f"r_{c}"] = None
+            return out[[*lcols, *[f"r_{c}" for c in right_cols]]]
+        r = r.sort_values([rtime, rtb] if rtb else [rtime])
+        kwargs = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+        merged = pd.merge_asof(
+            l, r, left_on=left_time, right_on=rtime,
+            direction="backward", **kwargs,
+        )
+        return merged[[*lcols, *[f"r_{c}" for c in right_cols]]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(rsel.groupBy(rkey))
+        .applyInPandas(lambda l, r: merge(l, r), out_fields)
+    )
