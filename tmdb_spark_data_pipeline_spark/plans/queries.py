@@ -6330,6 +6330,45 @@ def asof_cogroup_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_python_source_totals",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS user_id, count(*) AS n,
+           round(sum(((i * 2654435761) % 1000) / 10.0), 2) AS total
+    FROM generate_series(0, 999) AS g(i)
+    GROUP BY 1
+    """,
+)
+def stream_python_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM STREAMING SOURCE via Spark 4's Python DataSource API
+    (``sources.datasource.SyntheticEventsDataSource``): the deterministic
+    synthetic feed streams through 100-row micro-batches (10 batches of a
+    1000-event feed — offsets owned by the source, ``readBetweenOffsets``
+    replay = the exactly-once contract; per-batch Python-source RPC makes
+    finer batching pure overhead), aggregated per user and checked
+    against DuckDB regenerating the same feed from its closed form. Green
+    iff every micro-batch arrived exactly once: a dropped or doubled batch
+    shifts the per-user counts/sums and fails the hash."""
+    from ..sources.datasource import register_synthetic
+    from ..streaming.windows import run_stream_to_memory
+
+    register_synthetic(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_total", "1000")
+        .option("batch_size", "100")
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(30,4)")).cast("double"), 2).alias(
+            "total"
+        ),
+    )
+    run_stream_to_memory(agg, "py_source_totals", output_mode="complete")
+    return spark.table("py_source_totals")
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6348,6 +6387,7 @@ _SWEEP_FRONT = (
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
     "asof_cogroup_last_click",
+    "stream_python_source_totals",
     "simhash_fingerprints",
     "simhash_neardups",
     "approx_distinct_parts",

@@ -135,3 +135,70 @@ def register(spark) -> None:
     """Register the source on a session: ``register(spark)`` then
     ``spark.read.format("tmdb_rest")``."""
     spark.dataSource.register(RestDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource: deterministic synthetic event feed
+# ---------------------------------------------------------------------------
+
+EVENTS_FEED_DDL = "event_id bigint, user_id bigint, value double"
+
+_FEED_MULT = 2_654_435_761  # Knuth multiplicative constant (public domain)
+
+
+def _feed_row(i: int) -> tuple:
+    """Deterministic event i — pure function of the index, so the stream's
+    content is replayable from offsets alone and an external oracle can
+    regenerate it in SQL (``(i * mult) % 1000 / 10`` over a series)."""
+    return (i, i % 7, ((i * _FEED_MULT) % 1000) / 10.0)
+
+
+class _FeedStreamReader:
+    """``SimpleDataSourceStreamReader`` for the synthetic feed: offsets are
+    ``{"idx": n}`` (events emitted so far); each ``read`` advances by at most
+    ``batch_size``; ``readBetweenOffsets`` regenerates any committed range
+    exactly (the replay contract that makes the source exactly-once under
+    checkpoint recovery — determinism IS the transaction log here)."""
+
+    def __init__(self, options: dict):
+        self.n_total = int(options.get("n_total", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = int(start["idx"])
+        hi = min(lo + self.batch_size, self.n_total)
+        return (iter([_feed_row(i) for i in range(lo, hi)]), {"idx": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_feed_row(i) for i in range(int(start["idx"]), int(end["idx"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the feed is regenerable from offsets
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events")`` — a CUSTOM STREAMING
+    source through Spark 4's Python DataSource API (the streaming sibling of
+    ``RestDataSource``): schema declared up front, offsets owned by the
+    source, micro-batch planning driven by ``batch_size``. Options:
+    ``n_total`` (feed length; the stream idles at the end — a replayed test
+    feed), ``batch_size`` (rows per micro-batch).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return EVENTS_FEED_DDL
+
+    def simpleStreamReader(self, schema) -> _FeedStreamReader:
+        return _FeedStreamReader(self.options)
+
+
+def register_synthetic(spark) -> None:
+    """Register the streaming feed source for this session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
