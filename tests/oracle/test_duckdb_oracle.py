@@ -68,8 +68,15 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
 
 
+def test_every_declared_query_has_an_oracle():
+    """Since round 4 the rows-only tier is EMPTY — every declared query
+    carries a DuckDB oracle (portable-hash SimHash, gated HLL). This pin
+    turns any future oracle-less addition into a conscious decision."""
+    assert ROWS_ONLY_NAMES == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_query_runs(spark, name):
+def test_rows_only_query_runs(spark, name):  # pragma: no cover - empty tier
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
     assert sdf.count() >= 0
