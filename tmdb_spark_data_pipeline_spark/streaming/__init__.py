@@ -1,4 +1,5 @@
 from .incremental import process_available_now
+from .listener import ProgressCapture
 from .sinks import run_exactly_once_parquet, write_epoch_overwrite
 from .stateful import stateful_last_state, stateful_user_totals, stateful_user_totals_tws
 from .windows import (
@@ -23,6 +24,7 @@ __all__ = [
     "run_stream_to_memory",
     "session_agg",
     "sliding_agg",
+    "ProgressCapture",
     "stateful_last_state",
     "stateful_user_totals",
     "stateful_user_totals_tws",
