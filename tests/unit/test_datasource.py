@@ -101,3 +101,38 @@ def test_synthetic_feed_streams_deterministically(spark):
 
     a, b = run("synfeed_a"), run("synfeed_b")
     assert a == b and sum(n for _, n, _ in a) == 200
+
+
+def test_rest_stream_pages_and_replays(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        _RestStreamReader,
+        register_rest_stream,
+    )
+    from tmdb_spark_data_pipeline_spark.streaming.windows import run_stream_to_memory
+
+    # reader-level: pages advance, idle at end, committed-range replay exact
+    r = _RestStreamReader({"keys": "a,b_404,c,d_429,e", "page_size": "2"})
+    off = r.initialOffset()
+    rows = []
+    for _ in range(4):
+        batch, off = r.read(off)
+        rows.extend(batch)
+    assert [x[0] for x in rows] == ["a", "b_404", "c", "d_429", "e"]
+    assert off == {"pos": 5}
+    assert [x[0] for x in r.readBetweenOffsets({"pos": 1}, {"pos": 3})] == ["b_404", "c"]
+    by_key = {x[0]: x for x in rows}
+    assert by_key["b_404"][1] is False and by_key["b_404"][2] == "HTTP_404"
+    assert by_key["d_429"][1] is True  # retried to success
+
+    # end-to-end: the streaming source through a real query
+    register_rest_stream(spark)
+    s = (
+        spark.readStream.format("tmdb_rest_stream")
+        .option("keys", "k1,k2_404,k3").option("page_size", "2").load()
+    )
+    agg = s.groupBy("success").agg(F.count("*").alias("n"))
+    run_stream_to_memory(agg, "rest_stream_probe", output_mode="complete")
+    got = {r.success: r.n for r in spark.table("rest_stream_probe").collect()}
+    assert got == {True: 2, False: 1}
