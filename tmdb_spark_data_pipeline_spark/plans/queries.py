@@ -6332,7 +6332,6 @@ def asof_cogroup_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_python_source_totals",
-    "stream_rest_ingest_audit",
     oracle="""
     SELECT CAST(i % 7 AS BIGINT) AS user_id, count(*) AS n,
            round(sum(((i * 2654435761) % 1000) / 10.0), 2) AS total
