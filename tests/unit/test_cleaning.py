@@ -74,3 +74,60 @@ def test_dedup_by_key_keeps_deterministic_winner(spark):
 def test_dedup_by_key_without_tiebreak_unique_keys(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["id", "v"])
     assert cleaning.dedup_by_key(df, ("id",)).count() == 2
+
+
+def test_expect_counts_each_violation_kind(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, 10),
+            (1, "B", -2.0, 20),   # duplicate key + out-of-range + bad value
+            (None, "A", 3.0, 99), # null key + orphan fk
+            (3, None, 50.0, 10),  # null category doesn't violate accepted_values
+        ],
+        "k int, cat string, v double, fk int",
+    )
+    ref = spark.createDataFrame([(10,), (20,)], "rk int")
+    out = {
+        (r.rule, r.column): (r.n_violations, r.passed)
+        for r in dq.expect(
+            df,
+            [
+                dq.not_null("k"),
+                dq.unique("k"),
+                dq.accepted_values("cat", ("A",)),
+                dq.in_range("v", 0, 10),
+                dq.relationship("fk", ref, "rk"),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "k")] == (1, False)
+    assert out[("unique", "k")] == (1, False)          # one extra '1'
+    assert out[("accepted_values", "cat")] == (1, False)  # 'B'; NULL exempt
+    assert out[("in_range", "v")] == (2, False)        # -2 and 50
+    assert out[("relationship", "fk")] == (1, False)   # fk=99 orphan
+
+
+def test_expect_single_scan_for_row_rules(spark):
+    import contextlib
+    import io
+
+    from tmdb_spark_data_pipeline_spark.operators import quality as dq
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plan_df = dq.expect(
+        o,
+        [dq.not_null("o_orderkey"), dq.unique("o_orderkey"),
+         dq.in_range("o_totalprice", 0, 1e9)],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    # all row-level rules share ONE scan node (formatted explain prints
+    # each node twice: tree line + detail header)
+    assert plan.count("Scan parquet") == 2

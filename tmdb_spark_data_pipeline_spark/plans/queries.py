@@ -6417,6 +6417,73 @@ def stream_rest_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("rest_ingest_audit")
 
 
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM (
+    SELECT 'not_null' AS rule, 'o_orderkey' AS "column",
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 1e9)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'relationship', 'o_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    )
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (``operators/quality.py`` — the
+    dbt-test shape, Spark-first): six expectations over orders compiled
+    into ONE aggregate scan plus one broadcast anti-join for the
+    foreign-key rule. The priority accepted-values rule is DESIGNED to
+    fail (the domain has 5 priorities, the rule allows 2) so the violation
+    COUNTING path is exercised, not just the all-zeros happy path — a
+    vacuous all-pass table would green without proving the counters. The
+    oracle recomputes every counter independently; ``passed`` is derived
+    in both engines."""
+    from ..operators import quality as dq
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    out = dq.expect(
+        o,
+        [
+            dq.not_null("o_orderkey"),
+            dq.unique("o_orderkey"),
+            dq.accepted_values("o_orderstatus", ("O", "F", "P")),
+            dq.accepted_values("o_orderpriority", ("1-URGENT", "2-HIGH")),
+            dq.in_range("o_totalprice", 0, 1e9),
+            dq.relationship("o_custkey", c, "c_custkey"),
+        ],
+    )
+    return out.select("rule", "column", "n_violations", "passed")
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6434,6 +6501,7 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "dq_expectations_orders",
     "asof_cogroup_last_click",
     "stream_python_source_totals",
     "stream_rest_ingest_audit",
