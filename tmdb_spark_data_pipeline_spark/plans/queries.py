@@ -6484,6 +6484,61 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rule", "column", "n_violations", "passed")
 
 
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2)
+             AS total
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a path-based parquet layout: an old writer lands
+    files WITHOUT ``o_orderpriority``, a new writer lands files WITH it,
+    and a ``mergeSchema`` read unions the footers by name — old rows
+    surface the evolved column as NULL instead of failing the scan. The
+    append-only schema-widening story every long-lived dataset needs
+    without a table format. (Default reads use the first footer only —
+    ``mergeSchema`` is a per-read opt-in because footer-merging scales with
+    file count; table formats move this merge into metadata.)"""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    # epoch 1: pre-evolution writer (no priority column)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("append").parquet(path)
+    # epoch 2: evolved writer adds the column
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6502,6 +6557,7 @@ _SWEEP_FRONT = (
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
     "dq_expectations_orders",
+    "schema_evolution_roundtrip",
     "asof_cogroup_last_click",
     "stream_python_source_totals",
     "stream_rest_ingest_audit",
