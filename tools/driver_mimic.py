@@ -1,6 +1,11 @@
 """Driver mimic: plain SparkSession (driver's own config, NOT the engine's
 session factory), import __spark_entry__, smoke entry(), then run every
-queries() entry at sf0.01 against oracle_sql() via DuckDB."""
+queries() entry at sf0.01 against oracle_sql() via DuckDB.
+
+Usage: python tools/driver_mimic.py [substring ...]
+With arguments, only queries whose name contains ANY substring run (the
+entry() smoke still runs) — the per-batch verification loop new queries
+need without the full 10-minute sweep."""
 import sys, math, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -28,6 +33,10 @@ def canon_cell(v):
     return str(v)
 
 qs, oracles = mod.queries(), mod.oracle_sql()
+wanted = sys.argv[1:]
+if wanted:
+    qs = {n: f for n, f in qs.items() if any(w in n for w in wanted)}
+    print(f"FILTER: {len(qs)} queries match {wanted}")
 fails = []
 for name, fn in qs.items():
     t0 = time.time()
