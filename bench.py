@@ -128,6 +128,7 @@ def main() -> None:
     retime_above = float(os.environ.get("BENCH_RETIME_ABOVE_SEC", "3"))
 
     timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
         q0 = _cpu_jiffies()
@@ -140,11 +141,11 @@ def main() -> None:
             extra += 1
         timings[name] = best
         q1 = _cpu_jiffies()
-        q_steal = (
-            f" steal={100.0 * (q1[0] - q0[0]) / max(q1[1] - q0[1], 1):.1f}%"
-            if q0 and q1
-            else ""
-        )
+        if q0 and q1:
+            query_steal[name] = round(
+                100.0 * (q1[0] - q0[0]) / max(q1[1] - q0[1], 1), 2
+            )
+        q_steal = f" steal={query_steal[name]:.1f}%" if name in query_steal else ""
         rerun = f" (min of {extra + 1})" if extra else ""
         print(f"# {name}: {timings[name]:.3f}s{q_steal}{rerun}", file=sys.stderr)
         # full JVM GC only after queries that pin executor-side state
@@ -175,6 +176,7 @@ def main() -> None:
         "sf": sf_val,
         "host_steal_pct": steal_pct,
         "canary_ms": [canary0, canary1],
+        "query_steal_pct": query_steal,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
