@@ -42,3 +42,37 @@ def test_pava_equal_rates_not_merged_but_equal_fit(spark):
     )
     out = {r.bin: r for r in calibrate.isotonic_fit(df, "grp", "bin", "h", "n").collect()}
     assert out[1].y_fit == out[2].y_fit == pytest.approx(0.25)
+
+
+def test_ridge_fit_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+    rng = np.random.default_rng(7)
+    x1 = rng.integers(0, 24, 200).astype(float)
+    x2 = rng.integers(1, 8, 200).astype(float)
+    y = 3.0 + 0.5 * x1 - 1.25 * x2 + rng.normal(0, 0.1, 200)
+    rows = [("g", float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    got = calibrate.ridge_fit_2(df, ("g",), "y", "x1", "x2", lam=1.0).collect()[0]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    A = X.T @ X + np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y)
+    assert abs(got.b0 - beta[0]) < 1e-6
+    assert abs(got.b1 - beta[1]) < 1e-6
+    assert abs(got.b2 - beta[2]) < 1e-6
+
+
+def test_ridge_fit_degenerate_group_is_finite(spark):
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+    # constant predictors: OLS would be singular; ridge must stay finite
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0, float(v)) for v in (5, 7, 9)],
+        "g string, x1 double, x2 double, y double",
+    )
+    got = calibrate.ridge_fit_2(df, ("g",), "y", "x1", "x2", lam=1.0).collect()[0]
+    assert all(math.isfinite(v) for v in (got.b0, got.b1, got.b2))

@@ -99,3 +99,77 @@ def isotonic_fit(
         .groupBy(group_col)
         .applyInPandas(_pava, out_schema)
     )
+
+
+def ridge_fit_2(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    *,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Closed-form ridge regression per group, two predictors + intercept —
+    "fit a small model in SQL": β = (XᵀX + λI₋)⁻¹ Xᵀy solved analytically
+    (Cramer on the symmetric 3×3 normal matrix; λ on the non-intercept
+    diagonal only, the standard unpenalized-intercept form).
+
+    Everything the model needs is NINE moment sums per group — n, Σx₁, Σx₂,
+    Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y — accumulated in ``decimal(30,6)`` so
+    the fit is bit-identical regardless of partial-agg order, then a fixed
+    sequence of double arithmetic both engines evaluate identically. One
+    shuffle carrying 9 numbers per group at ANY data size: the pattern that
+    fits millions of per-entity models in a single pass where an ML-library
+    loop would fit one at a time.
+
+    λ > 0 also guarantees the system is nonsingular (det > 0 whenever n ≥ 1),
+    so degenerate groups (constant predictors) still return coefficients
+    instead of NULLs. Output: group cols, ``n``, ``b0``, ``b1``, ``b2``.
+    """
+    d = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(d(x1)).cast("double").alias("s1"),
+        F.sum(d(x2)).cast("double").alias("s2"),
+        F.sum(d(x1 * x1)).cast("double").alias("s11"),
+        F.sum(d(x1 * x2)).cast("double").alias("s12"),
+        F.sum(d(x2 * x2)).cast("double").alias("s22"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(x1 * y)).cast("double").alias("s1y"),
+        F.sum(d(x2 * y)).cast("double").alias("s2y"),
+    )
+    a11 = F.col("n").cast("double")
+    a12, a13 = F.col("s1"), F.col("s2")
+    a22 = F.col("s11") + F.lit(lam)
+    a23 = F.col("s12")
+    a33 = F.col("s22") + F.lit(lam)
+    b1, b2, b3 = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    return m.select(
+        *group_cols,
+        "n",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )

@@ -6625,6 +6625,76 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "ridge_value_model",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(extract(hour FROM ts) AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST((dayofweek(ts) + 1) AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(extract(hour FROM ts) * extract(hour FROM ts) AS DECIMAL(30,6))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(extract(hour FROM ts) * (dayofweek(ts) + 1) AS DECIMAL(30,6))) AS DOUBLE) AS s12,
+             CAST(sum(CAST((dayofweek(ts) + 1) * (dayofweek(ts) + 1) AS DECIMAL(30,6))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(extract(hour FROM ts) * value AS DECIMAL(30,6))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST((dayofweek(ts) + 1) * value AS DECIMAL(30,6))) AS DOUBLE) AS s2y
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS a11, s1 AS a12, s2 AS a13,
+             s11 + 1.0 AS a22, s12 AS a23, s22 + 1.0 AS a33,
+             sy AS b1, s1y AS b2, s2y AS b3
+      FROM m)
+    SELECT event_type, n,
+           round((b1 * (a22 * a33 - a23 * a23)
+                  - a12 * (b2 * a33 - a23 * b3)
+                  + a13 * (b2 * a23 - a22 * b3))
+                 / (a11 * (a22 * a33 - a23 * a23)
+                    - a12 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * a23 - a22 * a13)), 6) AS b0,
+           round((a11 * (b2 * a33 - a23 * b3)
+                  - b1 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * b3 - b2 * a13))
+                 / (a11 * (a22 * a33 - a23 * a23)
+                    - a12 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * a23 - a22 * a13)), 6) AS b_hour,
+           round((a11 * (a22 * b3 - b2 * a23)
+                  - a12 * (a12 * b3 - b2 * a13)
+                  + b1 * (a12 * a23 - a22 * a13))
+                 / (a11 * (a22 * a33 - a23 * a23)
+                    - a12 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * a23 - a22 * a13)), 6) AS b_dow
+    FROM c
+    """,
+)
+def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting in ONE aggregate pass
+    (``calibrate.ridge_fit_2``): ridge regression of event value on
+    (hour-of-day, day-of-week) per event type, solved in closed form from
+    nine decimal moment sums — the shape that fits millions of per-entity
+    models in a single shuffle where an ML-library loop fits one at a
+    time. λ=1 keeps every group nonsingular; the oracle replays the exact
+    Cramer arithmetic from the same exact moments, so coefficients match
+    to the rounded digit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("__h"),
+        F.dayofweek("ts").alias("__d"),
+        "value",
+    )
+    out = calibrate.ridge_fit_2(
+        ev, ("event_type",), "value", "__h", "__d", lam=1.0
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b_hour"),
+        F.round("b2", 6).alias("b_dow"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6642,6 +6712,7 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "ridge_value_model",
     "language_id_confusion",
     "embedding_truncation_fidelity",
     "dq_expectations_orders",
