@@ -259,6 +259,103 @@ def minhash_signatures_agg(
     return ex.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
+def minhash_band_buckets(
+    base: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(__id, __t) rows → LSH band-bucket rows ``(__id, __band, __sig)``.
+
+    Exploded-aggregate signatures (map-side partial agg reduces each doc to
+    one signature row before the shuffle; the projection-only alternative
+    ``minhash_signature_affine`` measures the same warmed and compiles
+    slower cold), then each signature explodes into ``bands`` rows whose
+    ``sig`` hashes the band's r minhashes. This bucket table — ~3 longs ×
+    bands per doc — IS the dedup service's persistent artifact (see
+    ``write_minhash_artifact``)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
+    with_sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for band in range(bands)
+    ]
+    return with_sig.select(
+        "__id", F.explode(F.array(*band_cols)).alias("__b")
+    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
+
+
+def write_minhash_artifact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> None:
+    """Materialize the LSH band-bucket table as a parquet ARTIFACT — the
+    operational loop around ``minhash_lsh_pairs``: sign each corpus batch
+    ONCE, land ~100 B/doc of buckets, and never re-shingle accepted
+    documents again. ``mode="append"`` is the incremental maintenance path
+    (new batch → new bucket rows); signatures are pure functions of the
+    text, so appends never invalidate existing rows."""
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    minhash_band_buckets(base, n=n, num_hashes=num_hashes, bands=bands).write.mode(
+        mode
+    ).parquet(path)
+
+
+def minhash_pairs_from_artifact(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    artifact_path: str,
+    *,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs computed FROM the persisted bucket artifact: the band
+    self-join runs over the parquet table (no re-shingling, no persist —
+    the artifact replaces the cache), and only exact verification touches
+    document text, restricted to candidates. Identical output to
+    ``minhash_lsh_pairs`` over the same corpus, by construction — the
+    declared query pins that equivalence against the exact oracle."""
+    spark = docs.sparkSession
+    buckets = spark.read.parquet(artifact_path)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .persist()
+    )
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("__id"))
+        .union(candidates.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    base = _spread(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
+        "__id", F.explode(word_shingles("__t", n)).alias("__s")
+    )
+    verified = _jaccard_from_shingles(sh, min_jaccard)
+    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -279,28 +376,8 @@ def minhash_lsh_pairs(
     Pipeline: shingle → 128-col signature → explode to (band_id, band_hash)
     → groupBy bucket → pairs within bucket → distinct → exact verify.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
-    # Exploded-aggregate signatures: map-side partial agg reduces each doc to
-    # one signature row before the shuffle. The projection-only alternative
-    # (minhash_signature_affine) measures the same warmed and compiles slower
-    # cold; both produce identical signatures.
-    exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
-    with_sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
-
-    band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
-        )
-        for band in range(bands)
-    ]
-    buckets = with_sig.select(
-        "__id", F.explode(F.array(*band_cols)).alias("__b")
-    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
+    buckets = minhash_band_buckets(base, n=n, num_hashes=num_hashes, bands=bands)
 
     # The self-join below consumes `buckets` twice, and Spark does NOT reuse
     # the exchange across the two sides — without a persist the whole scan →

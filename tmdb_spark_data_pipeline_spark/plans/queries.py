@@ -6695,6 +6695,40 @@ def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_artifact_roundtrip", oracle=_NEARDUP_ORACLE)
+def minhash_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup service's OPERATIONAL loop, driver-gated: 90% of the corpus
+    is signed ONCE into a persisted parquet band-bucket artifact
+    (``dedup.write_minhash_artifact``), the remaining batch is APPENDED
+    (signatures are pure functions of text, so appends never invalidate
+    existing rows), and near-dup pairs are computed FROM the artifact
+    (``minhash_pairs_from_artifact`` — no re-shingling of accepted docs;
+    only exact verification touches text, restricted to candidates).
+    Checked against the same exact-Jaccard oracle as ``minhash_neardups``:
+    the artifact route must reproduce the direct route's answer exactly, or
+    the persistence layer corrupted the signatures."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mh_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    dedup.write_minhash_artifact(
+        docs.filter(F.col("doc_id") % 10 != 7), "text", "doc_id", path
+    )
+    dedup.write_minhash_artifact(
+        docs.filter(F.col("doc_id") % 10 == 7), "text", "doc_id", path, mode="append"
+    )
+    out = dedup.minhash_pairs_from_artifact(
+        docs, "text", "doc_id", path, min_jaccard=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6712,6 +6746,7 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "minhash_artifact_roundtrip",
     "ridge_value_model",
     "language_id_confusion",
     "embedding_truncation_fidelity",
