@@ -6729,6 +6729,92 @@ def minhash_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "stream_late_data_accounting",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(*) AS n
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1
+    """,
+)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, driver-gated — calibrated to what
+    Spark ACTUALLY guarantees (measured in this build, recorded here):
+    a late row for a window NEVER seen in state is admitted and the window
+    emits once; the drop applies to rows arriving after their window was
+    EMITTED AND EVICTED — that is the append-mode exactly-once contract.
+    The replay stages three forced-order micro-batches: (1) the full feed,
+    (2) a single tail row (triggers emission+eviction of every closed
+    window under the batch-1 watermark), (3) a RE-DELIVERY of five days of
+    already-emitted rows. Batch 3 must be entirely discarded: a leaked row
+    either double-counts a window or appends a duplicate window row, and
+    both fail the hash against the each-row-counted-once oracle. (The
+    duplicated tail row lives in a beyond-watermark window that append
+    mode withholds, so it never surfaces.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import (
+        _as_event_time,
+        run_stream_to_memory,
+        stream_from_parquet_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_late_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def _stage(df: DataFrame, batch_no: int) -> None:
+        sub = os.path.join(src, f"b{batch_no}")
+        df.coalesce(1).write.parquet(sub)
+        mtime = 1_000_000_000 * batch_no
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{batch_no}_{f}")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime, mtime))
+        shutil.rmtree(sub)
+
+    _stage(ev, 1)  # the full feed
+    _stage(ev.orderBy(F.col("ts").desc()).limit(1), 2)  # tail tick: emit+evict
+    _stage(  # re-delivery of already-emitted days
+        ev.filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ),
+        3,
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = _as_event_time(
+        stream_from_parquet_dir(
+            spark, src, schema, glob_filter="*.parquet", max_files_per_trigger=1
+        ),
+        "ts",
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    run_stream_to_memory(agg, "late_accounting", output_mode="append")
+    return spark.table("late_accounting")
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6746,6 +6832,7 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "stream_late_data_accounting",
     "minhash_artifact_roundtrip",
     "ridge_value_model",
     "language_id_confusion",
