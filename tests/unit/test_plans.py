@@ -475,6 +475,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "revenue_pareto_deciles",   # scalar grand-total broadcast
         "embedding_stats",
         "embedding_label_dispersion",
+        "embedding_truncation_fidelity",  # broadcast probe-pairs (declared)
         "bigram_heldout_logprob",   # scalar vocab-size broadcast
         "boilerplate_exposure",
         "neardup_method_agreement",
