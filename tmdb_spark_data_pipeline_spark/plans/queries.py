@@ -6815,6 +6815,61 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("late_accounting")
 
 
+@query(
+    "sql_interface_market_share",
+    oracle="""
+    WITH yearly AS (
+      SELECT extract(year FROM o_orderdate) AS order_year,
+             n_name,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+               AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT CAST(order_year AS BIGINT) AS order_year, n_name,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY order_year) AS DOUBLE), 6)
+             AS share
+    FROM yearly
+    """,
+)
+def sql_interface_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE-SQL front end, driver-gated: tables registered as temp
+    views (``sources.io.register_views``) and the whole query — a
+    three-join star, decimal revenue, and a windowed share-of-year — written
+    as one ``spark.sql`` string, zero DataFrame calls. Proves an analyst
+    who never touches the operator library gets the same engine (Catalyst
+    plans SQL and DataFrames identically; the session's ANSI/TZ/decimal
+    semantics apply to both). Output hash-matches the DuckDB twin of the
+    same SQL."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(
+        """
+        WITH yearly AS (
+          SELECT year(o_orderdate) AS order_year,
+                 n_name,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                   AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT CAST(order_year AS BIGINT) AS order_year, n_name,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER (PARTITION BY order_year) AS DOUBLE), 6)
+                 AS share
+        FROM yearly
+        """
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6832,6 +6887,7 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "sql_interface_market_share",
     "stream_late_data_accounting",
     "minhash_artifact_roundtrip",
     "ridge_value_model",
