@@ -6870,6 +6870,105 @@ def sql_interface_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corrupt_record_quarantine",
+    oracle="""
+    SELECT CASE WHEN i % 7 = 3 THEN 'corrupt' ELSE 'good' END AS status,
+           count(*) AS n,
+           CAST(sum(CASE WHEN i % 7 <> 3 THEN i ELSE 0 END) AS BIGINT)
+             AS good_value_total
+    FROM generate_series(0, 199) AS g(i)
+    GROUP BY 1
+    """,
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling at the SOURCE layer, driver-gated: a JSON
+    feed where every 7th-ish record is broken (truncated document) is read
+    in PERMISSIVE mode with ``columnNameOfCorruptRecord`` — good rows parse,
+    bad rows land whole in the quarantine column instead of failing the job
+    (FAILFAST's behavior) or silently disappearing (DROPMALFORMED's). The
+    query reports the good/corrupt split and the good-row value total; the
+    oracle regenerates both from the construction rule, so a swallowed or
+    misclassified record shifts a count and fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    with open(os.path.join(path, "feed.json"), "w") as f:
+        for i in range(200):
+            if i % 7 == 3:
+                f.write(f'{{"id": {i}, "value": ')  # truncated mid-object
+                f.write("\n")
+            else:
+                f.write(f'{{"id": {i}, "value": {i}}}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    status = F.when(F.col("_corrupt_record").isNotNull(), "corrupt").otherwise(
+        "good"
+    )
+    return raw.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))),
+            F.lit(0),
+        ).alias("good_value_total"),
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_returnflag, measure,
+           round(CAST(sum(CAST(val AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (``unpivot``/melt — the inverse of
+    ``pivot_event_types``): three measure columns melt into (measure, val)
+    rows, then one grouped decimal sum per (flag, measure). Spark's
+    ``unpivot`` is an Expand node — 3× row fan-out BEFORE the partial agg,
+    which immediately shrinks each partition to ≤ |flags|×3 rows, so the
+    shuffle never sees the fan-out (same discipline as GROUPING SETS)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")  # l_quantity -> quantity
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(_dsum(F.col("val")), 2).alias("total")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -6887,6 +6986,8 @@ _SWEEP_FRONT = (
     # tier since their check is weakest). Built from the union of
     # CORRECTNESS_r01-r03.
     "cdc_last_state",
+    "corrupt_record_quarantine",
+    "unpivot_lineitem_measures",
     "sql_interface_market_share",
     "stream_late_data_accounting",
     "minhash_artifact_roundtrip",
