@@ -455,6 +455,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "semantic_dedup_pairs",     # broadcast-centroid assign
         "embedding_quantization",
         "forecast_revenue_change",  # scalar crossJoin
+        "event_type_hour_mutual_info",  # scalar n broadcast
         "basket_item_lift",         # scalar order-count broadcast
         "tfidf_top_terms",          # scalar doc-count broadcast
         "bm25_search_top20",        # scalar avgdl broadcast
