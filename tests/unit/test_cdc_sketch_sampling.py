@@ -50,6 +50,20 @@ def test_last_state_without_op_col_keeps_every_key(spark):
     assert {r.k for r in out.collect()} == {1, 2, 3, 4}
 
 
+def test_last_state_null_final_op_is_not_a_tombstone(spark):
+    # A NULL op is "unknown", not a delete: `op != 'delete'` evaluates to
+    # NULL for NULL ops and a plain filter would silently drop the key.
+    rows = [
+        (1, 1, "upsert", 10.0),
+        (1, 2, None, 11.0),     # final op NULL -> key must SURVIVE
+        (2, 3, "delete", None),  # real tombstone -> gone
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, op string, v double")
+    out = timeseries.last_state(df, ("k",), ("seq",), op_col="op")
+    state = {r.k: r.v for r in out.collect()}
+    assert state == {1: 11.0}
+
+
 # ---------------------------------------------------------------------------
 # ewma_finite
 # ---------------------------------------------------------------------------

@@ -111,6 +111,16 @@ def test_expect_counts_each_violation_kind(spark):
     assert out[("relationship", "fk")] == (1, False)   # fk=99 orphan
 
 
+def test_expect_empty_rule_list_is_a_clear_error(spark):
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="at least one Rule"):
+        dq.expect(df, [])
+
+
 def test_expect_single_scan_for_row_rules(spark):
     import contextlib
     import io

@@ -201,3 +201,36 @@ def test_asof_cogrouped_tolerance_and_empty_right(spark):
     # event 2: nearest click 11 days before -> OUTSIDE tolerance -> null
     # event 3: user 2 has NO right rows at all -> null (empty-right path)
     assert out == {1: 100, 2: None, 3: None}
+
+
+def test_asof_cogrouped_alias_collisions(spark):
+    # Three alias edge cases that used to duplicate r_* columns:
+    #   tiebreak == right_time; `on` listed in right_cols; right_time in
+    #   right_cols. All three at once must still run and match backward-asof.
+    import datetime as dt
+
+    from tmdb_spark_data_pipeline_spark.operators import joins
+
+    def ts(d, h=0):
+        return dt.datetime(2024, 1, d, h)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(3)), (3, 2, ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100), (1, ts(5), 101), (2, ts(1), 102)],
+        "user_id long, ts timestamp, click_id long",
+    )
+    out = {
+        r["event_id"]: (r["r_user_id"], r["r_ts"], r["r_click_id"])
+        for r in joins.asof_join_cogrouped(
+            left, right, on="user_id", left_time="ts", right_time="ts",
+            right_cols=("user_id", "ts", "click_id"), tiebreak="ts",
+        ).collect()
+    }
+    assert out == {
+        1: (1, ts(9), 100),
+        2: (None, None, None),  # user 1 has no right row at/before day 3
+        3: (2, ts(1), 102),
+    }

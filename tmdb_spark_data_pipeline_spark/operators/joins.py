@@ -252,7 +252,9 @@ def asof_join_cogrouped(
     import pandas as pd
 
     lcols = left.columns
-    rkey = f"r_{on}"
+    if tiebreak == right_time:
+        tiebreak = None  # sorting by the time column twice adds nothing
+    rkey = "__r_on"  # internal-only key name: never collides with an r_* alias
     rtime = f"r_{right_time}"
     rsel = right.select(
         F.col(on).alias(rkey),

@@ -64,6 +64,8 @@ def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
     - ``in_range``: non-NULL rows outside [lo, hi]
     - ``relationship``: non-NULL rows whose value is absent from the target
     """
+    if not rules:
+        raise ValueError("expect() requires at least one Rule")
     spark = df.sparkSession
     counters = []
     labels: list[tuple[str, str]] = []

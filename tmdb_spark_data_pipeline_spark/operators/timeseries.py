@@ -223,7 +223,10 @@ def last_state(
         .drop("__rn")
     )
     if op_col is not None:
-        out = out.filter(F.col(op_col) != delete_op)
+        # Null-safe: a NULL final op is "unknown", not a tombstone — plain
+        # `!=` evaluates to NULL for NULL ops and the filter would silently
+        # drop those keys from the state.
+        out = out.filter(~F.col(op_col).eqNullSafe(delete_op))
     return out
 
 

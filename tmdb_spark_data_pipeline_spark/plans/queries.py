@@ -7098,74 +7098,17 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-4 priority: NEW queries (no driver row yet) and queries whose
-    # implementation or oracle CHANGED this round (fuzzy rewrite, HLL gate,
-    # incremental-minhash threshold, boilerplate single-scan) need fresh
-    # driver rows first; then staleness order — the 40 queries last
-    # driver-verified in round 1, then round 2's 37 (round 3's 50 are the
-    # freshest and rotate behind them; rows-only entries sink within each
-    # tier since their check is weakest). Built from the union of
-    # CORRECTNESS_r01-r03.
-    "cdc_last_state",
-    "event_type_hour_mutual_info",
-    "weighted_median_price",
-    "corrupt_record_quarantine",
-    "unpivot_lineitem_measures",
-    "sql_interface_market_share",
-    "stream_late_data_accounting",
-    "minhash_artifact_roundtrip",
-    "ridge_value_model",
-    "language_id_confusion",
-    "embedding_truncation_fidelity",
-    "dq_expectations_orders",
-    "schema_evolution_roundtrip",
-    "asof_cogroup_last_click",
-    "stream_python_source_totals",
-    "stream_rest_ingest_audit",
-    "simhash_fingerprints",
-    "simhash_neardups",
-    "approx_distinct_parts",
-    "bigram_heldout_logprob",
-    "session_path_trigrams",
-    "trimmed_mean_event_values",
-    "pit_join_event_state",
-    "split_leakage_audit",
-    "embedding_centroid_drift",
-    "last_touch_attribution",
-    "stream_cdc_last_state",
-    "stream_exactly_once_totals",
-    "basket_item_lift",
-    "snapshot_diff_counts",
-    "daily_revenue_decomposition",
-    "incremental_rollup_merge",
-    "bucketed_join_revenue",
-    "seasonal_hour_outliers",
-    "weighted_sample_docs",
-    "ewma_daily_revenue",
-    "semantic_dedup_pairs",
-    "heavy_hitter_tokens",
-    "quality_isotonic_calibration",
-    "similarity_topk_pandas",
-    "embedding_label_dispersion",
-    "session_overlap_pairs",
-    "event_value_mad_outliers",
-    "daily_new_users_cume",
-    "revenue_pareto_deciles",
-    "stream_hourly_users",
-    "chunk_dedup_stats",
-    "pmi_collocations_top20",
-    "rfm_segments",
-    "approx_percentile_gate",
-    "key_skew_profile",
-    "source_mixture_weights",
-    "stream_stream_left_join",
+    # round-5 rotation: the 6 round-4 additions with no driver row yet come
+    # first, then strict staleness order by last driver-verified round
+    # (r1-verified -> r2 -> r3 -> r4; within a tier, original declaration
+    # order). Built from the union of CORRECTNESS_r01-r04. The driver caps
+    # each sweep at ~50 names, so this prefix is what gets re-checked.
     "containment_neardups",
     "neardup_dedup_apply",
     "event_value_anomalies",
-    "fuzzy_customer_name_pairs",
-    "hll_mergeable_rollup",
-    "minhash_incremental_neardups",
-    "boilerplate_exposure",
+    "key_skew_profile",
+    "source_mixture_weights",
+    "stream_stream_left_join",
     "scan_filter_project",
     "derived_metrics",
     "cleaning_normalize",
@@ -7220,6 +7163,7 @@ _SWEEP_FRONT = (
     "salted_fact_join",
     "small_quantity_revenue",
     "repetition_scores",
+    "boilerplate_exposure",
     "benchmark_contamination",
     "csv_roundtrip",
     "quality_deciles",
@@ -7239,6 +7183,106 @@ _SWEEP_FRONT = (
     "similarity_topk_ivf",
     "embedding_quantization",
     "vocab_coverage_oov",
+    "pivot_event_types",
+    "range_join_click_context",
+    "asof_purchase_last_click",
+    "user_running_totals",
+    "sessionization",
+    "events_hourly",
+    "stream_hourly",
+    "events_sliding",
+    "stream_sliding",
+    "events_sessions",
+    "token_counts_bpe",
+    "language_id",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_pruned",
+    "stream_dedup_counts",
+    "stream_stream_join",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "hourly_gap_filled_series",
+    "rolling_7day_revenue",
+    "top_supplier_by_quarter",
+    "forecast_revenue_change",
+    "customer_distribution",
+    "important_brand_value",
+    "unigram_logprob_scores",
+    "char_entropy_scores",
+    "kmeans_cluster_profile",
+    "event_value_percentiles",
+    "scd2_event_intervals",
+    "asof_purchase_next_click",
+    "minhash_incremental_neardups",
+    "stream_static_enrich",
+    "zorder_key_sample",
+    "grouping_sets_revenue",
+    "decontaminated_counts",
+    "stream_dedup_watermarked",
+    "grouped_topn_ties",
+    "quality_percentile_calibration",
+    "hll_mergeable_rollup",
+    "capitalized_entities_top20",
+    "neardup_method_agreement",
+    "textrank_keywords_top20",
+    "event_transition_counts",
+    "negative_sampling_pairs",
+    "token_kl_drift_by_lang",
+    "user_value_trend",
+    "orc_roundtrip",
+    "fuzzy_customer_name_pairs",
+    "bm25_search_top20",
+    "approx_distinct_parts",
+    "simhash_fingerprints",
+    "simhash_neardups",
+    "chunk_dedup_stats",
+    "pmi_collocations_top20",
+    "rfm_segments",
+    "approx_percentile_gate",
+    "session_overlap_pairs",
+    "event_value_mad_outliers",
+    "daily_new_users_cume",
+    "revenue_pareto_deciles",
+    "stream_hourly_users",
+    "quality_isotonic_calibration",
+    "similarity_topk_pandas",
+    "embedding_label_dispersion",
+    "cdc_last_state",
+    "weighted_sample_docs",
+    "ewma_daily_revenue",
+    "semantic_dedup_pairs",
+    "heavy_hitter_tokens",
+    "stream_cdc_last_state",
+    "incremental_rollup_merge",
+    "bucketed_join_revenue",
+    "seasonal_hour_outliers",
+    "pit_join_event_state",
+    "split_leakage_audit",
+    "embedding_centroid_drift",
+    "last_touch_attribution",
+    "bigram_heldout_logprob",
+    "session_path_trigrams",
+    "trimmed_mean_event_values",
+    "stream_exactly_once_totals",
+    "basket_item_lift",
+    "snapshot_diff_counts",
+    "daily_revenue_decomposition",
+    "asof_cogroup_last_click",
+    "stream_python_source_totals",
+    "stream_rest_ingest_audit",
+    "dq_expectations_orders",
+    "schema_evolution_roundtrip",
+    "language_id_confusion",
+    "embedding_truncation_fidelity",
+    "ridge_value_model",
+    "minhash_artifact_roundtrip",
+    "stream_late_data_accounting",
+    "sql_interface_market_share",
+    "corrupt_record_quarantine",
+    "unpivot_lineitem_measures",
+    "weighted_median_price",
+    "event_type_hour_mutual_info",
 )
 
 
