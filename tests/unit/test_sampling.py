@@ -159,3 +159,29 @@ def test_negative_pairs_needs_two_rows(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(ValueError, match="at least two"):
         negative_pairs(df, "id")
+
+
+def test_word_chunk_udtf_rows_and_edges(spark):
+    spark.udtf.register("__wc4", packing.word_chunk_udtf(4))
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "  x "), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.n_words, r.first_word, r.last_word)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.* FROM {d} d, LATERAL __wc4(d.text) t", d=df
+        ).collect()
+    }
+    # doc 1: two chunks (4 + 2 words); doc 2: one single-word chunk after
+    # empty-token stripping; docs 3/4 (empty / NULL text) emit nothing.
+    assert out == {
+        (1, 0): (4, "a", "d"),
+        (1, 1): (2, "e", "f"),
+        (2, 0): (1, "x", "x"),
+    }
+
+
+def test_word_chunk_udtf_rejects_nonpositive_size(spark):
+    with pytest.raises(ValueError, match="chunk_words"):
+        packing.word_chunk_udtf(0)

@@ -107,3 +107,37 @@ def pack_sequences(
     return df.withColumn("pack_start", start).withColumn(
         "pack_id", (F.col("pack_start") / F.lit(budget)).cast("long")
     )
+
+
+def word_chunk_udtf(chunk_words: int = 16):
+    """Python UDTF tier (Spark 4 ``@udtf``): split a text into fixed-size
+    word chunks, one OUTPUT ROW per chunk — the table-function shape the
+    other sanctioned-Python tiers (scalar / grouped-agg / applyInPandas /
+    mapInPandas / applyInPandasWithState / cogroup) can't express directly
+    (a row-to-many-rows generator consumed via LATERAL join).
+
+    Returns a UDTF class ready for ``spark.udtf.register``. The expression
+    twin is ``chunk_by_tokens`` (slice-based, JVM-side) — that is the hot
+    path; the UDTF exists to cover the API tier and is Arrow-batched when
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set. Word split is
+    ``\\s+`` with empties dropped, matching the engine's token-count proxy.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    n = int(chunk_words)
+    if n <= 0:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+
+    @udtf(returnType="chunk_idx int, n_words int, first_word string, last_word string")
+    class WordChunks:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = [w for w in re.split(r"\s+", text) if w]
+            for i in range(0, len(words), n):
+                piece = words[i : i + n]
+                yield (i // n, len(piece), piece[0], piece[-1])
+
+    return WordChunks

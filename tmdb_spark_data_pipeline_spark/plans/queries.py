@@ -7090,6 +7090,172 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Spark-4-native surface: VARIANT, native XML, Python UDTF, recursive CTE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_events_profile",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0) AS BIGINT) AS k_band,
+           count(*) AS n,
+           count(CAST(json_extract(props, '$.absent') AS INTEGER)) AS n_absent,
+           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def variant_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless semi-structured path via the VARIANT type (Spark 4):
+    ``parse_json`` → binary variant → typed ``variant_get`` extraction —
+    the open-schema twin of ``json_extract_props`` (which declares a schema
+    up front). ``try_variant_get`` on a missing path returns NULL instead of
+    throwing, proving the lenient navigation contract. At 100 TB the win is
+    parse-once: the variant binary is columnar-shreddable and each
+    ``variant_get`` is a cheap path walk, vs re-parsing the JSON string per
+    extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    ex = v.select(
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.absent", "int").alias("absent"),
+    )
+    return ex.groupBy(
+        F.floor(F.col("k") / 10).cast("long").alias("k_band")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("absent").alias("n_absent"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(CAST(sum(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal
+    FROM supplier GROUP BY 1
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → explicit-schema XML source cycle (native in Spark 4, no
+    external package — completes the interchange matrix next to
+    csv/json/orc): doubles must survive text serialization exactly, and the
+    read is FAILFAST with a declared schema, never inferred."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_xml, write_xml
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_xml_supp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_xml(s, path, row_tag="supplier", mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, path, schema, row_tag="supplier")
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(_dsum(F.col("s_acctbal")), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, [x FOR x IN string_split_regex(text, '\s+') IF x <> ''] AS ws
+      FROM documents),
+    c AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS ci
+      FROM w)
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(least(16, len(ws) - ci * 16) AS INTEGER) AS n_words,
+           ws[CAST(ci * 16 + 1 AS BIGINT)] AS first_word,
+           ws[CAST(least(len(ws), ci * 16 + 16) AS BIGINT)] AS last_word
+    FROM c
+    """,
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tier (Spark 4 ``@udtf`` + LATERAL join): one input doc →
+    many chunk rows, the row-generator shape no other sanctioned-Python tier
+    expresses directly. Arrow batching is enabled for the transfer; the
+    JVM-side expression twin (``packing.chunk_by_tokens``) remains the hot
+    path — this query covers the API tier with exact-oracle semantics."""
+    from ..operators.packing import word_chunk_udtf
+
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    except Exception:
+        pass  # immutable conf in some deployments: row-based UDTF still correct
+    spark.udtf.register("word_chunks16", word_chunk_udtf(16))
+    docs = _t(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_idx, t.n_words, t.first_word, t.last_word
+        FROM {docs} d, LATERAL word_chunks16(d.text) t
+        """,
+        docs=docs,
+    )
+
+
+@query(
+    "recursive_custkey_rollup",
+    oracle="""
+    WITH RECURSIVE chain(custkey, anc, depth, bal) AS (
+      SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(30,4))
+      FROM customer
+      UNION ALL
+      SELECT custkey, anc // 10, depth + 1, bal FROM chain WHERE anc >= 10
+    )
+    SELECT anc AS root, count(*) AS n_customers, max(depth) AS max_depth,
+           round(CAST(sum(bal) AS DOUBLE), 2) AS total_bal
+    FROM chain WHERE anc < 10
+    GROUP BY anc
+    """,
+)
+def recursive_custkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE in Spark SQL (new in Spark 4): iterative ancestor
+    walk — each custkey climbs the synthetic decimal-trie hierarchy
+    (parent = key DIV 10) to its single-digit root, carrying its balance;
+    terminal rows aggregate per root. The fixed point is reached in
+    O(log10 max_key) UNION ALL steps — the declarative twin of the
+    ``connected_components`` driver loop, here entirely inside Catalyst
+    (no driver-side convergence check). The recursion state is one slim
+    row per customer per level; nothing wider ever shuffles."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anc, depth, bal) AS (
+          SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(30,4))
+          FROM {cust}
+          UNION ALL
+          SELECT custkey, anc DIV 10, depth + 1, bal FROM chain WHERE anc >= 10
+        )
+        SELECT anc AS root, count(*) AS n_customers, max(depth) AS max_depth,
+               round(CAST(sum(bal) AS DOUBLE), 2) AS total_bal
+        FROM chain WHERE anc < 10
+        GROUP BY anc
+        """,
+        cust=c,
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -7103,6 +7269,10 @@ _SWEEP_FRONT = (
     # (r1-verified -> r2 -> r3 -> r4; within a tier, original declaration
     # order). Built from the union of CORRECTNESS_r01-r04. The driver caps
     # each sweep at ~50 names, so this prefix is what gets re-checked.
+    "variant_events_profile",
+    "xml_roundtrip",
+    "doc_chunks_udtf",
+    "recursive_custkey_rollup",
     "containment_neardups",
     "neardup_dedup_apply",
     "event_value_anomalies",

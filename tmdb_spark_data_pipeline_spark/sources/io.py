@@ -81,6 +81,28 @@ def write_csv(
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, *, row_tag: str
+) -> DataFrame:
+    """XML source (native in Spark 4 — no external package): explicit schema
+    + FAILFAST, same never-infer policy as every other text source here."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, *, row_tag: str, mode: str = "append"
+) -> None:
+    """XML sink (interchange exports for XML-consuming systems; doubles are
+    written in round-trippable text form, same guarantee as the CSV sink)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from an sf directory.
 
