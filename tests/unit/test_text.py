@@ -160,3 +160,47 @@ def test_pmi_collocations_ranks_bound_pair_over_glue(spark):
     # any perfectly-bound pair despite equal-or-higher frequency
     glue = [v for (a, b), v in pmi.items() if a == "the" or b == "the"]
     assert glue and all(v < pmi[("san", "francisco")] for v in glue)
+
+
+def test_winnowing_shared_run_shares_a_fingerprint(spark):
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    # Docs 1 and 2 share a 6-word run (= window + k - 1 = 4 + 3 - 1), the
+    # minimum length the winnowing guarantee covers; doc 3 is disjoint.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " tail words here"),
+            (2, shared + " completely different ending tokens"),
+            (3, "red green blue cyan magenta yellow black white"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = T.winnowed_fingerprints(df, "text", "doc_id", k=3, window=4)
+    sets = {
+        i: {r.fingerprint for r in rows}
+        for i, rows in [
+            (i, fp.filter(fp.doc_id == i).collect()) for i in (1, 2, 3)
+        ]
+    }
+    assert sets[1] & sets[2], "guaranteed shared fingerprint missing"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # density ~ 2/(w+1): selection must be sparser than one-per-gram
+    n_grams_1 = len(df.collect()[0].text.split()) - 2
+    assert len(sets[1]) < n_grams_1
+
+
+def test_winnowing_short_doc_and_param_guards(spark):
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "just five words in doc"), (2, "ab cd")],
+        "doc_id int, text string",
+    )
+    # doc 1: 5 tokens -> 3 grams -> windows need 4 grams -> no fingerprints
+    # doc 2: shorter than k -> filtered before explode
+    assert T.winnowed_fingerprints(df, "text", "doc_id", k=3, window=4).count() == 0
+    with pytest.raises(ValueError, match="window"):
+        T.winnowed_fingerprints(df, "text", "doc_id", k=0)

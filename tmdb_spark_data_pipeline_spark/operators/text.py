@@ -557,3 +557,61 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(top_k)
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-word shingle, then keep
+    the MINIMUM hash of each sliding window of ``window`` consecutive
+    shingles; the distinct kept hashes are the document's fingerprint set.
+    Guarantee: any shared run of at least ``window + k - 1`` words between
+    two documents shares at least one fingerprint, at an expected density
+    of 2/(window+1) — the local, position-robust sketch the full-text
+    ``fingerprint`` (exact md5) and ``simhash64`` (global near-dup bits)
+    can't provide.
+
+    Shape at 100 TB: tokenize → explode shingle positions → per-row md5
+    (all codegen) → ONE window pass partitioned by document (a document's
+    shingles are the partition — no global sort), then a distinct keyed on
+    (doc, hash). Hashes are 16-hex-char md5 prefixes so the min comparison
+    is a plain string compare in both engines.
+
+    Returns distinct ``(id_col, fingerprint)`` rows.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0 or window <= 1:
+        raise ValueError(f"need k >= 1 and window >= 2, got k={k} window={window}")
+    base = df.select(F.col(id_col), tokens(F.lower(_col(text_col))).alias("__t"))
+    n = F.size("__t")
+    g = (
+        base.filter(n >= k)
+        .select(
+            id_col,
+            "__t",
+            F.explode(F.sequence(F.lit(0), F.size("__t") - k)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos") + 1, F.lit(k)))),
+                1,
+                16,
+            ).alias("__h"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        g.select(F.col(id_col), F.col("pos"), F.min("__h").over(w).alias("fingerprint"))
+        .filter(F.col("pos") >= window - 1)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

@@ -7256,6 +7256,289 @@ def recursive_custkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus statistics II: winnowing, agreement, drift, budget allocation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnowed_doc_fingerprints",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS ws
+      FROM documents),
+    g AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS pos
+          FROM w WHERE len(ws) >= 3),
+    h AS (SELECT doc_id, pos,
+                 substr(md5(ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3]), 1, 16) AS hh
+          FROM g),
+    m AS (SELECT doc_id, pos,
+                 min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+          FROM h),
+    fp AS (SELECT DISTINCT doc_id, mh FROM m WHERE pos >= 3),
+    c AS (SELECT doc_id, count(*) AS n_fingerprints FROM fp GROUP BY 1)
+    SELECT c.doc_id, CAST(len(w.ws) - 2 AS BIGINT) AS n_grams, c.n_fingerprints,
+           round(c.n_fingerprints * 1.0 / (len(w.ws) - 2), 6) AS density
+    FROM c JOIN w ON c.doc_id = w.doc_id
+    """,
+)
+def winnowed_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint audit (``text.winnowed_fingerprints`` — the
+    MOSS local-sketch algorithm): per document, how many distinct
+    window-min shingle hashes survive selection, and the realized density
+    (theory says ≈ 2/(window+1) ≈ 0.4 for window=4). The position-robust
+    third member of the fingerprint family next to exact-md5 and
+    simhash."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.winnowed_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
+    grams = docs.select(
+        "doc_id", (text.token_count("text") - 2).cast("long").alias("n_grams")
+    )
+    return counts.join(grams, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        F.round(F.col("n_fingerprints") / F.col("n_grams"), 6).alias("density"),
+    )
+
+
+@query(
+    "classifier_agreement_kappa",
+    oracle=None,  # replaced below — needs the generated language-id SQL
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-voting language ID and the
+    labeled ``lang`` column — chance-corrected agreement, the statistic an
+    annotation-quality or classifier-gate pass reports alongside the raw
+    confusion matrix (``language_id_confusion``). All-integer until the
+    final divisions: kappa = (A·n − Σ_c na_c·np_c) / (n² − Σ_c na_c·np_c),
+    so partial-agg order can't move a digit. Two tiny grouped counts plus
+    one scalar agg; every join side is a handful of rows."""
+    docs = _t(spark, sf_dir, "documents")
+    preds = docs.select("lang", text.language_id("text").alias("lang_pred"))
+    tot = preds.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == F.col("lang_pred")).cast("long")).alias("n_agree"),
+    )
+    na = preds.groupBy(F.col("lang").alias("cls")).agg(F.count("*").alias("na"))
+    np_ = preds.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count("*").alias("np")
+    )
+    pe = (
+        na.join(np_, "cls", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("na"), F.lit(0))
+                * F.coalesce(F.col("np"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n"), 6).alias("po"),
+        F.round(F.col("pe_num") / (F.col("n") * F.col("n")), 6).alias("pe"),
+        F.round(
+            (F.col("n_agree") * F.col("n") - F.col("pe_num"))
+            / (F.col("n") * F.col("n") - F.col("pe_num")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+REGISTRY["classifier_agreement_kappa"].oracle = (
+    "WITH preds AS (" + _language_id_oracle() + "), "
+    """
+    tot AS (SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM preds),
+    na AS (SELECT lang AS cls, count(*) AS na FROM preds GROUP BY 1),
+    np AS (SELECT lang_pred AS cls, count(*) AS np FROM preds GROUP BY 1),
+    pe AS (SELECT CAST(sum(coalesce(na.na, 0) * coalesce(np.np, 0)) AS BIGINT) AS pe_num
+           FROM na FULL JOIN np ON na.cls = np.cls)
+    SELECT CAST(tot.n AS BIGINT) AS n, tot.n_agree,
+           round(tot.n_agree * 1.0 / tot.n, 6) AS po,
+           round(pe.pe_num * 1.0 / (tot.n * tot.n), 6) AS pe,
+           round((tot.n_agree * tot.n - pe.pe_num) * 1.0
+                 / (tot.n * tot.n - pe.pe_num), 6) AS kappa
+    FROM tot CROSS JOIN pe
+    """
+)
+
+
+@query(
+    "token_budget_waterfill",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    sc AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS k FROM per),
+    b AS (SELECT per.source, per.n_tokens, sc.k, sc.total // 2 AS budget,
+                 row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM per CROSS JOIN sc),
+    f AS (SELECT *, (cum + n_tokens * (k - i)) <= budget AS feasible FROM b),
+    sel AS (SELECT coalesce(max(CASE WHEN feasible THEN i END), 0) AS istar,
+                   coalesce(max(CASE WHEN feasible THEN cum END), 0) AS cumstar,
+                   max(budget) AS budget, max(k) AS k
+            FROM f),
+    cap AS (SELECT round((budget - cumstar) * 1.0 / (k - istar), 6) AS cap FROM sel)
+    SELECT f.source, f.n_tokens, cap.cap,
+           round(least(f.n_tokens * 1.0, cap.cap), 2) AS allocated,
+           round(round(least(f.n_tokens * 1.0, cap.cap), 2) / f.n_tokens, 6) AS epochs,
+           f.n_tokens * 1.0 > cap.cap AS capped
+    FROM f CROSS JOIN cap
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation — the data-mixing solver: given
+    per-source token inventories and a global training budget B (here
+    total/2), find the unique cap c with Σ min(n_i, c) = B; small sources
+    keep everything, large sources are clipped to c (max-min fair shares,
+    single-epoch). Closed form via one ordered pass: sort sources by
+    inventory, then the break point is the longest prefix where granting
+    everyone the current inventory still fits — no iteration, unlike the
+    textbook bisection. The corpus-sized work is ONE token-count aggregate;
+    everything after runs on a |sources|-row table (the single-partition
+    window is over k≈10 rows, documented and deliberate)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(text.token_count("text").cast("long")).alias("n_tokens")
+    )
+    sc = per.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    b = (
+        per.crossJoin(F.broadcast(sc))
+        .withColumn("budget", F.expr("total DIV 2"))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "feasible",
+            F.col("cum") + F.col("n_tokens") * (F.col("k") - F.col("i"))
+            <= F.col("budget"),
+        )
+    )
+    sel = b.agg(
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("i"))), F.lit(0)
+        ).alias("istar"),
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("cum"))), F.lit(0)
+        ).alias("cumstar"),
+        F.max("budget").alias("__b"),
+        F.max("k").alias("__k"),
+    ).select(
+        F.round(
+            (F.col("__b") - F.col("cumstar")) / (F.col("__k") - F.col("istar")), 6
+        ).alias("cap")
+    )
+    out = (
+        b.crossJoin(F.broadcast(sel))
+        .withColumn(
+            "allocated",
+            F.round(F.least(F.col("n_tokens").cast("double"), F.col("cap")), 2),
+        )
+        .withColumn("epochs", F.round(F.col("allocated") / F.col("n_tokens"), 6))
+        .withColumn("capped", F.col("n_tokens").cast("double") > F.col("cap"))
+    )
+    return out.select(
+        "source", "n_tokens", "cap", "allocated", "epochs", "capped"
+    )
+
+
+@query(
+    "order_price_psi",
+    oracle="""
+    WITH f AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+             extract(year FROM o_orderdate) AS yr
+      FROM orders
+      WHERE extract(year FROM o_orderdate) IN (1995, 1996)),
+    c AS (SELECT bin,
+                 CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM f GROUP BY 1),
+    b AS (SELECT unnest(range(0, 10)) AS bin),
+    fl AS (SELECT b.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+           FROM b LEFT JOIN c ON b.bin = c.bin),
+    t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM fl),
+    x AS (SELECT fl.*, (n_ref + 1) * 1.0 / (tr + 10) AS p,
+                       (n_cur + 1) * 1.0 / (tc + 10) AS q
+          FROM fl CROSS JOIN t)
+    SELECT bin, n_ref, n_cur,
+           round((p - q) * ln(p / q), 12) AS contrib,
+           round(CAST(sum(CAST(round((p - q) * ln(p / q), 12) AS DECIMAL(30,12)))
+                      OVER () AS DOUBLE), 6) AS psi
+    FROM x
+    """,
+)
+def order_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two periods of order prices
+    (1995 reference vs 1996 current) over 10 fixed-width bins — the
+    standard drift gate a feature store runs before trusting a model on
+    this month's data (PSI < 0.1 stable, > 0.25 shifted). Fixed bin edges
+    (not percentiles) keep the two engines' binning trivially identical;
+    Laplace +1 smoothing keeps empty bins finite. One scan → 10-bin
+    table; the scalar totals broadcast back; per-bin contributions round
+    at 12 digits then decimal-sum so the headline PSI is
+    accumulation-order-independent."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    f = o.filter(yr.isin(1995, 1996)).select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        yr.alias("yr"),
+    )
+    c = f.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    fl = bins.join(c, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+    )
+    t = fl.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    x = fl.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1) / (F.col("tr") + 10)).alias("p"),
+        ((F.col("n_cur") + 1) / (F.col("tc") + 10)).alias("q"),
+    )
+    contrib = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12)
+    return x.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        contrib.alias("contrib"),
+        F.round(
+            F.sum(contrib.cast("decimal(30,12)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("psi"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -7270,6 +7553,10 @@ _SWEEP_FRONT = (
     # order). Built from the union of CORRECTNESS_r01-r04. The driver caps
     # each sweep at ~50 names, so this prefix is what gets re-checked.
     "variant_events_profile",
+    "winnowed_doc_fingerprints",
+    "classifier_agreement_kappa",
+    "token_budget_waterfill",
+    "order_price_psi",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
