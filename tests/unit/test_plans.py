@@ -514,3 +514,22 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
             offenders[name] = "undeclared BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_correlated_scalar_subquery_decorrelates(spark, sf_smoke):
+    """The WHERE-clause scalar subquery must rewrite to aggregate + join —
+    never a per-outer-row subplan (no Subquery node survives in the
+    physical plan) and never a nested loop over orders x orders."""
+    plan = _plan(queries.above_customer_avg_orders(spark, sf_smoke))
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Subquery" not in plan
+
+
+def test_lateral_limit_plans_as_partitioned_topk(spark, sf_smoke):
+    """LATERAL ... ORDER BY ... LIMIT must not become a nested loop; Spark
+    rewrites it onto the per-key shuffle + selection shape."""
+    plan = _plan(queries.lateral_top2_orders(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -7539,6 +7539,166 @@ def order_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Subquery / decorrelation class + concentration statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "above_customer_avg_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery in WHERE — the decorrelation shape
+    Catalyst rewrites into an aggregate + self-join (no per-row re-scan;
+    ``RewriteCorrelatedScalarSubquery``). Orders more than 1.5× their own
+    customer's average price. The inner average is a decimal sum divided
+    by an exact count, surfaced as double, so both engines compute the
+    bit-identical threshold regardless of partial-agg order. At 100 TB the
+    decorrelated plan is one groupBy(custkey) over orders plus one
+    key-partitioned join — the same cost as writing the join by hand."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM {orders} o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+          FROM {orders} o2 WHERE o2.o_custkey = o.o_custkey)
+        """,
+        orders=o,
+    )
+
+
+@query(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (Spark's lateral
+    join support): each customer's two most expensive orders, customers
+    without orders dropping out (inner lateral). Deterministic total order
+    via the orderkey tiebreak. The window-function twin (``grouped_topn``)
+    is the classic scale path; this query covers the LATERAL shape — at
+    100 TB Catalyst plans it as the same shuffle-on-key + per-key
+    selection, so the declarative form costs nothing extra."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {cust} c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        """,
+        cust=c,
+        orders=o,
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers (the left join the inner-join twin
+    ``customer_order_counts`` deliberately lacks). Aggregate-before-join:
+    orders collapse to (custkey, n) first, so the join carries one row per
+    customer, then a second tiny aggregate over the counts."""
+    c = _t(spark, sf_dir, "customer")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("__n"))
+    )
+    per_cust = c.join(counts, "c_custkey", "left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "gini_customer_spend",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,4))) AS spend
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend ASC, o_custkey ASC) AS i
+      FROM x),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(spend) AS DECIMAL(38,4)) AS total,
+             CAST(sum(i * spend) AS DECIMAL(38,4)) AS weighted
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(total AS DOUBLE), 2) AS total_spend,
+           round((2.0 * CAST(weighted AS DOUBLE) - (n + 1) * CAST(total AS DOUBLE))
+                 / (n * CAST(total AS DOUBLE)), 6) AS gini
+    FROM s
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number concentration
+    statistic next to ``revenue_pareto_deciles``' curve, via the rank
+    formula G = (2·Σ i·x(i) − (n+1)·Σ x) / (n·Σ x) over ascending spend.
+    Decimal sums keep Σx and Σi·x exact, so the one double division at the
+    end is bit-identical in both engines. The global row_number needs a
+    single-partition sort of the per-customer AGGREGATE (|customers| rows,
+    not |orders|) — same documented trade-off as ``rfm_segments``; the
+    scale path is a two-pass range-partitioned ranking."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("spend")
+    )
+    r = x.select(
+        "spend",
+        F.row_number()
+        .over(Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc()))
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("spend").cast("decimal(38,4)").alias("total"),
+        F.sum(F.col("i") * F.col("spend")).cast("decimal(38,4)").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("total").cast("double"), 2).alias("total_spend"),
+        F.round(
+            (
+                2.0 * F.col("weighted").cast("double")
+                - (F.col("n") + 1) * F.col("total").cast("double")
+            )
+            / (F.col("n") * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -7557,6 +7717,10 @@ _SWEEP_FRONT = (
     "classifier_agreement_kappa",
     "token_budget_waterfill",
     "order_price_psi",
+    "above_customer_avg_orders",
+    "lateral_top2_orders",
+    "customer_order_distribution",
+    "gini_customer_spend",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
