@@ -4710,9 +4710,18 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics ``stream_stream_join`` (inner) never exercises: outer rows
     materialize only when the watermark passes the purchase's join window,
     driven here by the no-data micro-batch after the bounded source drains.
-    The week-bound filter sits after the watermark node, so late-January
-    events still advance the watermark past every bounded purchase. Green
-    iff the emitted pairs equal the batch LEFT JOIN."""
+    Green iff the emitted pairs equal the batch LEFT JOIN. (Shared builder:
+    ``_stream_pair_join``; full-outer and semi twins alongside.)"""
+    return _stream_pair_join(
+        spark, sf_dir, "left_outer", ("p_event_id", "c_event_id")
+    )
+
+def _stream_pair_join(spark: SparkSession, sf_dir: str, how: str, select_cols):
+    """Shared builder for the stream-stream join family: purchases joined
+    to same-user clicks in the 5-minute window before the purchase, over
+    the bounded first-week feed (the week filter sits after the watermark
+    node so late-January events still advance the watermark past every
+    bounded purchase — see ``stream_stream_left_join``)."""
     import os
 
     from ..streaming import replay_events_pair
@@ -4741,15 +4750,57 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
             & (F.col("c_ts") < F.col("p_ts"))
         )
-        return p.join(c, cond, "left_outer").select("p_event_id", "c_event_id")
+        return p.join(c, cond, how).select(*select_cols)
 
     return replay_events_pair(
         spark,
         os.path.join(sf_dir, "events.parquet"),
         build,
-        query_name="stream_left_join_mem",
+        query_name=f"stream_{how}_join_mem",
         output_mode="append",
     )
+
+
+@query(
+    "stream_stream_full_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '5 minutes' AND c.ts < p.ts
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the family (inner / left /
+    semi): BOTH unmatched sides emit with nulls once the watermark proves
+    no counterpart can arrive, so state eviction fires on the click side
+    too (clicks with no following same-user purchase inside 5 minutes).
+    Green iff the emitted pairs equal the batch FULL JOIN."""
+    return _stream_pair_join(
+        spark, sf_dir, "full_outer", ("p_event_id", "c_event_id")
+    )
+
+
+@query(
+    "stream_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08') p
+    WHERE EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click' AND c.ts < TIMESTAMP '2024-01-08'
+        AND c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL '5 minutes' AND c.ts < p.ts)
+    """,
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases with at least one qualifying
+    click, emitted exactly once however many clicks matched — the
+    streaming EXISTS. Distinct state discipline from the outer joins: a
+    matched left row emits immediately and its duplicates-suppression is
+    the join's own bookkeeping, not a downstream dropDuplicates."""
+    return _stream_pair_join(spark, sf_dir, "left_semi", ("p_event_id",))
 
 
 @query(
@@ -7721,6 +7772,8 @@ _SWEEP_FRONT = (
     "lateral_top2_orders",
     "customer_order_distribution",
     "gini_customer_spend",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
