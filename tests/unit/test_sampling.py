@@ -185,3 +185,46 @@ def test_word_chunk_udtf_rows_and_edges(spark):
 def test_word_chunk_udtf_rejects_nonpositive_size(spark):
     with pytest.raises(ValueError, match="chunk_words"):
         packing.word_chunk_udtf(0)
+
+
+def test_waterfill_exhausts_budget_and_caps_fairly(spark):
+    per = spark.createDataFrame(
+        [("a", 100), ("b", 300), ("c", 1000), ("d", 5000)],
+        "src string, n long",
+    )
+    out = {
+        r.src: r
+        for r in sampling.waterfill_allocations(per, "src", "n", 1400).collect()
+    }
+    # cap solves 100 + 300 + 2c = 1400 -> c = 500
+    assert out["a"].allocated == 100.0 and not out["a"].capped
+    assert out["b"].allocated == 300.0 and not out["b"].capped
+    assert out["c"].allocated == 500.0 and out["c"].capped
+    assert out["d"].allocated == 500.0 and out["d"].capped
+    assert sum(r.allocated for r in out.values()) == 1400.0
+    assert out["d"].cap == 500.0 and out["d"].epochs == 0.1
+
+
+def test_waterfill_budget_covers_everything(spark):
+    per = spark.createDataFrame([("a", 10), ("b", 20)], "src string, n long")
+    out = {
+        r.src: r
+        for r in sampling.waterfill_allocations(per, "src", "n", 100).collect()
+    }
+    assert all(not r.capped and r.cap is None for r in out.values())
+    assert out["a"].allocated == 10.0 and out["b"].allocated == 20.0
+
+
+def test_waterfill_tiny_budget_caps_all(spark):
+    per = spark.createDataFrame(
+        [("a", 40), ("b", 40), ("c", 40), ("d", 40)], "src string, n long"
+    )
+    out = sampling.waterfill_allocations(per, "src", "n", 100).collect()
+    # no prefix feasible -> istar=0 -> cap = 100/4 = 25 for everyone
+    assert all(r.cap == 25.0 and r.allocated == 25.0 and r.capped for r in out)
+
+
+def test_waterfill_requires_exactly_one_budget(spark):
+    per = spark.createDataFrame([("a", 1)], "src string, n long")
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.waterfill_allocations(per, "src", "n")

@@ -211,3 +211,104 @@ def weighted_sample(
         .orderBy(F.col(key_out).desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def waterfill_allocations(
+    per_key: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int | None = None,
+    *,
+    budget_col: str | None = None,
+) -> DataFrame:
+    """Water-filling (max-min fair) allocation: find the unique cap c with
+    Σ min(size_i, c) = budget; keys at or under the cap keep everything,
+    larger keys are clipped to c. Closed form, no iteration: sort keys by
+    size ascending, the break point is the longest prefix where granting
+    every remaining key the current size still fits.
+
+    ``per_key`` is the already-aggregated (key, size) table — |keys| rows,
+    not the corpus — so the single-partition window here is deliberate and
+    cheap (same stance as ``rfm_segments``). Pass the budget either as a
+    Python int or as ``budget_col`` (a constant column, e.g. computed from
+    the total). If budget >= Σ size, nothing is capped and every key keeps
+    its full size.
+
+    Output: key, size, cap (double, NULL when uncapped-everywhere),
+    allocated (double, 2dp), epochs (double, 6dp), capped (bool). Rounding
+    at fixed scales keeps both engines of an oracle pair bit-identical.
+    """
+    from pyspark.sql import Window
+
+    if (budget is None) == (budget_col is None):
+        raise ValueError("pass exactly one of budget / budget_col")
+    budget_expr = (
+        F.lit(int(budget)).cast("long")
+        if budget is not None
+        else F.col(budget_col).cast("long")
+    )
+    per = per_key.select(
+        F.col(key_col).alias("__key"),
+        F.col(size_col).cast("long").alias("__size"),
+        budget_expr.alias("__budget"),
+    )
+    sc = per.agg(F.count("*").alias("__k"))
+    b = per.crossJoin(F.broadcast(sc))
+    w = Window.orderBy(F.col("__size").asc(), F.col("__key").asc())
+    b = (
+        b.withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__cum",
+            F.sum("__size").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__feasible",
+            F.col("__cum") + F.col("__size") * (F.col("__k") - F.col("__i"))
+            <= F.col("__budget"),
+        )
+    )
+    sel = b.agg(
+        F.coalesce(F.max(F.when(F.col("__feasible"), F.col("__i"))), F.lit(0)).alias(
+            "__istar"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("__feasible"), F.col("__cum"))), F.lit(0)
+        ).alias("__cumstar"),
+        F.max("__budget").alias("__b"),
+        F.max("__k").alias("__kk"),
+    ).select(
+        F.when(
+            F.col("__istar") < F.col("__kk"),
+            F.round(
+                (F.col("__b") - F.col("__cumstar"))
+                / (F.col("__kk") - F.col("__istar")),
+                6,
+            ),
+        ).alias("cap")  # NULL cap == budget covers everything
+    )
+    out = (
+        b.crossJoin(F.broadcast(sel))
+        .withColumn(
+            "allocated",
+            F.when(
+                F.col("cap").isNull(), F.round(F.col("__size").cast("double"), 2)
+            ).otherwise(
+                F.round(F.least(F.col("__size").cast("double"), F.col("cap")), 2)
+            ),
+        )
+        .withColumn("epochs", F.round(F.col("allocated") / F.col("__size"), 6))
+        .withColumn(
+            "capped",
+            F.when(F.col("cap").isNull(), F.lit(False)).otherwise(
+                F.col("__size").cast("double") > F.col("cap")
+            ),
+        )
+    )
+    return out.select(
+        F.col("__key").alias(key_col),
+        F.col("__size").alias(size_col),
+        "cap",
+        "allocated",
+        "epochs",
+        "capped",
+    )

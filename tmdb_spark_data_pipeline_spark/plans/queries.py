@@ -7457,53 +7457,16 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook bisection. The corpus-sized work is ONE token-count aggregate;
     everything after runs on a |sources|-row table (the single-partition
     window is over k≈10 rows, documented and deliberate)."""
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.sum(text.token_count("text").cast("long")).alias("n_tokens")
     )
-    sc = per.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
-    w = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
-    b = (
-        per.crossJoin(F.broadcast(sc))
-        .withColumn("budget", F.expr("total DIV 2"))
-        .withColumn("i", F.row_number().over(w))
-        .withColumn(
-            "cum",
-            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn(
-            "feasible",
-            F.col("cum") + F.col("n_tokens") * (F.col("k") - F.col("i"))
-            <= F.col("budget"),
-        )
+    tot = per.agg(F.sum("n_tokens").alias("__total"))
+    with_budget = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__budget", F.expr("__total DIV 2")
     )
-    sel = b.agg(
-        F.coalesce(
-            F.max(F.when(F.col("feasible"), F.col("i"))), F.lit(0)
-        ).alias("istar"),
-        F.coalesce(
-            F.max(F.when(F.col("feasible"), F.col("cum"))), F.lit(0)
-        ).alias("cumstar"),
-        F.max("budget").alias("__b"),
-        F.max("k").alias("__k"),
-    ).select(
-        F.round(
-            (F.col("__b") - F.col("cumstar")) / (F.col("__k") - F.col("istar")), 6
-        ).alias("cap")
-    )
-    out = (
-        b.crossJoin(F.broadcast(sel))
-        .withColumn(
-            "allocated",
-            F.round(F.least(F.col("n_tokens").cast("double"), F.col("cap")), 2),
-        )
-        .withColumn("epochs", F.round(F.col("allocated") / F.col("n_tokens"), 6))
-        .withColumn("capped", F.col("n_tokens").cast("double") > F.col("cap"))
-    )
-    return out.select(
-        "source", "n_tokens", "cap", "allocated", "epochs", "capped"
+    return sampling.waterfill_allocations(
+        with_budget, "source", "n_tokens", budget_col="__budget"
     )
 
 
