@@ -7713,6 +7713,172 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ML data-quality III: label noise, temporal hygiene, fold balance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_label_disagreement",
+    oracle="""
+    WITH nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM (SELECT * FROM embeddings WHERE vec_id < 30) q
+          JOIN embeddings c ON c.vec_id <> q.vec_id
+        )
+      ) WHERE rn <= 10),
+    j AS (
+      SELECT n.query_id, ql.label AS qlabel, nl.label AS nlabel
+      FROM nn n
+      JOIN embeddings ql ON ql.vec_id = n.query_id
+      JOIN embeddings nl ON nl.vec_id = n.neighbor_id)
+    SELECT query_id, max(qlabel) AS label,
+           CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           round(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS disagreement
+    FROM j GROUP BY query_id
+    """,
+)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection via k-NN disagreement (confident-learning
+    lite): for each probe vector, the fraction of its 10 cosine-nearest
+    neighbors carrying a DIFFERENT label — high disagreement flags likely
+    mislabels for human review. Reuses the exactness-baseline top-k
+    (broadcast probes over the streamed corpus, ``cosine_topk_bruteforce``)
+    plus two key-partitioned label joins; at 100 TB the probe set is the
+    suspicious sample, not the corpus, so the pair space stays |probes|×N
+    with the LSH/IVF variants as the declared scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    nn = similarity.cosine_topk_bruteforce(q, emb.select("vec_id", "embedding"), k=10)
+    lab = emb.select("vec_id", "label")
+    j = (
+        nn.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+            ),
+            "neighbor_id",
+        )
+    )
+    dis = F.sum((F.col("nlabel") != F.col("qlabel")).cast("long"))
+    return j.groupBy("query_id").agg(
+        F.max("qlabel").alias("label"),
+        dis.alias("n_disagree"),
+        F.round(dis / F.count("*"), 4).alias("disagreement"),
+    )
+
+
+@query(
+    "temporal_split_embargo",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CASE WHEN ts <  TIMESTAMP '2024-01-20' THEN 'train'
+                  WHEN ts >= TIMESTAMP '2024-01-21' THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM events),
+    c AS (SELECT split, count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_users
+          FROM s GROUP BY 1),
+    o AS (SELECT count(*) AS n_overlap_users FROM (
+            SELECT user_id FROM s WHERE split = 'train'
+            INTERSECT
+            SELECT user_id FROM s WHERE split = 'test'))
+    SELECT c.split, c.n_events, c.n_users, o.n_overlap_users
+    FROM c CROSS JOIN o
+    """,
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series split hygiene: train strictly before the cutoff, test
+    strictly after a 1-day embargo, embargo rows quarantined (the gap stops
+    boundary-window features from leaking label-period information — the
+    standard purged-split discipline). The audit also counts users present
+    on BOTH sides — entity overlap that a purely temporal split permits and
+    a reviewer must sign off on. One scan for the per-split profile plus
+    one distinct-intersect on user ids."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.when(F.col("ts") < "2024-01-20", "train")
+        .when(F.col("ts") >= "2024-01-21", "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    c = s.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    o = (
+        s.filter(F.col("split") == "train")
+        .select("user_id")
+        .intersect(s.filter(F.col("split") == "test").select("user_id"))
+        .agg(F.count("*").alias("n_overlap_users"))
+    )
+    return c.crossJoin(F.broadcast(o))
+
+
+@query(
+    "kfold_balance_audit",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 5 AS fold
+      FROM documents),
+    f AS (SELECT fold, lang, count(*) AS n FROM b GROUP BY 1, 2),
+    ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_n FROM f GROUP BY 1),
+    g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_n FROM f GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+    SELECT f.fold, f.lang, f.n,
+           round(f.n * 1.0 / ft.fold_n, 6) AS share,
+           round(g.lang_n * 1.0 / t.total, 6) AS global_share,
+           round(abs(f.n * 1.0 / ft.fold_n - g.lang_n * 1.0 / t.total), 6) AS abs_dev
+    FROM f JOIN ft USING (fold) JOIN g USING (lang) CROSS JOIN t
+    """,
+)
+def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment balance: documents fall into 5 folds by the
+    portable md5 hash (append-stable, engine-identical — same primitive as
+    ``hash_split``), then each fold × language cell is compared against the
+    global language share. Large |dev| means a fold is linguistically
+    skewed and per-fold metrics won't generalize. One scan to the fold×lang
+    cells; marginals broadcast back onto ≤ 5×|langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select("lang", sampling.portable_hash("doc_id", 5).alias("fold"))
+    f = b.groupBy("fold", "lang").agg(F.count("*").alias("n"))
+    ft = f.groupBy("fold").agg(F.sum("n").alias("fold_n"))
+    g = f.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    t = f.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("fold_n")
+    gshare = F.col("lang_n") / F.col("total")
+    return (
+        f.join(F.broadcast(ft), "fold")
+        .join(F.broadcast(g), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "fold",
+            "lang",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(gshare, 6).alias("global_share"),
+            F.round(F.abs(share - gshare), 6).alias("abs_dev"),
+        )
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -7737,6 +7903,9 @@ _SWEEP_FRONT = (
     "gini_customer_spend",
     "stream_stream_full_join",
     "stream_stream_semi_join",
+    "knn_label_disagreement",
+    "temporal_split_embargo",
+    "kfold_balance_audit",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
