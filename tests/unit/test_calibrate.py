@@ -76,3 +76,30 @@ def test_ridge_fit_degenerate_group_is_finite(spark):
     )
     got = calibrate.ridge_fit_2(df, ("g",), "y", "x1", "x2", lam=1.0).collect()[0]
     assert all(math.isfinite(v) for v in (got.b0, got.b1, got.b2))
+
+
+def test_quantile_normalize_maps_groups_onto_global(spark):
+    from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+    # Group A runs cold (0.1-0.3), group B hot (0.7-0.9); after
+    # normalization each group's values are drawn from the GLOBAL sorted
+    # values at its own quantile positions.
+    rows = [("a", 1, 0.1), ("a", 2, 0.2), ("a", 3, 0.3),
+            ("b", 4, 0.7), ("b", 5, 0.8), ("b", 6, 0.9)]
+    df = spark.createDataFrame(rows, "src string, id int, v double")
+    out = {r.id: r.normalized
+           for r in calibrate.quantile_normalize(df, "v", "src", "id").collect()}
+    # global sorted: [.1,.2,.3,.7,.8,.9] (N=6); each group has n=3, so
+    # within-group ranks 1,2,3 map to global positions ceil(i*6/3) = 2,4,6
+    assert out == {1: 0.2, 2: 0.7, 3: 0.9, 4: 0.2, 5: 0.7, 6: 0.9}
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+    df = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(1, 8)], "src string, id int, v double"
+    )
+    out = calibrate.quantile_normalize(df, "v", "src", "id").collect()
+    # one group == the global distribution: normalization is the identity
+    assert all(r.normalized == r.v for r in out)

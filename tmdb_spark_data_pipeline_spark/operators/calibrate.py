@@ -173,3 +173,57 @@ def ridge_fit_2(
         (det1 / det).alias("b1"),
         (det2 / det).alias("b2"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    order_col: str,
+    *,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Quantile normalization across groups: map each group's value
+    distribution onto the GLOBAL distribution — row at within-group rank
+    i of n_g takes the global value at rank ceil(i·N/n_g). After it, every
+    group has (a subsample of) the same distribution, which removes
+    per-group scale drift (the microarray-normalization trick, applied to
+    per-source quality scores before cross-source threshold filtering).
+
+    Entirely integer rank arithmetic — ceil via ``(i·N + n_g − 1) DIV n_g``
+    — so there is no float boundary for engines to disagree on;
+    ``order_col`` must make (value, order) a total order per group.
+
+    Shape: one global ranking of the value column (single-partition window
+    here — at billions of rows use two-pass range-partitioned ranking),
+    one per-group window, and one integer equi-join back to the global
+    rank table (shuffles carry (value, rank) pairs only).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(value_col).alias("__gv"), F.col(order_col).alias("__go")
+    ).withColumn(
+        "__gi",
+        F.row_number().over(
+            Window.orderBy(F.col("__gv").asc(), F.col("__go").asc())
+        ),
+    ).select("__gv", "__gi")
+    total = df.agg(F.count("*").cast("long").alias("__n"))
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(order_col).asc()
+    )
+    s = (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("__i", F.row_number().over(wg))
+        .withColumn("__ns", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    # integer ceil-division: exact at any scale (double floor would lose
+    # exactness once i*N passes 2^53)
+    s = s.withColumn("__gi", F.expr("(__i * __n + __ns - 1) DIV __ns").cast("int"))
+    s = s.drop("__n")
+    return (
+        s.join(g, "__gi")
+        .withColumn(out_col, F.col("__gv"))
+        .drop("__i", "__ns", "__gi", "__gv")
+    )
