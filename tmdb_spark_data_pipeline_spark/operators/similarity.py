@@ -686,3 +686,19 @@ def label_dispersion(
         F.round(_disp(F.col(id_col), F.col(vec_col)), 6).alias("dispersion")
     )
     return counts.join(disp, label_col)
+
+
+def project_planes(vec: ColumnOrName, planes: list[list[float]]) -> Column:
+    """Johnson–Lindenstrauss random projection: ``array(vec·p_0, …,
+    vec·p_{m-1})`` for seeded Gaussian ``planes`` (``seeded_planes``) — the
+    dimension-reduction map whose distance distortion the JL lemma bounds by
+    ~O(sqrt(ln n / m)). Cosine is scale-invariant, so no 1/sqrt(m) factor.
+
+    Plane literals are embedded driver-side constants (no UDF, no broadcast
+    variable), each coordinate its own sequential ``dot`` fold — stays in
+    whole-stage codegen. Project once per ROW (alias the result before any
+    pair join) so the fold runs N·m times, not |pairs|·m.
+    """
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    )
