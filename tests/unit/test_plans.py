@@ -490,6 +490,15 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "minhash_incremental_neardups",
         "chunk_sliding_windows",
         "text_stats",
+        # round-5 declared scalar-broadcast / all-pairs shapes
+        "classifier_agreement_kappa",   # scalar contingency-totals broadcast
+        "token_budget_waterfill",       # scalar total + cap broadcast
+        "order_price_psi",              # scalar period-totals broadcast
+        "temporal_split_embargo",       # scalar overlap-count broadcast
+        "kfold_balance_audit",          # scalar grand-total broadcast
+        "quality_quantile_normalized",  # scalar N broadcast
+        "knn_label_disagreement",       # brute-force probe pairs (declared)
+        "jl_projection_fidelity",       # broadcast probe pairs (declared)
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in
@@ -497,7 +506,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
     STREAMING = {n for n in REGISTRY if n.startswith("stream_")}
     # queries with write side-effects exercised elsewhere
     SIDE_EFFECT = {
-        "json_roundtrip", "csv_roundtrip", "orc_roundtrip",
+        "json_roundtrip", "csv_roundtrip", "orc_roundtrip", "xml_roundtrip",
         "partitioned_roundtrip", "zorder_key_sample", "bucketed_join_revenue",
         "multimodal_features",
     }
