@@ -51,6 +51,13 @@ def pack_binary(df: DataFrame, text_col: str, id_col: str, media_type: str = "im
     """Wrap a column's bytes as an asset row (used to exercise the plumbing
     on the synthetic ``documents`` table: text bytes stand in for payloads)."""
     payload = F.encode(_col(text_col), "UTF-8")
+    # video assets get a synthetic duration (10 ms / payload byte) so the
+    # frame-sampling operators have real metadata to schedule against
+    duration = (
+        (F.octet_length(_col(text_col)) * 10).cast("long")
+        if media_type == "video"
+        else F.lit(None).cast("long")
+    )
     return df.select(
         F.col(id_col).cast("long").alias("asset_id"),
         F.lit(media_type).alias("media_type"),
@@ -60,7 +67,7 @@ def pack_binary(df: DataFrame, text_col: str, id_col: str, media_type: str = "im
             F.lit("application/octet-stream").alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration.alias("duration_ms"),
         ).alias("meta"),
     )
 
@@ -137,3 +144,59 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_ms", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, every_ms: int = 2000, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling over video payloads: one asset row → up to
+    ``max_frames`` frame rows at ``every_ms`` intervals, via Arrow-batched
+    ``mapInPandas`` (the payload crosses the Python boundary ONCE per
+    asset, not once per frame — the generator runs inside the batch).
+
+    The frame 'decode' is the stubbed codec boundary (``decode_stub``):
+    here each frame yields a deterministic sha256(payload + '#' + t_ms)
+    digest standing in for decoded pixels, so the distributed shape —
+    schema, batch fan-out, per-asset state — is real and oracle-checkable
+    while the codec library is absent. A real deployment replaces the
+    digest line with the libav seek+decode call; nothing else changes.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "t_ms": [], "frame_digest": []
+            }
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or dur is None:
+                    continue
+                n_last = min(int(dur) // every_ms, max_frames - 1)
+                for i in range(n_last + 1):
+                    t = i * every_ms
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["t_ms"].append(t)
+                    out["frame_digest"].append(
+                        hashlib.sha256(bytes(payload) + f"#{t}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    src = df.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(op, FRAME_SCHEMA)

@@ -8005,6 +8005,38 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "video_frame_samples",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text,
+             octet_length(encode(text)) * 10 AS dur
+      FROM documents),
+    f AS (SELECT asset_id, text,
+                 unnest(range(0, least(dur // 2000, 7) + 1)) AS i
+          FROM a)
+    SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 2000 AS BIGINT) AS t_ms,
+           sha256(text || '#' || CAST(i * 2000 AS VARCHAR)) AS frame_digest
+    FROM f
+    """,
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the stubbed codec boundary
+    (``multimodal.sample_frames``): every 'video' asset emits up to 8
+    frame rows at 2-second intervals via Arrow-batched ``mapInPandas`` —
+    the payload crosses into Python once per asset and the per-frame
+    'decode' is a deterministic digest, so the distributed fan-out is
+    exact-oracle-checkable while the codec library is absent. Completes
+    the multimodal family next to the metadata-only schedule
+    (``frame_sample_plan``) and the feature extractor."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="video")
+    return multimodal.sample_frames(assets, every_ms=2000, max_frames=8)
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8034,6 +8066,7 @@ _SWEEP_FRONT = (
     "kfold_balance_audit",
     "quality_quantile_normalized",
     "jl_projection_fidelity",
+    "video_frame_samples",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
