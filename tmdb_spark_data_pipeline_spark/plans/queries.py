@@ -8037,6 +8037,92 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(assets, every_ms=2000, max_frames=8)
 
 
+@query(
+    "neardup_keep_best_quality",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    q AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN len(tok) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) *
+               (0.5 * least(len(list_filter(tok, x -> list_contains(
+                        ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+                      / len(tok) * 5, 1.0)
+                + 0.5 * len(list_distinct(tok)) / len(tok)),
+               6) AS quality
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS component_id
+      FROM reach GROUP BY s),
+    ranked AS (
+      SELECT l.doc_id,
+             row_number() OVER (PARTITION BY l.component_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+      FROM labels l JOIN q ON q.doc_id = l.doc_id)
+    SELECT d.lang, count(*) AS n_docs_kept,
+           round(CAST(sum(CAST(q.quality AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+             AS mean_quality
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    GROUP BY d.lang
+    """,
+)
+def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup survivorship: near-dup pairs → connected
+    components → keep each cluster's HIGHEST-QUALITY member (doc-id
+    tiebreak), not the arbitrary min-id — the refinement real corpus
+    curation ships, because near-dup clusters usually mix a clean original
+    with mangled copies and min-id keeps whichever crawled first. Per-lang
+    survivor counts and mean quality. Same broadcast-anti-join shape as
+    ``neardup_dedup_apply``: the drop list is tiny, the corpus never
+    shuffles; the quality ranking adds one |cluster-members| window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
+    comp = dedup.connected_components(pairs)
+    q = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    labeled = comp.join(
+        q.select(F.col("doc_id").alias("id"), "quality"), "id"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    drop = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti").join(q, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(30,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8067,6 +8153,7 @@ _SWEEP_FRONT = (
     "quality_quantile_normalized",
     "jl_projection_fidelity",
     "video_frame_samples",
+    "neardup_keep_best_quality",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
