@@ -8123,6 +8123,49 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnowed_match_candidates",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS ws
+      FROM documents),
+    g AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS pos
+          FROM w WHERE len(ws) >= 3),
+    h AS (SELECT doc_id, pos,
+                 substr(md5(ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3]), 1, 16) AS hh
+          FROM g),
+    m AS (SELECT doc_id, pos,
+                 min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+          FROM h),
+    fp AS (SELECT DISTINCT doc_id, mh FROM m WHERE pos >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def winnowed_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match detection (the second half of winnowing): document pairs
+    sharing ≥2 selected fingerprints — candidate plagiarism/boilerplate
+    matches at ~40% of the shingle-index cost, because winnowing already
+    discarded 60% of grams while keeping the shared-run guarantee. The
+    fingerprint equi-join IS the blocking (same discipline as the shingle
+    join in ``ngram_jaccard_neardups``); pair work is Σ|bucket|² over
+    fingerprint buckets, never N²."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.winnowed_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8154,6 +8197,7 @@ _SWEEP_FRONT = (
     "jl_projection_fidelity",
     "video_frame_samples",
     "neardup_keep_best_quality",
+    "winnowed_match_candidates",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
