@@ -57,3 +57,33 @@ def test_frame_sample_plan_explodes_timestamps(spark):
     )
     out = multimodal.frame_sample_plan(assets, every_ms=1000)
     assert [r.frame_ts_ms for r in out.orderBy("frame_ts_ms").collect()] == [0, 1000, 2000]
+
+
+def test_sample_frames_schedule_cap_and_digest(spark):
+    import hashlib
+
+    # 50-char payload -> duration 500*10=5000ms? no: 50 chars -> 500ms*10
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "y" * 5000), (3, "z")],  # 5000ms, 50000ms, 10ms
+        "doc_id long, text string",
+    )
+    assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="video")
+    rows = multimodal.sample_frames(assets, every_ms=2000, max_frames=8).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # asset 1: 5000ms -> frames at 0,2000,4000
+    assert sorted(r.t_ms for r in by_asset[1]) == [0, 2000, 4000]
+    # asset 2: 50000ms -> capped at max_frames=8
+    assert len(by_asset[2]) == 8 and max(r.t_ms for r in by_asset[2]) == 14000
+    # asset 3: 10ms -> single frame at t=0
+    assert [r.t_ms for r in by_asset[3]] == [0]
+    # digest is the documented deterministic stand-in
+    f0 = next(r for r in by_asset[1] if r.frame_idx == 0)
+    assert f0.frame_digest == hashlib.sha256(b"x" * 500 + b"#0").hexdigest()
+
+
+def test_sample_frames_skips_non_video_and_null_duration(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    image_assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="image")
+    assert multimodal.sample_frames(image_assets).count() == 0
