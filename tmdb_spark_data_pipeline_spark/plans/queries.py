@@ -8166,6 +8166,60 @@ def winnowed_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM e0 WHERE n_orders >= 2),
+    deg AS (SELECT n, count(*) AS d FROM (
+              SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY 1),
+    tri AS (SELECT count(*) AS t
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           tri.t AS n_triangles, w.wedges AS n_wedges,
+           round(3.0 * tri.t / w.wedges, 6) AS clustering_coeff
+    FROM tri CROSS JOIN w
+    """,
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    co-purchase graph (parts co-occurring in ≥2 orders) — the graph-motif
+    statistic behind community/boilerplate-cluster density analysis.
+
+    Spark side uses DEGREE ORIENTATION (node-iterator++): every edge is
+    directed from its lower-(degree, id) endpoint to the higher, so each
+    node's out-degree is O(√m) on ANY graph and the wedge self-join costs
+    Σ outdeg² ≈ m^1.5 instead of Σ deg² (which a hub node turns
+    quadratic). Each triangle then has exactly ONE apex with two
+    out-edges, so a single equi-join against the id-canonical edge set
+    counts it once. The oracle states the naive a<b<c definition —
+    triangle count is orientation-invariant, so the two must agree
+    exactly. All counts integer; one final double division."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return graph.triangle_stats(edges)
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8198,6 +8252,7 @@ _SWEEP_FRONT = (
     "video_frame_samples",
     "neardup_keep_best_quality",
     "winnowed_match_candidates",
+    "copurchase_triangle_stats",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
