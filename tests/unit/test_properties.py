@@ -288,3 +288,71 @@ def test_heavy_hitter_recall_property(spark, vals, counters):
     for v, c in Counter(vals).items():
         if c > n / (counters + 1):  # the guarantee threshold
             assert v in cand, (v, c, n, counters)
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_stats_matches_brute_force_model(spark, pairs):
+    from itertools import combinations
+
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    # canonicalize to a simple undirected graph (u < v, dedup, no loops)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    deg = {n: 0 for n in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    r = graph.triangle_stats(
+        spark.createDataFrame(edges, "u long, v long")
+    ).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (
+        len(nodes), len(edges), tri, wedges,
+    )
+
+
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=8),
+    budget=st.integers(min_value=1, max_value=2000),
+)
+def test_waterfill_matches_python_model(spark, sizes, budget):
+    from tmdb_spark_data_pipeline_spark.operators import sampling
+
+    rows = [(f"s{i}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = {r.src: r for r in sampling.waterfill_allocations(df, "src", "n", budget).collect()}
+    total = sum(sizes)
+    if budget >= total:
+        # nothing capped; everyone keeps everything
+        assert all(out[f"s{i}"].allocated == float(n) for i, n in enumerate(sizes))
+        assert all(r.cap is None and not r.capped for r in out.values())
+    else:
+        # the water level: sum(min(n_i, c)) == budget (within output rounding)
+        allocs = [out[f"s{i}"].allocated for i in range(len(sizes))]
+        assert abs(sum(allocs) - budget) <= 0.01 * len(sizes) + 1e-6
+        # no source exceeds its inventory; capped iff above the water line
+        cap = next(r.cap for r in out.values())
+        for i, n in enumerate(sizes):
+            r = out[f"s{i}"]
+            assert r.allocated <= n + 1e-9
+            assert r.capped == (float(n) > cap)
