@@ -33,3 +33,35 @@ def test_triangle_plus_pendant(spark):
     edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
     r = _stats(spark, edges)
     assert (r.n_triangles, r.n_wedges) == (1, 5)
+
+
+def test_label_propagation_majority_tiebreak_and_rounds(spark):
+    #   1(A)   2(A)   3(B)        7(no labeled neighbor until round 2)
+    #     \     |     /
+    #           4 --------- 7
+    #   5(B) -- 6 (one labeled neighbor)
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 7), (5, 6)], "u long, v long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (5, "B")], "id long, label string"
+    )
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    out = {
+        r.id: (r.label, r.round)
+        for r in graph.propagate_labels(edges, seeds, rounds=2).collect()
+    }
+    assert out[4] == ("A", 1)   # majority 2xA vs 1xB
+    assert out[6] == ("B", 1)   # single labeled neighbor
+    assert out[7] == ("A", 2)   # reachable only once 4 is labeled
+    assert out[1] == ("A", 0) and out[5] == ("B", 0)  # seeds clamped
+
+
+def test_label_propagation_tie_breaks_lexicographically(spark):
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "u long, v long")
+    seeds = spark.createDataFrame([(1, "Z"), (2, "B")], "id long, label string")
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    out = {r.id: r.label for r in graph.propagate_labels(edges, seeds, rounds=1).collect()}
+    assert out[3] == "B"  # 1-1 tie -> smallest label

@@ -70,3 +70,61 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
             ),
         )
     )
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 2,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Seeded synchronous label propagation (label spreading with clamped
+    seeds): each round, every still-unlabeled node with at least one
+    labeled neighbor takes the MAJORITY label among its labeled neighbors
+    (tie → lexicographically smallest label, so the result is independent
+    of execution order). Seeds never change; a node labeled in round r
+    votes from round r+1 on. The semi-supervised imputation pass — spread
+    known categories (brand, topic, language) across a co-occurrence
+    graph.
+
+    ``rounds`` is a static unroll (each round = one symmetric-edge join +
+    one grouped vote + one windowed argmax — all key-partitioned; no
+    driver-side convergence check, unlike ``connected_components``).
+    Returns (id, label, round) with round 0 for seeds.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col(u_col).alias("src"), F.col(v_col).alias("dst")
+    ).unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+    labels = seeds.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("round"),
+    )
+    for r in range(1, rounds + 1):
+        neighbor_labels = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src"), "label")
+        unlabeled_votes = neighbor_labels.join(
+            labels.select(F.col("id").alias("src")), "src", "left_anti"
+        )
+        votes = unlabeled_votes.groupBy("src", "label").agg(
+            F.count("*").alias("__n")
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("__n").desc(), F.col("label").asc()
+        )
+        pick = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("src").alias("id"), "label", F.lit(r).alias("round")
+            )
+        )
+        labels = labels.unionAll(pick)
+    return labels

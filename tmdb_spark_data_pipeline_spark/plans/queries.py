@@ -8220,6 +8220,80 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(edges)
 
 
+_LPA_EDGES_SQL = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM e0 WHERE n_orders >= 2),
+    sym AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    seeds AS (SELECT p_partkey AS id, p_brand AS label FROM part
+              WHERE p_partkey % 3 = 0)
+"""
+
+
+@query(
+    "brand_label_propagation",
+    oracle="WITH " + _LPA_EDGES_SQL + """,
+    v1 AS (SELECT s.src, l.label, count(*) AS n
+           FROM sym s JOIN seeds l ON l.id = s.dst
+           WHERE s.src NOT IN (SELECT id FROM seeds)
+           GROUP BY 1, 2),
+    p1 AS (SELECT src AS id, label FROM (
+             SELECT src, label,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY n DESC, label ASC) AS rn
+             FROM v1) WHERE rn = 1),
+    l1 AS (SELECT id, label FROM seeds UNION ALL SELECT id, label FROM p1),
+    v2 AS (SELECT s.src, l.label, count(*) AS n
+           FROM sym s JOIN l1 l ON l.id = s.dst
+           WHERE s.src NOT IN (SELECT id FROM l1)
+           GROUP BY 1, 2),
+    p2 AS (SELECT src AS id, label FROM (
+             SELECT src, label,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY n DESC, label ASC) AS rn
+             FROM v2) WHERE rn = 1)
+    SELECT id AS p_partkey, label, 1 AS round FROM p1
+    UNION ALL
+    SELECT id, label, 2 FROM p2
+    """,
+)
+def brand_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised brand imputation (``graph.propagate_labels``): a
+    third of parts keep their brand as seeds; the rest inherit the
+    MAJORITY brand among labeled co-purchase neighbors over two
+    synchronous rounds (clamped seeds, lexicographic tie-break — execution
+    -order independent). The category-imputation pass a catalog team runs
+    when upstream attributes are sparse. Each round is one symmetric-edge
+    join + grouped vote + windowed argmax, all key-partitioned — no driver
+    convergence loop; the oracle unrolls both rounds as CTEs."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 3 == 0)
+        .select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("label"))
+    )
+    out = graph.propagate_labels(edges, seeds, rounds=2)
+    return out.filter(F.col("round") > 0).select(
+        F.col("id").alias("p_partkey"), "label", F.col("round").cast("int").alias("round")
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8253,6 +8327,7 @@ _SWEEP_FRONT = (
     "neardup_keep_best_quality",
     "winnowed_match_candidates",
     "copurchase_triangle_stats",
+    "brand_label_propagation",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
