@@ -8294,6 +8294,93 @@ def brand_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_curation_e2e",
+    oracle=r"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               round(
+                 (CASE WHEN len(tok) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) *
+                 (0.5 * least(len(list_filter(tok, x -> list_contains(
+                          ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+                        / len(tok) * 5, 1.0)
+                  + 0.5 * len(list_distinct(tok)) / len(tok)),
+                 6) AS quality
+        FROM (SELECT doc_id, lang, text,
+                     string_split_regex(trim(text), '\s+') AS tok FROM documents))
+      WHERE quality >= 0.5),
+    w1 AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+    d1 AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM w1)),
+    docs2 AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM d1),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs2 WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS component_id
+      FROM reach GROUP BY s),
+    d2 AS (SELECT * FROM d1
+           WHERE doc_id NOT IN (SELECT doc_id FROM labels
+                                WHERE doc_id <> component_id)),
+    b AS (SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 10000 AS bucket
+          FROM d2)
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declared query — the composition
+    a training-data team actually ships, end to end through the operator
+    library: quality gate (≥ 0.5) → exact content-hash dedup (min-id) →
+    near-dup dedup apply (shingle-Jaccard pairs → connected components →
+    broadcast anti-join) → append-stable 90/5/5 hash split → per
+    split × language doc and token counts. Every stage is the
+    already-oracle-gated operator; this query certifies their COMPOSITION
+    (stage boundaries are where silent schema/semantic drift hides).
+    Corpus-sized work: two scans (quality+hash, token count) plus the
+    near-dup pair join on the filtered survivor set; the drop lists
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.withColumn("quality", text.quality_score("text")).filter(
+        F.col("quality") >= 0.5
+    )
+    d1 = dedup.dedup_exact(q, "text", "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        d1, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    d2 = d1.join(F.broadcast(drop), "doc_id", "left_anti")
+    s = sampling.hash_split(
+        d2, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text").cast("long")).alias("total_tokens"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8328,6 +8415,7 @@ _SWEEP_FRONT = (
     "winnowed_match_candidates",
     "copurchase_triangle_stats",
     "brand_label_propagation",
+    "corpus_curation_e2e",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
