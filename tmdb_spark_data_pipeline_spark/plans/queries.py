@@ -4247,38 +4247,8 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avg length) broadcast; per-term scores round at 12 dp and sum in
     decimal so ranking is aggregation-order independent. Final top-20 is a
     ``TakeOrderedAndProject``."""
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
-    ).filter(F.col("w") != "")
-    dl = tk.groupBy("doc_id").agg(F.count("*").alias("len"))
-    sc = dl.agg(
-        F.count("*").alias("n"),
-        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
-    )
-    tf = (
-        tk.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
-    k1, b = F.lit(1.2), F.lit(0.75)
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
-    )
-    scored = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(sc))
-        .select(
-            "doc_id",
-            F.round(idf * tf_part, 12).cast("decimal(30,12)").alias("term_score"),
-        )
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score").cast("double"), 6).alias("bm25"))
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -8381,6 +8351,169 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The BM25 scored-docs CTE chunk (yields ``bm25s(doc_id, bm25)``) — shared
+#: between the plain top-20 oracle and the hybrid-RRF oracle so the scoring
+#: SQL cannot drift between them.
+_BM25_SCORES_SQL = r"""
+    tk AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+    sc AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tk
+      WHERE w IN ('window', 'sort', 'column') GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((sc.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / sc.avglen)), 12)
+             AS DECIMAL(30,12)) AS term_score
+      FROM tf JOIN dfq ON tf.w = dfq.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN sc
+    ),
+    bm25s AS (
+      SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_BM25_SCORES_SQL``: (doc_id, bm25) for every doc
+    matching any query term (same machinery as ``bm25_search_top20``)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("len"))
+    sc = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    tf = (
+        tk.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 12).cast("decimal(30,12)").alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score").cast("double"), 6).alias("bm25")
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="WITH " + _BM25_SCORES_SQL + r""",
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank1
+           FROM bm25s QUALIFY rank1 <= 50),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosim
+      FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+      JOIN embeddings c ON c.vec_id <> 0),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY cosim DESC, doc_id ASC) AS rank2
+           FROM cos QUALIFY rank2 <= 50),
+    fused AS (
+      SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, r1.rank1, r2.rank2,
+             coalesce(1.0 / (60 + r1.rank1), 0.0)
+             + coalesce(1.0 / (60 + r2.rank2), 0.0) AS rrf
+      FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id)
+    SELECT doc_id, rank1 AS bm25_rank, rank2 AS cos_rank,
+           round(rrf, 8) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (k=60): the lexical
+    BM25 ranking and the dense cosine ranking (probe vector 0) each
+    contribute 1/(60+rank) for their top-50, fused and re-ranked — the
+    standard way production search marries keyword and embedding indexes
+    without score calibration (ranks, not raw scores, so the two
+    incomparable scales never meet). Both input rankings are the
+    already-oracle-gated machineries; the fusion is one full outer join on
+    doc id + one top-20. Integer ranks make every RRF contribution an
+    exact double both engines share."""
+    from pyspark.sql import Window
+
+    b = _bm25_scores(spark, sf_dir)
+    r1 = (
+        b.withColumn(
+            "rank1",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank1") <= 50)
+        .select("doc_id", "rank1")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    nn = similarity.cosine_topk_bruteforce(
+        probe.select("vec_id", "embedding"), emb.select("vec_id", "embedding"), k=50
+    )
+    r2 = (
+        nn.withColumn(
+            "rank2",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+            ),
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank2")
+    )
+    fused = r1.join(r2, "doc_id", "full").select(
+        "doc_id",
+        "rank1",
+        "rank2",
+        (
+            F.coalesce(1.0 / (60 + F.col("rank1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("rank1").alias("bm25_rank"),
+            F.col("rank2").alias("cos_rank"),
+            F.round("rrf", 8).alias("rrf_score"),
+        )
+    )
+
+
+# retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
+# inline twin predated the hybrid query; one source of truth now)
+REGISTRY["bm25_search_top20"].oracle = (
+    "WITH "
+    + _BM25_SCORES_SQL
+    + "SELECT doc_id, bm25 FROM bm25s ORDER BY bm25 DESC, doc_id ASC LIMIT 20"
+)
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8416,6 +8549,7 @@ _SWEEP_FRONT = (
     "copurchase_triangle_stats",
     "brand_label_propagation",
     "corpus_curation_e2e",
+    "hybrid_search_rrf",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
