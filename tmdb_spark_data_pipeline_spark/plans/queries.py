@@ -8514,6 +8514,143 @@ REGISTRY["bm25_search_top20"].oracle = (
 )
 
 
+@query(
+    "benford_price_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    x AS (SELECT c.digit, c.n, t.total,
+                 log10(1.0 + 1.0 / c.digit) AS p_benford
+          FROM c CROSS JOIN t)
+    SELECT digit, n,
+           round(n * 1.0 / total, 6) AS observed,
+           round(p_benford, 6) AS expected,
+           round(pow(n - total * p_benford, 2) / (total * p_benford), 6)
+             AS chi2_term
+    FROM x
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order prices — the forensic data-quality
+    check for fabricated or truncated numeric columns: leading-digit
+    frequencies vs log10(1+1/d), with per-digit χ² contributions (a large
+    χ² on real money data flags synthetic generation or unit bugs — on
+    TPC-H's uniform prices it SHOULD flag, which is the point of an
+    audit). Pure expressions over one scan → 9 rows; the total broadcasts
+    back. Both engines compute the identical doubles: floor/log10/pow on
+    exact integers."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+            F.round(p, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * p, 2)
+                / (F.col("total") * p),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "lang_source_chisq",
+    oracle="""
+    WITH j AS (SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+    my AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+    t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+    grid AS (SELECT mx.lang, my.source, mx.nx, my.ny, t.n,
+                    coalesce(j.nxy, 0) AS nxy,
+                    mx.nx * my.ny * 1.0 / t.n AS e
+             FROM mx CROSS JOIN my CROSS JOIN t
+             LEFT JOIN j ON j.lang = mx.lang AND j.source = my.source)
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           count(*) AS n_cells,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+             AS dof,
+           round(CAST(sum(CAST(round(pow(nxy - e, 2) / e, 9)
+                              AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(sum(CAST(round(pow(nxy - e, 2) / e, 9)
+                              AS DECIMAL(30,12))) AS DOUBLE)
+                      / (max(n) * least(count(DISTINCT lang) - 1,
+                                        count(DISTINCT source) - 1))), 6)
+             AS cramers_v
+    FROM grid
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test between language and source (+ Cramér's V
+    effect size) — the categorical-dependence gate next to the mutual
+    information query: is the language mix uniform across crawl sources,
+    or does some source skew? Full |langs|×|sources| grid INCLUDING
+    zero cells (a missing cell still contributes its expectation to χ²) —
+    built from the two broadcast marginals, not a dense scan. Per-cell
+    terms round at 9 then decimal-sum, so the headline χ² is
+    accumulation-order independent."""
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
+    mx = j.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = j.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    t = j.agg(F.sum("nxy").alias("n"))
+    grid = (
+        mx.crossJoin(F.broadcast(my))
+        .crossJoin(F.broadcast(t))
+        .join(j, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "nx",
+            "ny",
+            "n",
+            F.coalesce(F.col("nxy"), F.lit(0)).alias("nxy"),
+            (F.col("nx") * F.col("ny") / F.col("n")).alias("e"),
+        )
+    )
+    term = F.round(F.pow(F.col("nxy") - F.col("e"), 2) / F.col("e"), 9).cast(
+        "decimal(30,12)"
+    )
+    return grid.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_cells"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(term).cast("double")
+                / (
+                    F.max("n")
+                    * F.least(
+                        F.countDistinct("lang") - 1,
+                        F.countDistinct("source") - 1,
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
 # (round 1 recorded rows for exactly the first 50 of 57 declared queries), so
 # emission order is part of the contract. Priority order: queries with no
@@ -8550,6 +8687,8 @@ _SWEEP_FRONT = (
     "brand_label_propagation",
     "corpus_curation_e2e",
     "hybrid_search_rrf",
+    "benford_price_audit",
+    "lang_source_chisq",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
