@@ -499,6 +499,10 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "quality_quantile_normalized",  # scalar N broadcast
         "knn_label_disagreement",       # brute-force probe pairs (declared)
         "jl_projection_fidelity",       # broadcast probe pairs (declared)
+        "benford_price_audit",          # scalar total broadcast
+        "lang_source_chisq",            # marginal-product grid (|langs|x|sources|)
+        "copurchase_triangle_stats",    # scalar stats broadcasts
+        "hybrid_search_rrf",            # scalar avgdl + broadcast probe pairs
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in
