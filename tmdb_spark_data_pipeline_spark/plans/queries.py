@@ -8505,6 +8505,69 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_price_moments",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(pow(o_totalprice, 3) AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(pow(o_totalprice, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s4
+      FROM orders GROUP BY 1),
+    m AS (SELECT o_orderpriority, n, s1 / n AS mu,
+                 s2 / n - pow(s1 / n, 2) AS var,
+                 s1, s2, s3, s4
+          FROM s)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           round(mu, 4) AS mean_price,
+           round(sqrt(var), 4) AS std_price,
+           round((s3 / n - 3 * mu * s2 / n + 2 * pow(mu, 3)) / pow(var, 1.5), 6)
+             AS skewness,
+           round((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * pow(mu, 4))
+                 / (var * var) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def order_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile per order priority: mean, std,
+    skewness, excess kurtosis — the shape statistics a drift monitor
+    tracks beyond location/scale. Built from EXACT decimal power sums
+    (Σx…Σx⁴ — each per-row power is the identical double in both engines,
+    rounded into a decimal before summation), so the derived moments are
+    bit-stable at any executor count; Spark's built-in ``skewness``/
+    ``kurtosis`` are float-accumulated and engine-specific, which is
+    exactly why this query doesn't use them. One partial-agg'd scan."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,4)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("s2"),
+        F.sum(F.pow(x, 3).cast("decimal(38,4)")).cast("double").alias("s3"),
+        F.sum(F.pow(x, 4).cast("decimal(38,4)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = s2 / n - F.pow(mu, 2)
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n_orders"),
+        F.round(mu, 4).alias("mean_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+        F.round(
+            (s3 / n - 3 * mu * s2 / n + 2 * F.pow(mu, 3)) / F.pow(var, 1.5), 6
+        ).alias("skewness"),
+        F.round(
+            (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * F.pow(mu, 4))
+            / (var * var)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -8689,6 +8752,7 @@ _SWEEP_FRONT = (
     "hybrid_search_rrf",
     "benford_price_audit",
     "lang_source_chisq",
+    "order_price_moments",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
