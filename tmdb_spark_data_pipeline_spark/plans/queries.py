@@ -8568,6 +8568,43 @@ def order_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the join twin of
+    ``incremental_rollup_merge``): the materialized orders⋈customer view
+    is maintained as old-result ∪ (Δorders ⋈ customer) — only the delta
+    ever joins; the prior result is appended untouched. The oracle
+    recomputes the view from scratch, so the green row IS the IVM
+    identity merge ≡ recompute. At 100 TB this is the difference between
+    joining a day's increment and re-joining the corpus nightly. Final
+    per-segment aggregate keeps the comparison bounded; decimal revenue
+    as everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)  # "yesterday's" view input
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)  # today's increment
+    prior = base.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    incr = delta.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    view = prior.unionAll(incr)
+    return view.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("revenue"),
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -8753,6 +8790,7 @@ _SWEEP_FRONT = (
     "benford_price_audit",
     "lang_source_chisq",
     "order_price_moments",
+    "incremental_join_maintenance",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
