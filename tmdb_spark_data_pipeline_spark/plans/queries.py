@@ -8605,6 +8605,143 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_golden_records",
+    oracle="""
+    WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                         WHERE c_custkey % 10 = 0),
+    cand AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS na, b.c_name AS nb
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 10, 3) = substr(b.c_name, 10, 3)
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 13, 3) = substr(b.c_name, 13, 3)
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3)
+    ),
+    pairs AS (SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+              FROM cand WHERE levenshtein(na, nb) <= 2),
+    sym AS (SELECT id_a AS src, id_b AS dst, dist FROM pairs
+            UNION ALL SELECT id_b, id_a, dist FROM pairs),
+    best AS (SELECT src, dst FROM (
+               SELECT src, dst,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY dist ASC, dst ASC) AS rn
+               FROM sym) WHERE rn = 1),
+    mutual AS (SELECT b1.src AS id_a, b1.dst AS id_b
+               FROM best b1 JOIN best b2
+                 ON b1.src = b2.dst AND b1.dst = b2.src AND b1.src < b1.dst),
+    edges AS (SELECT id_a AS s, id_b AS d FROM mutual
+              UNION SELECT id_b, id_a FROM mutual),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s),
+    members AS (SELECT l.id, l.comp, c.c_acctbal FROM labels l
+                JOIN c ON c.c_custkey = l.id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY comp
+                                   ORDER BY c_acctbal DESC, id ASC) AS rn
+      FROM members),
+    csize AS (SELECT comp, count(*) AS n_merged FROM members GROUP BY comp),
+    mapping AS (
+      SELECT m.id, r.id AS golden, s.n_merged
+      FROM members m
+      JOIN ranked r ON r.comp = m.comp AND r.rn = 1
+      JOIN csize s ON s.comp = m.comp)
+    SELECT c.c_custkey,
+           coalesce(g.golden, c.c_custkey) AS golden_custkey,
+           CAST(coalesce(g.n_merged, 1) AS BIGINT) AS n_merged,
+           coalesce(g.golden, c.c_custkey) = c.c_custkey AS is_golden
+    FROM c LEFT JOIN mapping g ON g.id = c.c_custkey
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution GOLDEN RECORD construction — the step after fuzzy
+    matching (``fuzzy_customer_name_pairs``): dist ≤ 2 name pairs →
+    reciprocal-best merge edges → connected components → per-cluster
+    survivor by best-record rule (highest balance, custkey tiebreak) —
+    emitted as the full SURVIVORSHIP MAPPING (every sampled record → its
+    golden id, cluster size, is-golden flag), the master-data crosswalk a
+    CRM dedup actually ships. Merge edges are RECIPROCAL BEST MATCHES (each
+    record's single closest counterpart, kept iff mutual) — the standard
+    refinement that stops near-sequential ids from transitively chaining
+    the whole sample into one cluster, which plain dist ≤ 2 edges do on
+    this synthetic name space (observed: one 150-member component). Same
+    scale shape as the dedup applies: pair list is tiny, the windowed
+    pick runs per cluster, and the member join is key-partitioned."""
+    from pyspark.sql import Window
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    pairs = dedup.edit_distance_pairs(
+        c,
+        "c_name",
+        "c_custkey",
+        [
+            F.substring("c_name", 10, 3),
+            F.substring("c_name", 13, 3),
+            F.substring("c_name", 16, 3),
+        ],
+        max_dist=2,
+    ).select("id_a", "id_b", "dist")
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "dist"
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "dist")
+    )
+    wb = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    best = (
+        sym.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .select("src", "dst")
+    )
+    mutual = (
+        best.alias("b1")
+        .join(
+            best.alias("b2"),
+            (F.col("b1.src") == F.col("b2.dst"))
+            & (F.col("b1.dst") == F.col("b2.src")),
+        )
+        .filter(F.col("b1.src") < F.col("b1.dst"))
+        .select(F.col("b1.src").alias("id_a"), F.col("b1.dst").alias("id_b"))
+    )
+    comp = dedup.connected_components(mutual)
+    members = comp.join(
+        c.select(F.col("c_custkey").alias("id"), "c_acctbal"), "id"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("c_acctbal").desc(), F.col("id").asc()
+    )
+    golden = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("comp"), F.col("id").alias("__golden"))
+    )
+    csize = members.groupBy("comp").agg(F.count("*").alias("__n"))
+    mapping = (
+        members.join(golden, "comp")
+        .join(csize, "comp")
+        .select(F.col("id").alias("c_custkey"), "__golden", "__n")
+    )
+    return c.join(F.broadcast(mapping), "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("__golden"), F.col("c_custkey")).alias("golden_custkey"),
+        F.coalesce(F.col("__n"), F.lit(1)).cast("long").alias("n_merged"),
+        (
+            F.coalesce(F.col("__golden"), F.col("c_custkey"))
+            == F.col("c_custkey")
+        ).alias("is_golden"),
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -8791,6 +8928,7 @@ _SWEEP_FRONT = (
     "lang_source_chisq",
     "order_price_moments",
     "incremental_join_maintenance",
+    "customer_golden_records",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
