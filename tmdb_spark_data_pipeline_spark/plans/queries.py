@@ -8742,6 +8742,116 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS hold_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts ASC, event_id ASC)),
+    f AS (SELECT * FROM h WHERE hold_us IS NOT NULL)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_intervals,
+           round(CAST(sum(CAST(round(value * hold_us, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(hold_us) AS DOUBLE), 6) AS twap
+    FROM f GROUP BY user_id, day
+    HAVING sum(hold_us) > 0
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user-day over irregularly sampled
+    events: each observation is weighted by how long it 'held' until the
+    next one (lead-window microseconds), which a plain ``avg`` silently
+    gets wrong on bursty feeds — the finance/IoT aggregation for sparse
+    sensors. One key-partitioned window pass; value×holding products
+    round into decimals before summation so the ratio is
+    accumulation-order independent. Days with a single event (no held
+    interval) drop out, as does each day's last observation — the
+    standard left-Riemann convention."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    h = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        # ts is TIMESTAMP_NTZ after the ns fixup; unix_micros wants LTZ —
+        # the session TZ is UTC in both engines, so the cast is the identity
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull())
+    return (
+        h.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            (
+                F.sum(
+                    F.round(F.col("value") * F.col("hold_us"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.sum("hold_us").cast("double")
+            ).alias("__twap"),
+            F.sum("hold_us").alias("__tot"),
+        )
+        .filter(F.col("__tot") > 0)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            F.round("__twap", 6).alias("twap"),
+        )
+    )
+
+
+@query(
+    "hourly_ohlc_bars",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_hour,
+           first(value ORDER BY ts ASC, event_id ASC) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts ASC, event_id ASC) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per hour — open/close via ``min_by``/``max_by``
+    on the (ts, event_id) struct (a deterministic argmin/argmax inside one
+    hash aggregate; no window sort, no second pass), high/low as plain
+    min/max. The market-data compaction every tick store runs; at 100 TB
+    it is a single partial-agg'd groupBy on the truncated hour."""
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__h"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("bar_hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -8929,6 +9039,8 @@ _SWEEP_FRONT = (
     "order_price_moments",
     "incremental_join_maintenance",
     "customer_golden_records",
+    "time_weighted_avg_value",
+    "hourly_ohlc_bars",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
