@@ -92,3 +92,23 @@ def test_explode_then_reaggregate_matches_reference_a6(spark):
         .collect()
     )
     assert [(r.genre, r.mean_roi) for r in out] == [("Action", 3.0), ("Adventure", 2.0)]
+
+
+def test_melt_numeric_udtf_analyze_validation(spark):
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from tmdb_spark_data_pipeline_spark.operators.flatten import melt_numeric_udtf
+
+    spark.udtf.register("__melt_t", melt_numeric_udtf())
+    df = spark.createDataFrame([(1, 2.5, "x")], "a int, b double, s string")
+    df.createOrReplaceTempView("__melt_src")
+    out = spark.sql(
+        "SELECT t.* FROM __melt_src d, LATERAL __melt_t(struct(d.a, d.b)) t"
+    ).collect()
+    assert sorted((r.measure, r.value) for r in out) == [("a", 1.0), ("b", 2.5)]
+    # analysis-time failure on a numeric-free struct: planning error, not runtime
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT t.* FROM __melt_src d, LATERAL __melt_t(struct(d.s)) t"
+        ).collect()

@@ -69,3 +69,52 @@ def flatten_struct(df: DataFrame, struct_col: str, fields: tuple[str, ...], pref
         "*",
         *[F.col(f"{struct_col}.{f}").alias(f"{prefix}{f}") for f in fields],
     )
+
+
+def melt_numeric_udtf():
+    """POLYMORPHIC Python UDTF (Spark 4): melt every numeric field of a
+    struct argument into (measure, value) rows, with the argument's type
+    inspected at ANALYSIS time (`analyze()` static method) — the
+    dynamic-schema tier of the UDTF API that the fixed-schema
+    ``word_chunk_udtf`` doesn't exercise. A non-struct or numeric-free
+    argument fails at planning, not at runtime, which is the point of
+    analyze-time validation. Values surface as doubles; melt AFTER any
+    exact decimal aggregation (the declared query does), never before.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    numeric_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+    )
+
+    class MeltNumeric:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(row.dataType, T.StructType):
+                raise ValueError(
+                    f"melt_numeric expects a struct argument, got {row.dataType}"
+                )
+            if not any(
+                isinstance(f.dataType, numeric_types) for f in row.dataType.fields
+            ):
+                raise ValueError("struct has no numeric fields to melt")
+            return AnalyzeResult(
+                T.StructType(
+                    [
+                        T.StructField("measure", T.StringType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            if row is None:
+                return
+            for k, v in row.asDict().items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    yield (k, float(v))
+
+    return udtf(MeltNumeric)

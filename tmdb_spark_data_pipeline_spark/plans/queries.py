@@ -8852,6 +8852,48 @@ def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_udtf_twin",
+    oracle="""
+    SELECT l_returnflag, measure,
+           round(CAST(sum(CAST(val AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_udtf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The melt expressed through the POLYMORPHIC UDTF
+    (``flatten.melt_numeric_udtf`` — output schema decided by
+    ``analyze()`` from the struct argument's type): exact decimal
+    aggregation FIRST (one row per flag), then the tiny aggregate melts
+    through the table function — same oracle as the Expand-based
+    ``unpivot_lineitem_measures``, so the two reshaping tiers are proven
+    interchangeable. Melt-after-aggregate is the discipline: the UDTF
+    only ever sees |flags| rows, never the corpus."""
+    from ..operators.flatten import melt_numeric_udtf
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(_dsum(F.col("l_quantity")), 2).alias("quantity"),
+        F.round(_dsum(F.col("l_extendedprice")), 2).alias("extendedprice"),
+        F.round(_dsum(F.col("l_discount")), 2).alias("discount"),
+    )
+    spark.udtf.register("melt_numeric", melt_numeric_udtf())
+    return spark.sql(
+        """
+        SELECT d.l_returnflag, t.measure, t.value AS total
+        FROM {agg} d,
+        LATERAL melt_numeric(struct(d.quantity, d.extendedprice, d.discount)) t
+        """,
+        agg=agg,
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -9041,6 +9083,7 @@ _SWEEP_FRONT = (
     "customer_golden_records",
     "time_weighted_avg_value",
     "hourly_ohlc_bars",
+    "unpivot_udtf_twin",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
