@@ -8853,6 +8853,78 @@ def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_degree_assortativity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM e0 WHERE n_orders >= 2),
+    deg AS (SELECT n, count(*) AS d FROM (
+              SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY 1),
+    je AS (SELECT du.d AS j, dv.d AS k
+           FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    s AS (SELECT count(*) AS m,
+                 CAST(sum(j * k) AS BIGINT) AS sjk,
+                 CAST(sum(j + k) AS BIGINT) AS sj,
+                 CAST(sum(j * j + k * k) AS BIGINT) AS sj2
+          FROM je)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           round((sjk * 1.0 / m - pow(sj * 0.5 / m, 2))
+                 / (sj2 * 0.5 / m - pow(sj * 0.5 / m, 2)), 6) AS assortativity
+    FROM s
+    """,
+)
+def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the co-purchase graph: do
+    well-connected parts co-occur with other hubs (r > 0) or with
+    peripherals (r < 0)? The one-number mixing diagnostic that decides
+    whether hub-targeted sampling or salting is worth it. Closed form
+    over the edge list — Pearson correlation of endpoint degrees from
+    three exact integer sums; one final double expression both engines
+    share. Reuses the triangle query's edge/degree tables."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    je = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("j")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("k")), "v")
+        .select("j", "k")
+    )
+    s = je.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias("sj2"),
+    )
+    m, sjk, sj, sj2 = (F.col(c) for c in ("m", "sjk", "sj", "sj2"))
+    mean = sj * 0.5 / m
+    return s.select(
+        m.cast("long").alias("n_edges"),
+        F.round(
+            (sjk * 1.0 / m - F.pow(mean, 2)) / (sj2 * 0.5 / m - F.pow(mean, 2)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
     "unpivot_udtf_twin",
     oracle="""
     SELECT l_returnflag, measure,
@@ -9084,6 +9156,7 @@ _SWEEP_FRONT = (
     "time_weighted_avg_value",
     "hourly_ohlc_bars",
     "unpivot_udtf_twin",
+    "copurchase_degree_assortativity",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
