@@ -356,3 +356,59 @@ def test_waterfill_matches_python_model(spark, sizes, budget):
             r = out[f"s{i}"]
             assert r.allocated <= n + 1e-9
             assert r.capped == (float(n) > cap)
+
+
+@SETTINGS
+@given(
+    groups=st.lists(
+        st.lists(st.floats(min_value=0, max_value=1, allow_nan=False, width=32),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    )
+)
+def test_quantile_normalize_matches_python_model(spark, groups):
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import calibrate
+
+    rows = []
+    rid = 0
+    for gi, vals in enumerate(groups):
+        for v in vals:
+            rows.append((f"g{gi}", rid, float(v)))
+            rid += 1
+    df = spark.createDataFrame(rows, "src string, id int, v double")
+    out = {r.id: r.normalized
+           for r in calibrate.quantile_normalize(df, "v", "src", "id").collect()}
+    # python model: global sort by (v, id); per group sort by (v, id);
+    # rank i of n_g maps to global position ceil(i*N/n_g)
+    all_sorted = sorted(rows, key=lambda r: (r[2], r[1]))
+    N = len(all_sorted)
+    for gi, vals in enumerate(groups):
+        members = sorted((r for r in rows if r[0] == f"g{gi}"),
+                         key=lambda r: (r[2], r[1]))
+        n_g = len(members)
+        for i, (_, rid_, _) in enumerate(members, start=1):
+            gpos = math.ceil(i * N / n_g)
+            assert out[rid_] == all_sorted[gpos - 1][2], (rid_, i, n_g, N)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    right=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    run=st.lists(st.sampled_from("qrstuvwx"), min_size=6, max_size=10),
+)
+def test_winnowing_guarantee_on_random_docs(spark, left, right, run):
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    # two docs sharing an injected run of >= window + k - 1 = 6 distinct-
+    # alphabet words must share at least one fingerprint (the MOSS theorem)
+    doc1 = " ".join([*left, *run, *right])
+    doc2 = " ".join([*reversed(right), *run, *reversed(left)])
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id int, text string")
+    fp = T.winnowed_fingerprints(df, "text", "doc_id", k=3, window=4)
+    sets = {1: set(), 2: set()}
+    for r in fp.collect():
+        sets[r.doc_id].add(r.fingerprint)
+    assert sets[1] & sets[2], (doc1, doc2)
