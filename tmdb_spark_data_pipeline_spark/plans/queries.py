@@ -8966,6 +8966,95 @@ def unpivot_udtf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_ndcg_eval",
+    oracle="WITH " + _BM25_SCORES_SQL + r""",
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank1
+           FROM bm25s QUALIFY rank1 <= 20),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosim
+      FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+      JOIN embeddings c ON c.vec_id <> 0),
+    rel AS (SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY cosim DESC, doc_id ASC) AS rank2
+              FROM cos) WHERE rank2 <= 20),
+    dcg AS (SELECT CAST(sum(CAST(round(
+                     CASE WHEN rel.doc_id IS NOT NULL
+                          THEN 1.0 / log2(r1.rank1 + 1) ELSE 0.0 END, 12)
+                   AS DECIMAL(30,12))) AS DOUBLE) AS dcg,
+                   CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM r1 LEFT JOIN rel ON rel.doc_id = r1.doc_id),
+    idcg AS (SELECT CAST(sum(CAST(round(1.0 / log2(i + 1), 12)
+                    AS DECIMAL(30,12))) AS DOUBLE) AS idcg
+             FROM (SELECT unnest(range(1, 21)) AS i))
+    SELECT dcg.n_hits, round(dcg.dcg, 6) AS dcg, round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_20
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@20 of the BM25 list against the
+    dense-cosine top-20 as binary ground truth — the retrieval-eval
+    metric class next to the classification metrics (confusion matrix,
+    kappa). All from integer ranks: each gain term 1/log2(rank+1) is an
+    exact double both engines share, rounded into a decimal sum; the
+    ideal DCG uses the full 20 slots (|relevant| = 20 by construction).
+    Tiny joins over two ≤20-row rankings after the two scoring passes."""
+    from pyspark.sql import Window
+
+    b = _bm25_scores(spark, sf_dir)
+    r1 = (
+        b.withColumn(
+            "rank1",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank1") <= 20)
+        .select("doc_id", "rank1")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    rel = (
+        similarity.cosine_topk_bruteforce(
+            probe.select("vec_id", "embedding"),
+            emb.select("vec_id", "embedding"),
+            k=20,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.lit(1).alias("__rel"))
+    )
+    gain = F.round(
+        F.when(F.col("__rel").isNotNull(), 1.0 / F.log2(F.col("rank1") + 1)).otherwise(
+            0.0
+        ),
+        12,
+    ).cast("decimal(30,12)")
+    dcg = r1.join(F.broadcast(rel), "doc_id", "left").agg(
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).cast("long").alias("n_hits"),
+        F.sum(gain).cast("double").alias("dcg"),
+    )
+    idcg = (
+        spark.range(1, 21)
+        .agg(
+            F.sum(
+                F.round(1.0 / F.log2(F.col("id") + 1), 12).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "n_hits",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_20"),
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -9157,6 +9246,7 @@ _SWEEP_FRONT = (
     "hourly_ohlc_bars",
     "unpivot_udtf_twin",
     "copurchase_degree_assortativity",
+    "bm25_ndcg_eval",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
