@@ -9055,6 +9055,140 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "truncation_rank_stability",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf,
+             sqrt(list_sum(list_transform(embedding[1:32], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nh
+      FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nf * c.nf) AS cf,
+             list_sum(list_transform(list_zip(q.embedding[1:32], c.embedding[1:32]),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nh * c.nh) AS ch
+      FROM q JOIN b c ON c.vec_id <> 0),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY cf DESC, doc_id ASC) AS rank1
+           FROM cos QUALIFY rank1 <= 20),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY ch DESC, doc_id ASC) AS rank2
+           FROM cos QUALIFY rank2 <= 20),
+    common AS (
+      SELECT r1.doc_id,
+             row_number() OVER (ORDER BY r1.rank1 ASC) AS ra,
+             row_number() OVER (ORDER BY r2.rank2 ASC) AS rb
+      FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id),
+    sp AS (SELECT count(*) AS m,
+                  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sd2
+           FROM common),
+    kd AS (SELECT CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                  CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS disc
+           FROM common a JOIN common b ON a.doc_id < b.doc_id)
+    SELECT CAST(sp.m AS BIGINT) AS n_common,
+           round(1.0 - 6.0 * sp.sd2 / (sp.m * (sp.m * sp.m - 1.0)), 6)
+             AS spearman_rho,
+           round((kd.conc - kd.disc) * 2.0 / (sp.m * (sp.m - 1.0)), 6)
+             AS kendall_tau
+    FROM sp CROSS JOIN kd
+    """,
+)
+def truncation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does Matryoshka truncation PRESERVE THE ORDER, not just the values?
+    Spearman rho and Kendall tau between the full-dimension and
+    half-dimension cosine top-20 for a probe — the rank-stability
+    companion to ``embedding_truncation_fidelity``'s value-drift audit
+    (an index can tolerate value drift but not order churn). Both
+    statistics are ALL-INTEGER until one final division (Sum d-squared for
+    rho; concordant-discordant pair counts for tau over the <=190 common
+    pairs), so there is no float boundary anywhere; the pair self-join
+    runs on <=20 rows. The common subset is re-ranked 1..m so the
+    statistics stay well-defined."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = F.slice(F.col("embedding"), 1, 32)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        half.alias("__hv"),
+        similarity.l2_norm("embedding").alias("nf"),
+        similarity.l2_norm(half).alias("nh"),
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qf"),
+        F.col("__hv").alias("__qh"),
+        F.col("nf").alias("__qnf"),
+        F.col("nh").alias("__qnh"),
+    )
+    cos = b.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        (similarity.dot("__qf", "embedding") / (F.col("__qnf") * F.col("nf"))).alias("cf"),
+        (similarity.dot("__qh", "__hv") / (F.col("__qnh") * F.col("nh"))).alias("ch"),
+    )
+    r1 = (
+        cos.withColumn(
+            "rank1",
+            F.row_number().over(
+                Window.orderBy(F.col("cf").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank1") <= 20)
+        .select("doc_id", "rank1")
+    )
+    r2 = (
+        cos.withColumn(
+            "rank2",
+            F.row_number().over(
+                Window.orderBy(F.col("ch").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank2") <= 20)
+        .select("doc_id", "rank2")
+    )
+    common = (
+        r1.join(r2, "doc_id")
+        .withColumn("ra", F.row_number().over(Window.orderBy(F.col("rank1").asc())))
+        .withColumn("rb", F.row_number().over(Window.orderBy(F.col("rank2").asc())))
+        .select("doc_id", "ra", "rb")
+    )
+    sp = common.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))).alias(
+            "sd2"
+        ),
+    )
+    a = common.select(
+        F.col("doc_id").alias("da"), F.col("ra").alias("raa"), F.col("rb").alias("rba")
+    )
+    bb = common.select(
+        F.col("doc_id").alias("db"), F.col("ra").alias("rab"), F.col("rb").alias("rbb")
+    )
+    prod = (F.col("raa") - F.col("rab")) * (F.col("rba") - F.col("rbb"))
+    kd = (
+        a.join(bb, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("conc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("disc"),
+        )
+    )
+    return sp.crossJoin(F.broadcast(kd)).select(
+        F.col("m").cast("long").alias("n_common"),
+        F.round(
+            1.0 - 6.0 * F.col("sd2") / (F.col("m") * (F.col("m") * F.col("m") - 1.0)),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            (F.col("conc") - F.col("disc")) * 2.0
+            / (F.col("m") * (F.col("m") - 1.0)),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -9247,6 +9381,7 @@ _SWEEP_FRONT = (
     "unpivot_udtf_twin",
     "copurchase_degree_assortativity",
     "bm25_ndcg_eval",
+    "truncation_rank_stability",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
