@@ -65,3 +65,30 @@ def test_label_propagation_tie_breaks_lexicographically(spark):
 
     out = {r.id: r.label for r in graph.propagate_labels(edges, seeds, rounds=1).collect()}
     assert out[3] == "B"  # 1-1 tie -> smallest label
+
+
+def test_geo_within_distance_pairs_boundary_and_recall(spark):
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import geo
+
+    mid = 45.5
+    m_lon = geo.M_PER_DEG_LAT * math.cos(math.radians(mid))
+    # points: 1-2 are ~1500 m apart straddling a cell boundary; 3 is ~2.6 km
+    # from 1 (outside); 4 coincides with 1 (0 m)
+    pts = [
+        (1, 45.5000, 7.0000),
+        (2, 45.5000 + 1500.0 / geo.M_PER_DEG_LAT, 7.0000),
+        (3, 45.5000, 7.0000 + 2600.0 / m_lon),
+        (4, 45.5000, 7.0000),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = {
+        (r.id_a, r.id_b): r.dist_m
+        for r in geo.within_distance_pairs(
+            df, "id", "lat", "lon", max_m=2000.0, mid_lat_deg=mid
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert out[(1, 4)] == 0.0
+    assert abs(out[(1, 2)] - 1500.0) < 0.01

@@ -9189,6 +9189,74 @@ def truncation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_oracle() -> str:
+    """Generated so the longitude scale constant is the SAME Python double
+    the operator embeds (one generator, no literal drift)."""
+    import math
+
+    from ..operators.geo import M_PER_DEG_LAT
+
+    m_per_deg_lon = M_PER_DEG_LAT * math.cos(math.radians(45.5))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             45.0 + CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                    / 4294967296.0 AS lat,
+             7.0 + 2.0 * (CAST('0x' || substr(md5('g' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                    / 4294967296.0) AS lon
+      FROM customer),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             sqrt(pow((b.lat - a.lat) * {M_PER_DEG_LAT!r}, 2)
+                + pow((b.lon - a.lon) * {m_per_deg_lon!r}, 2)) AS dist
+      FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT id_a, id_b, round(dist, 2) AS dist_m
+    FROM pairs WHERE dist <= 2000.0
+    """
+
+
+@query("geo_customer_neighbor_pairs", oracle=_geo_oracle())
+def geo_customer_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join via grid-cell blocking (``geo.
+    within_distance_pairs``): customers placed deterministically (portable
+    md5 uniforms) in a 1°×2° region, all pairs within 2 km. The engine
+    side blocks on a radius-covering lat/lon grid (3×3 probe explode →
+    cell equi-join → exact verify — Σ|cell|² work, the spatial member of
+    the blocking-join family); the oracle states the naive quadratic
+    definition, so the green row certifies the blocking's COMPLETE recall.
+    The distance is equirectangular with a fixed literal longitude scale:
+    multiply/add/sqrt only, bit-identical across engines (haversine's
+    libm trig would leave ulp room at the threshold)."""
+    from ..operators import geo, sampling
+
+    c = _t(spark, sf_dir, "customer")
+    u_lat = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    u_lon = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g"), F.col("c_custkey").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("cid"),
+        (F.lit(45.0) + u_lat).alias("lat"),
+        (F.lit(7.0) + 2.0 * u_lon).alias("lon"),
+    )
+    _ = sampling  # portable-hash convention documented there
+    return geo.within_distance_pairs(
+        pts, "cid", "lat", "lon", max_m=2000.0, mid_lat_deg=45.5
+    )
+
+
 # retro-wire the plain BM25 oracle onto the shared scored-docs chunk (its
 # inline twin predated the hybrid query; one source of truth now)
 REGISTRY["bm25_search_top20"].oracle = (
@@ -9382,6 +9450,7 @@ _SWEEP_FRONT = (
     "copurchase_degree_assortativity",
     "bm25_ndcg_eval",
     "truncation_rank_stability",
+    "geo_customer_neighbor_pairs",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
