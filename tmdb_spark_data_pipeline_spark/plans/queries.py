@@ -9189,6 +9189,75 @@ def truncation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_overlap_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    i AS (SELECT count(*) AS n_overlap FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c))
+    SELECT (SELECT count(*) FROM p) AS n_purchasers,
+           (SELECT count(*) FROM c) AS n_clickers,
+           i.n_overlap AS n_exact_overlap,
+           TRUE AS within_5pct
+    FROM i
+    """,
+)
+def hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimated audience overlap |A∩B| from HLL
+    sketches via inclusion–exclusion (|A| + |B| − |A∪B|, the union being
+    the one operation HLL supports natively) — the segment-overlap
+    question every audience platform answers without re-scanning either
+    segment. Caveat stated where it belongs: I–E error is relative to the
+    UNION, so a small true overlap inherits a large relative error — the
+    5% gate here is honest for the observed high-overlap segments, and
+    the exact counts (hash-matched) are the audit trail. Same
+    driver-visible gating pattern as ``hll_mergeable_rollup``: exact
+    columns hash-match, the tolerance boolean pins the sketch."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    c = ev.filter(F.col("event_type") == "click")
+    sk = (
+        p.agg(F.hll_sketch_agg("user_id", 14).alias("skp"))
+        .crossJoin(F.broadcast(c.agg(F.hll_sketch_agg("user_id", 14).alias("skc"))))
+        .crossJoin(
+            F.broadcast(
+                ev.filter(F.col("event_type").isin("purchase", "click")).agg(
+                    F.hll_sketch_agg("user_id", 14).alias("sku")
+                )
+            )
+        )
+        .select(
+            F.hll_sketch_estimate("skp").alias("ea"),
+            F.hll_sketch_estimate("skc").alias("eb"),
+            F.hll_sketch_estimate("sku").alias("eu"),
+        )
+    )
+    exact = (
+        p.select("user_id")
+        .distinct()
+        .intersect(c.select("user_id").distinct())
+        .agg(F.count("*").alias("n_exact_overlap"))
+        .crossJoin(
+            F.broadcast(p.agg(F.countDistinct("user_id").alias("n_purchasers")))
+        )
+        .crossJoin(
+            F.broadcast(c.agg(F.countDistinct("user_id").alias("n_clickers")))
+        )
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_purchasers",
+        "n_clickers",
+        "n_exact_overlap",
+        (
+            F.abs(
+                (F.col("ea") + F.col("eb") - F.col("eu"))
+                - F.col("n_exact_overlap")
+            )
+            <= 0.05 * F.col("n_exact_overlap")
+        ).alias("within_5pct"),
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -9451,6 +9520,7 @@ _SWEEP_FRONT = (
     "bm25_ndcg_eval",
     "truncation_rank_stability",
     "geo_customer_neighbor_pairs",
+    "hll_overlap_users",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
