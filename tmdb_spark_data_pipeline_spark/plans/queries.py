@@ -9258,6 +9258,124 @@ def hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theta_segment_algebra",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    i AS (SELECT count(*) AS n_exact_overlap FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)),
+    d AS (SELECT count(*) AS n_exact_only_purchase FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
+    SELECT i.n_exact_overlap, d.n_exact_only_purchase,
+           TRUE AS intersect_within_5pct, TRUE AS difference_within_5pct
+    FROM i CROSS JOIN d
+    """,
+)
+def theta_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL sketch set algebra via Theta sketches (Datasketches): NATIVE
+    ``theta_intersection`` and ``theta_difference`` — the operations HLL
+    cannot do (``hll_overlap_users`` had to route through
+    inclusion–exclusion, with its error amplification). Audience overlap
+    AND exclusion (purchasers who never click) from three tiny sketches,
+    no segment re-scan. Exact counts hash-match; the 5% booleans pin both
+    estimates — the gating pattern of the sketch family."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    c = ev.filter(F.col("event_type") == "click")
+    sk = (
+        p.agg(F.theta_sketch_agg("user_id").alias("skp"))
+        .crossJoin(
+            F.broadcast(c.agg(F.theta_sketch_agg("user_id").alias("skc")))
+        )
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("skp"), F.col("skc"))
+            ).alias("est_inter"),
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("skp"), F.col("skc"))
+            ).alias("est_diff"),
+        )
+    )
+    exact = (
+        p.select("user_id")
+        .distinct()
+        .intersect(c.select("user_id").distinct())
+        .agg(F.count("*").alias("n_exact_overlap"))
+        .crossJoin(
+            F.broadcast(
+                p.select("user_id")
+                .distinct()
+                .exceptAll(c.select("user_id").distinct())
+                .agg(F.count("*").alias("n_exact_only_purchase"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_exact_overlap",
+        "n_exact_only_purchase",
+        (
+            F.abs(F.col("est_inter") - F.col("n_exact_overlap"))
+            <= 0.05 * F.col("n_exact_overlap")
+        ).alias("intersect_within_5pct"),
+        (
+            F.abs(F.col("est_diff") - F.col("n_exact_only_purchase"))
+            <= 0.05 * F.col("n_exact_only_purchase")
+        ).alias("difference_within_5pct"),
+    )
+
+
+@query(
+    "kll_quantile_sketch_gate",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def kll_quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Datasketches KLL): each month's value
+    distribution is sketched in two INDEPENDENT halves (days 1–15 /
+    16–end), the halves merge via ``kll_sketch_merge_double``, and the
+    merged p50 must sit within 5% of the exact interpolated median — the
+    re-aggregatable percentile shape ``percentile_approx`` can't express
+    (GK estimates are final; KLL day-sketches roll up forever without
+    re-scanning). Exact p50 hash-matches the oracle's ``quantile_cont``;
+    the boolean pins the sketch."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.dayofmonth("ts").alias("dom"),
+        "value",
+    )
+    halves = ev.groupBy("month").agg(
+        F.expr("kll_sketch_agg_double(CASE WHEN dom <= 15 THEN value END)").alias(
+            "sk1"
+        ),
+        F.expr("kll_sketch_agg_double(CASE WHEN dom > 15 THEN value END)").alias(
+            "sk2"
+        ),
+    )
+    merged = halves.select(
+        "month",
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_merge_double(sk1, sk2), 0.5)"
+        ).alias("p50_sketch"),
+    )
+    exact = ev.groupBy("month").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50_exact"),
+    )
+    return exact.join(merged, "month").select(
+        "month",
+        "n_events",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_sketch") - F.col("p50_exact"))
+            <= 0.05 * F.abs(F.col("p50_exact"))
+        ).alias("sketch_within_5pct"),
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -9521,6 +9639,8 @@ _SWEEP_FRONT = (
     "truncation_rank_stability",
     "geo_customer_neighbor_pairs",
     "hll_overlap_users",
+    "theta_segment_algebra",
+    "kll_quantile_sketch_gate",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
