@@ -505,6 +505,8 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "hybrid_search_rrf",            # scalar avgdl + broadcast probe pairs
         "bm25_ndcg_eval",               # same BM25 scalar + broadcast rankings
         "truncation_rank_stability",    # broadcast probe + <=20-row pair join
+        "hll_overlap_users",            # 1-row sketch/scalar broadcasts
+        "theta_segment_algebra",        # 1-row sketch/scalar broadcasts
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in
