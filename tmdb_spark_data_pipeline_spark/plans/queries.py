@@ -9376,6 +9376,73 @@ def kll_quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_trend_robust",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    p AS (
+      SELECT a.user_id,
+             CASE WHEN b.value > a.value THEN 1
+                  WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn,
+             (b.value - a.value) / ((b.t - a.t) / 86400000000.0) AS slope
+      FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t)
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS mk_s,
+           round(quantile_cont(slope, 0.5), 6) AS median_slope_per_day,
+           CASE WHEN sum(sgn) > 0 THEN 'up'
+                WHEN sum(sgn) < 0 THEN 'down' ELSE 'flat' END AS direction
+    FROM p GROUP BY user_id
+    """,
+)
+def user_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-entity trend: Theil–Sen slope (median of all pairwise
+    slopes — a single wild value cannot move it, unlike the OLS
+    ``user_value_trend``) plus the Mann–Kendall S statistic (sum of
+    pairwise signs — ALL-INTEGER, the nonparametric monotone-trend
+    vote). The pair space is per-user (≤ C(events_per_user, 2) ≈ 5k
+    rows/user here), generated by a key-partitioned self-join — at 100 TB
+    this stays tractable exactly when per-entity history is bounded, and
+    the docstring contract says so; entities with unbounded history get
+    the windowed OLS instead. Equal-timestamp pairs are excluded on both
+    sides (strict ``t_a < t_b``), which also keeps the slope division
+    ANSI-safe. The exact slope median interpolates identically in both
+    engines (``percentile`` ≡ ``quantile_cont``)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "value",
+    )
+    a = e.select(
+        F.col("user_id"), F.col("t").alias("ta"), F.col("value").alias("va")
+    )
+    b = e.select(
+        F.col("user_id"), F.col("t").alias("tb"), F.col("value").alias("vb")
+    )
+    p = a.join(b, "user_id").filter(F.col("ta") < F.col("tb")).select(
+        "user_id",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("vb") - F.col("va"))
+            / ((F.col("tb") - F.col("ta")) / F.lit(86400000000.0))
+        ).alias("slope"),
+    )
+    s = F.sum("sgn")
+    return p.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        s.cast("long").alias("mk_s"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 6).alias(
+            "median_slope_per_day"
+        ),
+        F.when(s > 0, "up").when(s < 0, "down").otherwise("flat").alias(
+            "direction"
+        ),
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -9641,6 +9708,7 @@ _SWEEP_FRONT = (
     "hll_overlap_users",
     "theta_segment_algebra",
     "kll_quantile_sketch_gate",
+    "user_trend_robust",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
