@@ -9443,6 +9443,244 @@ def user_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ab_test_welch",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, value
+      FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT arm, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+          FROM g GROUP BY 1),
+    w AS (SELECT
+            max(CASE WHEN arm = 'A' THEN n END) AS na,
+            max(CASE WHEN arm = 'B' THEN n END) AS nb,
+            max(CASE WHEN arm = 'A' THEN s1 END) AS s1a,
+            max(CASE WHEN arm = 'B' THEN s1 END) AS s1b,
+            max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+            max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+          FROM s),
+    m AS (SELECT na, nb, s1a / na AS ma, s1b / nb AS mb,
+                 (s2a - s1a * s1a / na) / (na - 1.0) / na AS va,
+                 (s2b - s1b * s1b / nb) / (nb - 1.0) / nb AS vb
+          FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round((ma - mb) / sqrt(va + vb), 6) AS welch_t,
+           round(pow(va + vb, 2)
+                 / (va * va / (na - 1.0) + vb * vb / (nb - 1.0)), 2) AS welch_df
+    FROM m
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation: Welch's unequal-variance t-test between two user
+    arms (hash-split by user id — the same append-stable assignment
+    discipline as ``hash_split``) on purchase values, entirely from exact
+    decimal power sums: one corpus scan → two (n, Σx, Σx²) triples → the
+    t statistic and Welch–Satterthwaite df in one closed double
+    expression both engines share bit-for-bit. The A/B readout a growth
+    team runs at any scale for the cost of one aggregation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "value",
+    )
+    s = g.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}{arm.lower()}")
+            for arm in ("A", "B")
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("s1a") / na, F.col("s1b") / nb
+    va = (F.col("s2a") - F.col("s1a") * F.col("s1a") / na) / (na - 1.0) / na
+    vb = (F.col("s2b") - F.col("s1b") * F.col("s1b") / nb) / (nb - 1.0) / nb
+    return w.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("welch_t"),
+        F.round(
+            F.pow(va + vb, 2)
+            / (va * va / (na - 1.0) + vb * vb / (nb - 1.0)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    s AS (SELECT
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS x2
+          FROM u)
+    SELECT n1, n2, x1, x2,
+           round(x1 * 1.0 / n1, 6) AS p1, round(x2 * 1.0 / n2, 6) AS p2,
+           round((x1 * 1.0 / n1 - x2 * 1.0 / n2)
+                 / sqrt(((x1 + x2) * 1.0 / (n1 + n2))
+                        * (1.0 - (x1 + x2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z
+    FROM s
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation, the proportion side: pooled two-proportion z-test
+    on per-user conversion (14+ purchases — every synthetic user buys at
+    least once, so the outcome must be a threshold to carry variance)
+    between the two hash arms. ALL-INTEGER counts until the final z expression — nothing
+    for partial-agg order to move. One grouped pass to per-user
+    conversion flags, one 4-cell aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    p1 = F.col("x1") / F.col("n1")
+    p2 = F.col("x2") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))
+    return s.select(
+        "n1",
+        "n2",
+        "x1",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "daily_revenue_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS rev
+      FROM orders GROUP BY 1),
+    t AS (SELECT count(*) AS n, CAST(sum(rev) AS DOUBLE) / count(*) AS mu FROM d),
+    c AS (SELECT day, rev,
+                 row_number() OVER (ORDER BY day ASC) AS i,
+                 CAST(sum(rev) OVER (ORDER BY day ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+          FROM d),
+    s AS (SELECT c.day, c.i, t.n, c.cum - c.i * t.mu AS cusum
+          FROM c CROSS JOIN t),
+    pick AS (SELECT * FROM (
+               SELECT *, row_number() OVER (ORDER BY abs(cusum) DESC, day ASC) AS rn
+               FROM s) WHERE rn = 1)
+    SELECT strftime(pick.day, '%Y-%m-%d') AS changepoint_day,
+           CAST(pick.n AS BIGINT) AS n_days,
+           round(pick.cusum, 2) AS cusum,
+           round((SELECT CAST(sum(rev) AS DOUBLE) FROM d WHERE day <= pick.day)
+                 / pick.i, 2) AS mean_before,
+           round((SELECT CAST(sum(rev) AS DOUBLE) FROM d WHERE day > pick.day)
+                 / (pick.n - pick.i), 2) AS mean_after
+    FROM pick
+    """,
+)
+def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection via CUSUM: the day where the
+    cumulative deviation from the global mean peaks in magnitude is the
+    single most likely level-shift point — the monitoring primitive
+    behind 'when did revenue actually change', one step beyond the
+    per-point outlier flags (``rolling_zscore``). Daily revenues are
+    exact decimals, so the cumulative sums are order-independent; the
+    CUSUM itself is one ordered window over |days| rows (the aggregate,
+    never the orders), and the argmax is a deterministic top-1. Pre/post
+    means from the same decimal sums, split at the chosen day."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("decimal(38,4)")
+        .alias("rev")
+    )
+    t = d.agg(
+        F.count("*").alias("n"),
+        (F.sum("rev").cast("double") / F.count("*")).alias("mu"),
+    )
+    wd = Window.orderBy(F.col("day").asc())
+    c = d.select(
+        "day",
+        "rev",
+        F.row_number().over(wd).alias("i"),
+        F.sum("rev")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum"),
+    )
+    s = c.crossJoin(F.broadcast(t)).withColumn(
+        "cusum", F.col("cum") - F.col("i") * F.col("mu")
+    )
+    pick = (
+        s.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("day", "i", "n", "cusum")
+    )
+    sums = d.crossJoin(F.broadcast(pick.select(F.col("day").alias("__cp")))).agg(
+        F.sum(F.when(F.col("day") <= F.col("__cp"), F.col("rev")))
+        .cast("double")
+        .alias("sum_before"),
+        F.sum(F.when(F.col("day") > F.col("__cp"), F.col("rev")))
+        .cast("double")
+        .alias("sum_after"),
+    )
+    return pick.crossJoin(F.broadcast(sums)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round("cusum", 2).alias("cusum"),
+        F.round(F.col("sum_before") / F.col("i"), 2).alias("mean_before"),
+        F.round(F.col("sum_after") / (F.col("n") - F.col("i")), 2).alias(
+            "mean_after"
+        ),
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -9709,6 +9947,9 @@ _SWEEP_FRONT = (
     "theta_segment_algebra",
     "kll_quantile_sketch_gate",
     "user_trend_robust",
+    "ab_test_welch",
+    "ab_conversion_ztest",
+    "daily_revenue_changepoint",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
