@@ -9681,6 +9681,121 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "time_to_purchase_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                         - epoch_us(min(ts))) / 3600000000.0) AS BIGINT) AS ttp_h
+      FROM events GROUP BY user_id),
+    subj AS (
+      SELECT user_id,
+             CASE WHEN user_id % 5 = 0 AND ttp_h >= 2 THEN 2 ELSE ttp_h END AS t,
+             CASE WHEN user_id % 5 = 0 AND ttp_h >= 2 THEN 0 ELSE 1 END AS ev
+      FROM u),
+    n AS (SELECT count(*) AS total FROM subj),
+    per_t AS (SELECT t, count(*) AS leaving, CAST(sum(ev) AS BIGINT) AS d
+              FROM subj GROUP BY t),
+    risk AS (
+      SELECT t, d, n.total
+             - coalesce(CAST(sum(leaving) OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             AS n_risk
+      FROM per_t CROSS JOIN n),
+    km AS (
+      SELECT t, d, n_risk,
+             CAST(sum(CAST(round(CASE WHEN d < n_risk
+                                      THEN ln(1.0 - d * 1.0 / n_risk)
+                                      ELSE 0.0 END, 12) AS DECIMAL(30,12)))
+                  OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS lnsum,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS dead
+      FROM risk)
+    SELECT t AS t_hours, n_risk, d AS n_events,
+           round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6) AS s_km
+    FROM km WHERE d > 0
+    """,
+)
+def time_to_purchase_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis: Kaplan–Meier estimator of time-to-first-purchase
+    (hours from a user's first activity), with right-censoring — users in
+    the synthetic '%5 cohort' are observed only two hours, so a later
+    first purchase is censored at t=2 (they leave the risk set without an
+    event; ignoring censoring would bias S(t) down, which is the whole
+    point of KM over the naive empirical curve). The product-limit runs
+    as exp(Σ ln(1−d/n)) with per-term rounding into a decimal windowed
+    sum, and a run-once 'risk set exhausted' flag pins S=0 exactly where
+    d = n (ln would blow up). All corpus work is one grouped pass to
+    per-user (time, event); the KM table itself is |distinct times| rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_micros(
+                    F.min(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ).cast("timestamp")
+                )
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / 3600000000.0
+        )
+        .cast("long")
+        .alias("ttp_h")
+    )
+    censored = (F.col("user_id") % 5 == 0) & (F.col("ttp_h") >= 2)
+    subj = u.select(
+        F.when(censored, 2).otherwise(F.col("ttp_h")).alias("t"),
+        F.when(censored, 0).otherwise(1).alias("ev"),
+    )
+    n = subj.agg(F.count("*").alias("total"))
+    per_t = subj.groupBy("t").agg(
+        F.count("*").alias("leaving"), F.sum("ev").cast("long").alias("d")
+    )
+    wt = Window.orderBy(F.col("t").asc())
+    risk = per_t.crossJoin(F.broadcast(n)).select(
+        "t",
+        "d",
+        (
+            F.col("total")
+            - F.coalesce(
+                F.sum("leaving").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    term = F.round(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(1.0 - F.col("d") / F.col("n_risk")),
+        ).otherwise(0.0),
+        12,
+    ).cast("decimal(30,12)")
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(term)
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("lnsum"),
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("dead"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.when(F.col("dead") == 1, 0.0).otherwise(F.exp(F.col("lnsum"))), 6
+        ).alias("s_km"),
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -9950,6 +10065,7 @@ _SWEEP_FRONT = (
     "ab_test_welch",
     "ab_conversion_ztest",
     "daily_revenue_changepoint",
+    "time_to_purchase_km",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
