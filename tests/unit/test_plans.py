@@ -508,6 +508,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "hll_overlap_users",            # 1-row sketch/scalar broadcasts
         "theta_segment_algebra",        # 1-row sketch/scalar broadcasts
         "daily_revenue_changepoint",    # scalar mean/pick/sums broadcasts
+        "time_to_purchase_km",          # scalar subject-count broadcast
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in

@@ -9796,6 +9796,85 @@ def time_to_purchase_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    runs AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged),
+    sessions AS (
+      SELECT user_id * 1000000 + run AS sid, min(ts) AS s, max(ts) AS e
+      FROM runs GROUP BY user_id, run),
+    marks AS (
+      SELECT s AS t, 1 AS delta, sid FROM sessions
+      UNION ALL
+      SELECT e, -1, sid FROM sessions),
+    sweep AS (
+      SELECT t, sum(delta) OVER (ORDER BY t ASC, delta DESC, sid ASC
+                                 ROWS UNBOUNDED PRECEDING) AS live
+      FROM marks)
+    SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY 1
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour via the SWEEP LINE: sessions (30-min gap
+    sessionization, same machinery as ``session_overlap_pairs``) become
+    +1/−1 boundary marks, one global ordered running sum gives the live
+    count at every boundary, and the hourly max is the capacity-planning
+    number an infra team actually provisions against. Tie convention is
+    explicit and total: at an equal instant, starts (+1) process before
+    ends (−1) — touching sessions count as concurrent — with the session
+    id as the final tiebreak, so the running sum is engine-independent.
+    The global ordered window runs over 2·|sessions| marks, not events;
+    the scale path is per-day partitioned sweeps with carried-in offsets."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = (
+        runs.groupBy("user_id", "run")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select(
+            (F.col("user_id") * 1000000 + F.col("run")).alias("sid"), "s", "e"
+        )
+    )
+    marks = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "sid"
+    ).unionAll(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "sid")
+    )
+    sweep_w = Window.orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("sid").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sweep = marks.select("t", F.sum("delta").over(sweep_w).alias("live"))
+    return sweep.groupBy(
+        F.date_format(F.date_trunc("hour", "t"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        )
+    ).agg(F.max("live").cast("long").alias("peak_concurrent"))
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -10066,6 +10145,7 @@ _SWEEP_FRONT = (
     "ab_conversion_ztest",
     "daily_revenue_changepoint",
     "time_to_purchase_km",
+    "peak_concurrent_sessions",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
