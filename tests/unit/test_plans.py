@@ -509,6 +509,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "theta_segment_algebra",        # 1-row sketch/scalar broadcasts
         "daily_revenue_changepoint",    # scalar mean/pick/sums broadcasts
         "time_to_purchase_km",          # scalar subject-count broadcast
+        "truncation_rank_rbo",          # broadcast probe + <=20-row tables
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in

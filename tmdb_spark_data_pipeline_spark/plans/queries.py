@@ -9875,6 +9875,129 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("live").cast("long").alias("peak_concurrent"))
 
 
+@query(
+    "truncation_rank_rbo",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf,
+             sqrt(list_sum(list_transform(embedding[1:32], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nh
+      FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nf * c.nf) AS cf,
+             list_sum(list_transform(list_zip(q.embedding[1:32], c.embedding[1:32]),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nh * c.nh) AS ch
+      FROM q JOIN b c ON c.vec_id <> 0),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY cf DESC, doc_id ASC) AS rank1
+           FROM cos QUALIFY rank1 <= 20),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY ch DESC, doc_id ASC) AS rank2
+           FROM cos QUALIFY rank2 <= 20),
+    common AS (SELECT greatest(r1.rank1, r2.rank2) AS m
+               FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id),
+    depths AS (SELECT unnest(range(1, 21)) AS d),
+    xd AS (SELECT d.d,
+                  CAST(sum(CASE WHEN c.m <= d.d THEN 1 ELSE 0 END) AS BIGINT) AS x
+           FROM depths d CROSS JOIN common c GROUP BY d.d),
+    terms AS (SELECT d, x,
+                     round(0.1 * pow(0.9, d - 1) * x / d, 12) AS term
+              FROM xd)
+    SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+           CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS overlap_at_20,
+           round(CAST(sum(CAST(term AS DECIMAL(30,12))) AS DOUBLE), 6) AS rbo_min
+    FROM terms
+    """,
+)
+def truncation_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS'10) between the full- and
+    half-dimension cosine top-20 — the TOP-WEIGHTED list-similarity
+    measure that completes the ranking toolkit (nDCG weights relevance;
+    ρ/τ treat all positions equally; RBO's geometric p=0.9 weights say
+    disagreement at rank 1 matters most — the right lens when only the
+    head of the ANN result is ever shown). Truncated lower-bound form:
+    Σ (1−p)·p^{d−1}·X_d/d with X_d = |prefix intersection at depth d|,
+    computed from each common doc's max(rank1, rank2) — integers
+    throughout; the 20 weighted terms round into a decimal sum. All work
+    after the two scoring passes runs on ≤20-row tables."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = F.slice(F.col("embedding"), 1, 32)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        half.alias("__hv"),
+        similarity.l2_norm("embedding").alias("nf"),
+        similarity.l2_norm(half).alias("nh"),
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qf"),
+        F.col("__hv").alias("__qh"),
+        F.col("nf").alias("__qnf"),
+        F.col("nh").alias("__qnh"),
+    )
+    cos = b.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        (similarity.dot("__qf", "embedding") / (F.col("__qnf") * F.col("nf"))).alias("cf"),
+        (similarity.dot("__qh", "__hv") / (F.col("__qnh") * F.col("nh"))).alias("ch"),
+    )
+    r1 = (
+        cos.withColumn(
+            "rank1",
+            F.row_number().over(
+                Window.orderBy(F.col("cf").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank1") <= 20)
+        .select("doc_id", "rank1")
+    )
+    r2 = (
+        cos.withColumn(
+            "rank2",
+            F.row_number().over(
+                Window.orderBy(F.col("ch").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank2") <= 20)
+        .select("doc_id", "rank2")
+    )
+    common = r1.join(r2, "doc_id").select(
+        F.greatest(F.col("rank1"), F.col("rank2")).alias("m")
+    )
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    xd = depths.crossJoin(F.broadcast(common)).groupBy("d").agg(
+        F.sum(F.when(F.col("m") <= F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("x")
+    )
+    terms = xd.select(
+        "d",
+        "x",
+        F.round(
+            0.1 * F.pow(F.lit(0.9), F.col("d") - 1) * F.col("x") / F.col("d"), 12
+        ).alias("term"),
+    )
+    nc = common.agg(F.count("*").alias("n_common"))
+    return (
+        terms.agg(
+            F.max(F.when(F.col("d") == 20, F.col("x")))
+            .cast("long")
+            .alias("overlap_at_20"),
+            F.round(F.sum(F.col("term").cast("decimal(30,12)")).cast("double"), 6).alias(
+                "rbo_min"
+            ),
+        )
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_common").cast("long").alias("n_common"),
+            "overlap_at_20",
+            "rbo_min",
+        )
+    )
+
+
 def _geo_oracle() -> str:
     """Generated so the longitude scale constant is the SAME Python double
     the operator embeds (one generator, no literal drift)."""
@@ -10146,6 +10269,7 @@ _SWEEP_FRONT = (
     "daily_revenue_changepoint",
     "time_to_purchase_km",
     "peak_concurrent_sessions",
+    "truncation_rank_rbo",
     "xml_roundtrip",
     "doc_chunks_udtf",
     "recursive_custkey_rollup",
