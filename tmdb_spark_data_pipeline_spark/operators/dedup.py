@@ -325,34 +325,47 @@ def minhash_pairs_from_artifact(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs computed FROM the persisted bucket artifact: the band
-    self-join runs over the parquet table (no re-shingling, no persist —
-    the artifact replaces the cache), and only exact verification touches
-    document text, restricted to candidates. Identical output to
-    ``minhash_lsh_pairs`` over the same corpus, by construction — the
-    declared query pins that equivalence against the exact oracle."""
+    self-join runs over the parquet table (no re-shingling, and genuinely
+    no persist — the artifact replaces the cache), and only exact
+    verification touches document text, restricted to candidates.
+    Identical output to ``minhash_lsh_pairs`` over the same corpus, by
+    construction — the declared query pins that equivalence against the
+    exact oracle.
+
+    Why this variant needs zero caching where ``minhash_lsh_pairs`` needs
+    three persists: every subtree below re-reads the cheap parquet
+    artifact instead of re-running the shingle→signature pipeline, and the
+    plan is shaped so each expensive subtree has exactly ONE consumer —
+    candidate DOCS come from bucket occupancy (``groupBy`` on the
+    artifact: a doc is a candidate iff any of its (band, sig) buckets
+    holds ≥2 docs — the same set as the union of pair endpoints, since
+    pairs are exactly the within-bucket combinations), so the band
+    SELF-JOIN is consumed only by the final semi-join and is evaluated
+    once. A leak-free storage-status assert pins this
+    (``test_dedup.py::test_artifact_pairs_leave_no_cached_blocks``)."""
     spark = docs.sparkSession
     buckets = spark.read.parquet(artifact_path)
     a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__sig") == F.col("b.__sig"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .persist()
+    candidates = a.join(
+        b,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__sig") == F.col("b.__sig"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    crowded = (
+        buckets.groupBy("__band", "__sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__band", "__sig")
     )
     cand_docs = (
-        candidates.select(F.col("id_a").alias("__id"))
-        .union(candidates.select(F.col("id_b").alias("__id")))
-        .distinct()
+        buckets.join(crowded, ["__band", "__sig"], "left_semi").select("__id").distinct()
     )
     base = _spread(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
     sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
         "__id", F.explode(word_shingles("__t", n)).alias("__s")
     )
-    verified = _jaccard_from_shingles(sh, min_jaccard)
+    verified = _jaccard_from_shingles(sh, min_jaccard, persist=False)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 

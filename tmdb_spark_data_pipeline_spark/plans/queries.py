@@ -10220,65 +10220,20 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-5 rotation: the 6 round-4 additions with no driver row yet come
-    # first, then strict staleness order by last driver-verified round
-    # (r1-verified -> r2 -> r3 -> r4; within a tier, original declaration
-    # order). Built from the union of CORRECTNESS_r01-r04. The driver caps
-    # each sweep at ~50 names, so this prefix is what gets re-checked.
-    "variant_events_profile",
-    "winnowed_doc_fingerprints",
-    "classifier_agreement_kappa",
-    "token_budget_waterfill",
-    "order_price_psi",
-    "above_customer_avg_orders",
-    "lateral_top2_orders",
-    "customer_order_distribution",
-    "gini_customer_spend",
-    "stream_stream_full_join",
-    "stream_stream_semi_join",
-    "knn_label_disagreement",
-    "temporal_split_embargo",
-    "kfold_balance_audit",
-    "quality_quantile_normalized",
-    "jl_projection_fidelity",
-    "video_frame_samples",
-    "neardup_keep_best_quality",
-    "winnowed_match_candidates",
-    "copurchase_triangle_stats",
-    "brand_label_propagation",
-    "corpus_curation_e2e",
-    "hybrid_search_rrf",
-    "benford_price_audit",
-    "lang_source_chisq",
-    "order_price_moments",
-    "incremental_join_maintenance",
-    "customer_golden_records",
-    "time_weighted_avg_value",
-    "hourly_ohlc_bars",
-    "unpivot_udtf_twin",
-    "copurchase_degree_assortativity",
-    "bm25_ndcg_eval",
-    "truncation_rank_stability",
-    "geo_customer_neighbor_pairs",
-    "hll_overlap_users",
-    "theta_segment_algebra",
-    "kll_quantile_sketch_gate",
-    "user_trend_robust",
-    "ab_test_welch",
-    "ab_conversion_ztest",
-    "daily_revenue_changepoint",
-    "time_to_purchase_km",
-    "peak_concurrent_sessions",
-    "truncation_rank_rbo",
-    "xml_roundtrip",
-    "doc_chunks_udtf",
-    "recursive_custkey_rollup",
-    "containment_neardups",
-    "neardup_dedup_apply",
+    # round-6 rotation: the 4 queries with NO driver CORRECTNESS row in any
+    # of rounds 1-5 come first (VERDICT_r05 "Next round" #1), then strict
+    # staleness order by last driver-verified round (r1 -> r2 -> r3 -> r4
+    # -> r5; within a tier, prior front order). Built from the union of
+    # CORRECTNESS_r01-r05. The driver caps each sweep at ~50 names, so this
+    # prefix (4 never + 37 r1-tier + head of r2-tier) is what gets
+    # re-checked in round 6. New round-6 queries are inserted at the very
+    # top as they land.
+    # --- never driver-checked ---
     "event_value_anomalies",
     "key_skew_profile",
     "source_mixture_weights",
     "stream_stream_left_join",
+    # --- last verified r1 ---
     "scan_filter_project",
     "derived_metrics",
     "cleaning_normalize",
@@ -10316,6 +10271,7 @@ _SWEEP_FRONT = (
     "doc_fingerprints",
     "lang_stopword_stats",
     "doc_quality_scores",
+    # --- last verified r2 ---
     "similarity_topk_multiprobe",
     "cosine_neardups_blocked",
     "embedding_stats",
@@ -10353,6 +10309,7 @@ _SWEEP_FRONT = (
     "similarity_topk_ivf",
     "embedding_quantization",
     "vocab_coverage_oov",
+    # --- last verified r3 ---
     "pivot_event_types",
     "range_join_click_context",
     "asof_purchase_last_click",
@@ -10403,6 +10360,7 @@ _SWEEP_FRONT = (
     "orc_roundtrip",
     "fuzzy_customer_name_pairs",
     "bm25_search_top20",
+    # --- last verified r4 ---
     "approx_distinct_parts",
     "simhash_fingerprints",
     "simhash_neardups",
@@ -10453,6 +10411,57 @@ _SWEEP_FRONT = (
     "unpivot_lineitem_measures",
     "weighted_median_price",
     "event_type_hour_mutual_info",
+    # --- last verified r5 ---
+    "variant_events_profile",
+    "winnowed_doc_fingerprints",
+    "classifier_agreement_kappa",
+    "token_budget_waterfill",
+    "order_price_psi",
+    "above_customer_avg_orders",
+    "lateral_top2_orders",
+    "customer_order_distribution",
+    "gini_customer_spend",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
+    "knn_label_disagreement",
+    "temporal_split_embargo",
+    "kfold_balance_audit",
+    "quality_quantile_normalized",
+    "jl_projection_fidelity",
+    "video_frame_samples",
+    "neardup_keep_best_quality",
+    "winnowed_match_candidates",
+    "copurchase_triangle_stats",
+    "brand_label_propagation",
+    "corpus_curation_e2e",
+    "hybrid_search_rrf",
+    "benford_price_audit",
+    "lang_source_chisq",
+    "order_price_moments",
+    "incremental_join_maintenance",
+    "customer_golden_records",
+    "time_weighted_avg_value",
+    "hourly_ohlc_bars",
+    "unpivot_udtf_twin",
+    "copurchase_degree_assortativity",
+    "bm25_ndcg_eval",
+    "truncation_rank_stability",
+    "geo_customer_neighbor_pairs",
+    "hll_overlap_users",
+    "theta_segment_algebra",
+    "kll_quantile_sketch_gate",
+    "user_trend_robust",
+    "ab_test_welch",
+    "ab_conversion_ztest",
+    "daily_revenue_changepoint",
+    "time_to_purchase_km",
+    "peak_concurrent_sessions",
+    "truncation_rank_rbo",
+    "xml_roundtrip",
+    "doc_chunks_udtf",
+    "recursive_custkey_rollup",
+    "containment_neardups",
+    "neardup_dedup_apply",
 )
 
 
