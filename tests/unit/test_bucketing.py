@@ -41,3 +41,75 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customers_b")
+
+
+def test_overwrite_preserves_old_table_on_failed_write(spark):
+    """VERDICT_r05 #2: overwrite is write-first — a failing write must leave
+    the previous table fully readable (the old pre-delete implementation
+    destroyed it before writing)."""
+    import pytest
+
+    good = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    write_bucketed_table(good, "t_atomic", ("k",), 2)
+    try:
+        bad = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 5, F.lit("x"))
+            .otherwise(F.raise_error(F.lit("boom")))
+            .alias("v"),
+        )
+        with pytest.raises(Exception, match="boom"):
+            write_bucketed_table(bad, "t_atomic", ("k",), 2)
+        assert spark.table("t_atomic").count() == 10  # old table intact
+        assert spark.table("t_atomic").filter(F.col("v") == "old").count() == 10
+        # and a subsequent good overwrite still succeeds (staging junk cleared)
+        good2 = spark.range(0, 7).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+        write_bucketed_table(good2, "t_atomic", ("k",), 2)
+        assert spark.table("t_atomic").filter(F.col("v") == "new").count() == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_atomic")
+        spark.sql("DROP TABLE IF EXISTS t_atomic__overwrite_staging")
+
+
+def test_overwrite_clears_stale_unregistered_location(spark):
+    """In-memory catalog restart scenario: a table DIR survives in the
+    warehouse with no catalog registration. Overwrite must clear the
+    catalog-RESOLVED location and land the new table."""
+    import os
+
+    loc = os.path.join(
+        spark.catalog.getDatabase(spark.catalog.currentDatabase()).locationUri.removeprefix(
+            "file:"
+        ),
+        "t_stale",
+    )
+    os.makedirs(loc, exist_ok=True)
+    open(os.path.join(loc, "orphan.parquet"), "w").write("junk")
+    try:
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_bucketed_table(df, "t_stale", ("k",), 2)
+        assert spark.table("t_stale").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stale")
+
+
+def test_overwrite_in_non_default_database_location(spark, tmp_path):
+    """The cleared path must come from the owning DATABASE's locationUri,
+    not a warehouse/<name> guess — pinned with a db at a custom location."""
+    import os
+
+    dbloc = str(tmp_path / "custom_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS altdb LOCATION '{dbloc}'")
+    try:
+        df = spark.range(0, 6).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        write_bucketed_table(df, "altdb.t_alt", ("k",), 2)
+        write_bucketed_table(df, "altdb.t_alt", ("k",), 2)  # overwrite over itself
+        assert spark.table("altdb.t_alt").count() == 6
+        assert os.path.isdir(os.path.join(dbloc, "t_alt"))  # landed in the db's location
+        # stale-dir path: drop registration surgically by recreating the dir
+        spark.sql("DROP TABLE altdb.t_alt")
+        os.makedirs(os.path.join(dbloc, "t_alt"), exist_ok=True)
+        write_bucketed_table(df, "altdb.t_alt", ("k",), 2)
+        assert spark.table("altdb.t_alt").count() == 6
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS altdb CASCADE")
