@@ -426,90 +426,131 @@ def test_heavy_hitter_candidate_pass_is_map_only(spark, sf_smoke):
     assert "MapInPandas" in plan
 
 
+_BOUNDING_AGGS = ("HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec")
+
+
+def _iter_physical_nodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_physical_nodes(ch.apply(i))
+    # subquery expressions carry their own plan trees (a scalar-subquery
+    # BroadcastNestedLoopJoin is invisible via children())
+    sq = node.subqueries()
+    for i in range(sq.size()):
+        yield from _iter_physical_nodes(sq.apply(i))
+    # persisted intermediates hide their plan behind InMemoryRelation —
+    # descend so a cached cartesian can't evade the invariant
+    cls = node.getClass().getSimpleName()
+    if cls == "InMemoryTableScanExec":
+        yield from _iter_physical_nodes(node.relation().cachedPlan())
+    elif cls == "AdaptiveSparkPlanExec":
+        yield from _iter_physical_nodes(node.inputPlan())
+
+
+def _bnlj_builds_are_one_row(df) -> tuple[bool, int]:
+    """(all nested-loop build sides provably emit ≤1 row, #BNLJ nodes).
+
+    Walks the pre-AQE physical plan: for every ``BroadcastNestedLoopJoinExec``
+    the build-side subtree's first row-bounding node (preorder) must be a
+    GLOBAL aggregate (empty grouping → exactly 1 row) or a ``limit ≤ 1``
+    (``TakeOrderedAndProject``/``GlobalLimit`` — the argmax-pick shape).
+    A build side that reaches a scan/join/window first is NOT provably
+    1-row and fails. This is the machine check behind ``SCALAR_NL_OK``:
+    a whitelisted scalar-broadcast query that silently grows a real
+    cartesian flips this to False and fails the registry invariant
+    (VERDICT_r05 "What's wrong" #3)."""
+    sp = df._jdf.queryExecution().sparkPlan()
+    n_bnlj, all_ok = 0, True
+    for n in _iter_physical_nodes(sp):
+        if n.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        n_bnlj += 1
+        build = n.left() if n.buildSide().toString() == "BuildLeft" else n.right()
+        ok = False
+        for m in _iter_physical_nodes(build):
+            cls = m.getClass().getSimpleName()
+            if cls in _BOUNDING_AGGS:
+                ok = m.groupingExpressions().isEmpty()
+                break
+            if cls in ("TakeOrderedAndProjectExec", "GlobalLimitExec"):
+                ok = m.limit() <= 1
+                break
+        all_ok = all_ok and ok
+    return all_ok, n_bnlj
+
+
 def test_registry_wide_plan_invariants(spark, sf_smoke):
     """Every declared query's physical plan obeys the engine-wide rules:
 
     - no row-at-a-time Python UDFs (``BatchEvalPython``) — Python only via
       Arrow (`MapInPandas`/`FlatMapGroupsInPandas`/`...WithState`)
     - no ``CartesianProduct`` anywhere
-    - ``BroadcastNestedLoopJoin`` only in queries that DECLARE an all-pairs
-      or scalar-broadcast shape (exact-baseline similarity, centroid
-      assigns, 1-row scalar joins) — everything else must be key-based.
+    - ``BroadcastNestedLoopJoin`` only in two DECLARED classes, split per
+      VERDICT_r05 #3 (the old single whitelist let a scalar query grow a
+      real cartesian silently):
+      * ``SCALAR_NL_OK`` — 1-row scalar broadcasts (grand totals, avgdl,
+        argmax picks). Additionally MACHINE-VERIFIED: every nested-loop
+        build side must provably emit ≤1 row
+        (``_bnlj_builds_are_one_row``), so these can never silently become
+        an all-pairs join.
+      * ``ALL_PAIRS_NL_OK`` — the declared all-pairs / declared-small
+        broadcast shapes (exact correctness baselines, centroid assigns,
+        probe sets, marginal grids), each documented in its docstring.
+      Any other query with a nested loop fails outright — including the
+      ~25 formerly-whitelisted queries whose plans carry no nested loop
+      at all today (removed from the lists; a regression now trips).
 
     Streaming queries are checked on their batch-plan twin where they expose
     one; pure-streaming replays are skipped (their operators are pinned by
     the streaming tests)."""
     from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY
 
-    # queries whose declared semantics REQUIRE a nested-loop or 1-row
-    # broadcast join (documented in each docstring)
-    NESTED_LOOP_OK = {
-        "cosine_neardups",          # exact all-pairs correctness baseline
-        "similarity_topk",          # brute-force exactness baseline
-        "similarity_topk_pandas",   # same, pandas tier
-        "similarity_topk_lsh",      # hamming-probe superset join
-        "similarity_topk_lsh_pruned",
-        "similarity_topk_multiprobe",
-        "similarity_topk_ivf",      # broadcast-centroid assign
-        "kmeans_cluster_profile",   # broadcast-centroid assign
-        "semantic_dedup_pairs",     # broadcast-centroid assign
-        "embedding_quantization",
-        "forecast_revenue_change",  # scalar crossJoin
+    # Nested loops whose build sides are all 1-row scalars — verified, not
+    # trusted (see _bnlj_builds_are_one_row).
+    SCALAR_NL_OK = {
         "event_type_hour_mutual_info",  # scalar n broadcast
-        "basket_item_lift",         # scalar order-count broadcast
-        "tfidf_top_terms",          # scalar doc-count broadcast
-        "bm25_search_top20",        # scalar avgdl broadcast
-        "vocab_coverage_oov",
-        "unigram_logprob_scores",   # scalar corpus-size broadcast
-        "char_entropy_scores",
-        "token_kl_drift_by_lang",
-        "repetition_scores",
-        "lang_stopword_stats",
-        "doc_quality_scores",
-        "language_id",
-        "benchmark_contamination",
-        "decontaminated_counts",
-        "key_skew_profile",         # scalar total broadcast
-        "idle_customer_balances",   # scalar avg-acctbal threshold (Q22 shape)
-        "important_brand_value",    # scalar avg-revenue threshold (ref KPI)
+        "basket_item_lift",             # scalar order-count broadcast
+        "tfidf_top_terms",              # scalar doc-count broadcast
+        "bm25_search_top20",            # scalar avgdl broadcast
+        "unigram_logprob_scores",       # scalar corpus-size broadcast
+        "key_skew_profile",             # scalar total broadcast
+        "idle_customer_balances",       # scalar avg-acctbal threshold (Q22 shape)
+        "important_brand_value",        # scalar avg-revenue threshold (ref KPI)
         "source_mixture_weights",
-        "revenue_pareto_deciles",   # scalar grand-total broadcast
-        "embedding_stats",
-        "embedding_label_dispersion",
-        "embedding_truncation_fidelity",  # broadcast probe-pairs (declared)
-        "bigram_heldout_logprob",   # scalar vocab-size broadcast
-        "boilerplate_exposure",
-        "neardup_method_agreement",
-        "quality_percentile_calibration",
-        "quality_isotonic_calibration",
-        "quality_deciles",
-        "event_value_percentiles",
-        "hourly_gap_filled_series",  # global grid range join
-        "pmi_collocations_top20",
-        "minhash_neardups",
-        "minhash_incremental_neardups",
-        "chunk_sliding_windows",
-        "text_stats",
-        # round-5 declared scalar-broadcast / all-pairs shapes
+        "revenue_pareto_deciles",       # scalar grand-total broadcast
+        "bigram_heldout_logprob",       # scalar vocab-size broadcast
+        "hourly_gap_filled_series",     # scalar min/max bounds for the grid
+        "pmi_collocations_top20",       # scalar totals
         "classifier_agreement_kappa",   # scalar contingency-totals broadcast
-        "token_budget_waterfill",       # scalar total + cap broadcast
+        "token_budget_waterfill",       # scalar total + cap broadcasts
         "order_price_psi",              # scalar period-totals broadcast
         "temporal_split_embargo",       # scalar overlap-count broadcast
         "kfold_balance_audit",          # scalar grand-total broadcast
         "quality_quantile_normalized",  # scalar N broadcast
-        "knn_label_disagreement",       # brute-force probe pairs (declared)
-        "jl_projection_fidelity",       # broadcast probe pairs (declared)
         "benford_price_audit",          # scalar total broadcast
-        "lang_source_chisq",            # marginal-product grid (|langs|x|sources|)
         "copurchase_triangle_stats",    # scalar stats broadcasts
-        "hybrid_search_rrf",            # scalar avgdl + broadcast probe pairs
-        "bm25_ndcg_eval",               # same BM25 scalar + broadcast rankings
-        "truncation_rank_stability",    # broadcast probe + <=20-row pair join
         "hll_overlap_users",            # 1-row sketch/scalar broadcasts
         "theta_segment_algebra",        # 1-row sketch/scalar broadcasts
-        "daily_revenue_changepoint",    # scalar mean/pick/sums broadcasts
+        "daily_revenue_changepoint",    # scalar mean/sums + 1-row argmax pick
         "time_to_purchase_km",          # scalar subject-count broadcast
-        "truncation_rank_rbo",          # broadcast probe + <=20-row tables
+    }
+    # Declared all-pairs / declared-small broadcast shapes (docstrings).
+    ALL_PAIRS_NL_OK = {
+        "cosine_neardups",          # exact all-pairs correctness baseline
+        "similarity_topk",          # brute-force exactness baseline
+        "similarity_topk_ivf",      # broadcast-centroid assign
+        "kmeans_cluster_profile",   # broadcast-centroid assign
+        "semantic_dedup_pairs",     # broadcast-centroid assign
+        "embedding_truncation_fidelity",  # broadcast probe-pairs (declared)
+        "knn_label_disagreement",   # brute-force probe pairs (declared)
+        "jl_projection_fidelity",   # broadcast probe pairs (declared)
+        "lang_source_chisq",        # marginal-product grid (|langs|x|sources|)
+        "hybrid_search_rrf",        # scalar avgdl + broadcast probe pairs
+        "bm25_ndcg_eval",           # same BM25 scalar + broadcast rankings
+        "truncation_rank_stability",  # broadcast probe + <=20-row pair join
+        "truncation_rank_rbo",      # broadcast probe + <=20-row tables
+        "neardup_method_agreement",  # contains the cosine all-pairs baseline leg (cached)
     }
     # pure streaming replays: executing them in a plan probe would run a
     # real streaming query; their plan discipline is pinned in
@@ -531,9 +572,32 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
             offenders[name] = "row-at-a-time Python UDF"
         elif "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
-            offenders[name] = "undeclared BroadcastNestedLoopJoin"
+        elif "BroadcastNestedLoopJoin" in plan:
+            if name in ALL_PAIRS_NL_OK:
+                pass  # declared; shape documented in the query docstring
+            elif name in SCALAR_NL_OK:
+                ok, _ = _bnlj_builds_are_one_row(df)
+                if not ok:
+                    offenders[name] = "whitelisted as scalar but a nested-loop build side is not provably 1-row"
+            else:
+                offenders[name] = "undeclared BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_scalar_nl_checker_catches_nonscalar_mutation(spark):
+    """The VERDICT_r05 'deliberate mutation' proof: a scalar-broadcast
+    crossJoin passes the build-side check; the same query mutated to
+    broadcast a multi-row table (the feared silent cartesian) fails it."""
+    base = spark.range(0, 100).select(F.col("id").alias("k"))
+    scalar = base.crossJoin(F.broadcast(base.agg(F.sum("k").alias("total"))))
+    ok, n = _bnlj_builds_are_one_row(scalar)
+    assert n == 1 and ok
+    pick = base.crossJoin(F.broadcast(base.orderBy(F.col("k").desc()).limit(1)))
+    ok, n = _bnlj_builds_are_one_row(pick)
+    assert n == 1 and ok  # 1-row argmax pick counts as scalar
+    mutated = base.crossJoin(F.broadcast(base.filter(F.col("k") < 50)))
+    ok, n = _bnlj_builds_are_one_row(mutated)
+    assert n == 1 and not ok  # multi-row build side → flagged
 
 
 def test_correlated_scalar_subquery_decorrelates(spark, sf_smoke):
