@@ -552,10 +552,22 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "truncation_rank_rbo",      # broadcast probe + <=20-row tables
         "neardup_method_agreement",  # contains the cosine all-pairs baseline leg (cached)
     }
-    # pure streaming replays: executing them in a plan probe would run a
-    # real streaming query; their plan discipline is pinned in
-    # tests/unit/test_streaming.py instead
-    STREAMING = {n for n in REGISTRY if n.startswith("stream_")}
+    from tmdb_spark_data_pipeline_spark.plans.queries import (
+        STREAM_REPLAY_ONLY,
+        stream_batch_twins,
+    )
+
+    # streaming queries: probed via their BATCH TWIN (same hoisted build
+    # function over batch inputs — VERDICT_r05 #5); only the replay-only
+    # set (streaming-only APIs, reasons recorded at the definition) is
+    # skipped, and the partition must be exhaustive so a new stream query
+    # can't silently dodge the invariant
+    twins = stream_batch_twins()
+    streaming = {n for n in REGISTRY if n.startswith("stream_")}
+    unpartitioned = streaming - set(twins) - set(STREAM_REPLAY_ONLY)
+    assert not unpartitioned, (
+        f"stream queries neither twin-probed nor declared replay-only: {unpartitioned}"
+    )
     # queries with write side-effects exercised elsewhere
     SIDE_EFFECT = {
         "json_roundtrip", "csv_roundtrip", "orc_roundtrip", "xml_roundtrip",
@@ -563,10 +575,12 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "multimodal_features",
     }
     offenders: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
-        if name in STREAMING or name in SIDE_EFFECT:
+    probes = {n: spec.fn for n, spec in REGISTRY.items() if n not in streaming}
+    probes.update(twins)
+    for name, fn in probes.items():
+        if name in SIDE_EFFECT:
             continue
-        df = spec.fn(spark, sf_smoke)
+        df = fn(spark, sf_smoke)
         plan = _plan(df)
         if "BatchEvalPython" in plan:
             offenders[name] = "row-at-a-time Python UDF"

@@ -1032,18 +1032,26 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_stream_sliding(s: DataFrame) -> DataFrame:
+    """stream_sliding's transformation (hoisted for the batch-twin plan
+    probe, VERDICT_r05 #5)."""
+    from ..streaming import sliding_agg
+
+    return sliding_agg(s, "ts", "1 hour", "30 minutes", ("event_type",))
+
+
 @query("stream_sliding", oracle=_SLIDING_ORACLE)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sliding-window aggregation as a real Structured Streaming query
     (overlapping-window state), same oracle as the batch twin."""
     import os
 
-    from ..streaming import replay_events, sliding_agg
+    from ..streaming import replay_events
 
     out = replay_events(
         spark,
         os.path.join(sf_dir, "events.parquet"),
-        lambda s: sliding_agg(s, "ts", "1 hour", "30 minutes", ("event_type",)),
+        _build_stream_sliding,
         query_name="stream_sliding_mem",
     )
     return out.select(
@@ -1625,20 +1633,25 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the original table."""
     import os
 
-    from ..streaming import dedup_stream, replay_events_pair
-
-    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
-        dup = s1.unionByName(s2)
-        return dedup_stream(dup, ("event_id",)).groupBy("event_type").agg(
-            F.count("*").alias("n")
-        )
+    from ..streaming import replay_events_pair
 
     return replay_events_pair(
         spark,
         os.path.join(sf_dir, "events.parquet"),
-        build,
+        _build_stream_dedup,
         query_name="stream_dedup_mem",
         output_mode="complete",
+    )
+
+
+def _build_stream_dedup(s1: DataFrame, s2: DataFrame) -> DataFrame:
+    """stream_dedup_counts' transformation (hoisted for the batch-twin plan
+    probe): union the doubled feed, exactly-once dedup, per-type count."""
+    from ..streaming import dedup_stream
+
+    dup = s1.unionByName(s2)
+    return dedup_stream(dup, ("event_id",)).groupBy("event_type").agg(
+        F.count("*").alias("n")
     )
 
 
@@ -1657,35 +1670,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 minutes, per user): two independent watermarked file streams, event-time
     range condition bounding join state. Same pairs as the batch range join —
     the oracle is the batch SQL. Bounded to the first week of the (fixed
-    January 2024) corpus: the proof is the join semantics, not the volume."""
-    import os
-
-    from ..streaming import replay_events_pair
-
-    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
-        s1 = s1.filter(F.col("ts") < "2024-01-08")
-        s2 = s2.filter(F.col("ts") < "2024-01-08")
-        p = s1.filter(F.col("event_type") == "purchase").select(
-            F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("p_ts")
-        )
-        c = s2.filter(F.col("event_type") == "click").select(
-            F.col("event_id").alias("c_event_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        cond = (
-            (F.col("user_id") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
-            & (F.col("c_ts") < F.col("p_ts"))
-        )
-        return p.join(c, cond, "inner").select("p_event_id", "c_event_id")
-
-    return replay_events_pair(
-        spark,
-        os.path.join(sf_dir, "events.parquet"),
-        build,
-        query_name="stream_join_mem",
-        output_mode="append",
+    January 2024) corpus: the proof is the join semantics, not the volume.
+    (Shared transformation: ``_build_pair_join``, defined with the outer
+    variants below.)"""
+    return _stream_pair_join(
+        spark, sf_dir, "inner", ("p_event_id", "c_event_id")
     )
 
 
@@ -3526,22 +3515,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
 
-    def build(stream: DataFrame) -> DataFrame:
-        return (
-            stream.join(F.broadcast(cust), "user_id")
-            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
-            )
-        )
-
     return replay_events(
         spark,
         os.path.join(sf_dir, "events.parquet"),
-        build,
+        lambda s: _build_static_enrich(s, cust),
         query_name="stream_enrich_mem",
     ).select("mktsegment", "n", "total")
+
+
+def _build_static_enrich(stream: DataFrame, cust: DataFrame) -> DataFrame:
+    """stream_static_enrich's transformation (hoisted for the batch-twin
+    plan probe): broadcast stream-static join + segment aggregate."""
+    return (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
+        )
+    )
 
 
 def _zorder_oracle() -> str:
@@ -4686,46 +4678,50 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "left_outer", ("p_event_id", "c_event_id")
     )
 
+def _build_pair_join(s1: DataFrame, s2: DataFrame, how: str, select_cols) -> DataFrame:
+    """The stream-stream join family's TRANSFORMATION, hoisted so the plan
+    invariant can probe it over batch inputs (VERDICT_r05 #5): purchases
+    joined to same-user clicks in the 5-minute window before the purchase,
+    over the bounded first-week feed (the week filter sits after the
+    watermark node so late-January events still advance the watermark past
+    every bounded purchase — see ``stream_stream_left_join``)."""
+    p = (
+        s1.filter(F.col("ts") < "2024-01-08")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        s2.filter(F.col("ts") < "2024-01-08")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond, how).select(*select_cols)
+
+
 def _stream_pair_join(spark: SparkSession, sf_dir: str, how: str, select_cols):
-    """Shared builder for the stream-stream join family: purchases joined
-    to same-user clicks in the 5-minute window before the purchase, over
-    the bounded first-week feed (the week filter sits after the watermark
-    node so late-January events still advance the watermark past every
-    bounded purchase — see ``stream_stream_left_join``)."""
+    """Replay harness around ``_build_pair_join``: two independent
+    watermarked file streams over the same events table."""
     import os
 
     from ..streaming import replay_events_pair
 
-    def build(s1: DataFrame, s2: DataFrame) -> DataFrame:
-        p = (
-            s1.filter(F.col("ts") < "2024-01-08")
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("p_event_id"),
-                "user_id",
-                F.col("ts").alias("p_ts"),
-            )
-        )
-        c = (
-            s2.filter(F.col("ts") < "2024-01-08")
-            .filter(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("c_event_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-        )
-        cond = (
-            (F.col("user_id") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
-            & (F.col("c_ts") < F.col("p_ts"))
-        )
-        return p.join(c, cond, how).select(*select_cols)
-
     return replay_events_pair(
         spark,
         os.path.join(sf_dir, "events.parquet"),
-        build,
+        lambda s1, s2: _build_pair_join(s1, s2, how, select_cols),
         query_name=f"stream_{how}_join_mem",
         output_mode="append",
     )
@@ -5016,29 +5012,32 @@ def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay_events
 
-    def build(s: DataFrame) -> DataFrame:
-        dedup = (
-            s.filter(F.col("ts") < "2024-01-29")
-            .select(F.window("ts", "1 hour").alias("win"), "user_id")
-            .dropDuplicates(["win", "user_id"])
-        )
-        return (
-            dedup.groupBy("win")
-            .agg(F.count("*").alias("n_users"))
-            .select(
-                F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                    "window_start"
-                ),
-                "n_users",
-            )
-        )
-
     return replay_events(
         spark,
         os.path.join(sf_dir, "events.parquet"),
-        build,
+        _build_hourly_users,
         query_name="stream_hourly_users_mem",
         output_mode="append",
+    )
+
+
+def _build_hourly_users(s: DataFrame) -> DataFrame:
+    """stream_hourly_users' transformation (hoisted for the batch-twin plan
+    probe): window-keyed dedup chained into a windowed count."""
+    dedup = (
+        s.filter(F.col("ts") < "2024-01-29")
+        .select(F.window("ts", "1 hour").alias("win"), "user_id")
+        .dropDuplicates(["win", "user_id"])
+    )
+    return (
+        dedup.groupBy("win")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+        )
     )
 
 
@@ -10210,6 +10209,71 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch twins (VERDICT_r05 "Next round" #5)
+# ---------------------------------------------------------------------------
+
+# Streaming queries whose plan the registry invariant CANNOT probe in batch:
+# each one's transformation is inseparable from a streaming-only API or from
+# replay mechanics, with the reason recorded. Everything else must appear in
+# stream_batch_twins(); tests/unit/test_plans.py asserts the partition is
+# exhaustive, so a NEW stream query must land in one of the two or fail.
+STREAM_REPLAY_ONLY: dict[str, str] = {
+    "stream_dedup_watermarked": "dropDuplicatesWithinWatermark is rejected on batch DataFrames",
+    "stream_cdc_last_state": "applyInPandasWithState is streaming-only",
+    "stream_exactly_once_totals": "foreachBatch exactly-once sink protocol",
+    "stream_python_source_totals": "custom Python streaming DataSource",
+    "stream_rest_ingest_audit": "custom REST streaming source",
+    "stream_late_data_accounting": "watermark drop/evict semantics ARE the query",
+}
+
+
+def stream_batch_twins() -> dict[str, QueryFn]:
+    """Batch-plan twins for the streaming queries: the SAME hoisted build
+    functions the stream queries execute, applied to the batch events table
+    (``withWatermark`` is a no-op in batch), so the registry-wide plan
+    invariant probes streaming transformation plans without starting a
+    streaming query. Single-sourced — each twin calls the ``_build_*``
+    function the replay harness calls, so the probed plan cannot drift from
+    the shipped one."""
+    from ..streaming import tumbling_agg
+    from ..streaming.windows import _as_event_time
+
+    def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _as_event_time(_t(spark, sf_dir, "events"), "ts").withWatermark(
+            "ts", "1 hour"
+        )
+
+    def _cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+
+    return {
+        "stream_hourly": lambda s, d: tumbling_agg(
+            _ev(s, d), "ts", "1 hour", ("event_type",), "value"
+        ),
+        "stream_sliding": lambda s, d: _build_stream_sliding(_ev(s, d)),
+        "stream_dedup_counts": lambda s, d: _build_stream_dedup(_ev(s, d), _ev(s, d)),
+        "stream_stream_join": lambda s, d: _build_pair_join(
+            _ev(s, d), _ev(s, d), "inner", ("p_event_id", "c_event_id")
+        ),
+        "stream_stream_left_join": lambda s, d: _build_pair_join(
+            _ev(s, d), _ev(s, d), "left_outer", ("p_event_id", "c_event_id")
+        ),
+        "stream_stream_full_join": lambda s, d: _build_pair_join(
+            _ev(s, d), _ev(s, d), "full_outer", ("p_event_id", "c_event_id")
+        ),
+        "stream_stream_semi_join": lambda s, d: _build_pair_join(
+            _ev(s, d), _ev(s, d), "left_semi", ("p_event_id",)
+        ),
+        "stream_static_enrich": lambda s, d: _build_static_enrich(
+            _ev(s, d), _cust(s, d)
+        ),
+        "stream_hourly_users": lambda s, d: _build_hourly_users(_ev(s, d)),
+    }
 
 
 # The driver's CORRECTNESS sweep checks a bounded prefix of ``queries()``
