@@ -87,3 +87,34 @@ def test_sample_frames_skips_non_video_and_null_duration(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     image_assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="image")
     assert multimodal.sample_frames(image_assets).count() == 0
+
+
+def test_sample_frames_mixed_null_durations_in_one_batch(spark):
+    """ADVICE r5: a nullable long duration_ms arrives in pandas as float64,
+    so a batch mixing null and non-null durations carries NaN — the skip
+    guard must be pd.isna, not `is None` (which raised ValueError at
+    int(NaN) instead of skipping the row)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "y" * 300)], "doc_id long, text string"
+    )
+    assets = multimodal.pack_binary(docs, "text", "doc_id", media_type="video")
+    # null out asset 2's duration while keeping it a video row, then force
+    # both rows into one partition so the pandas batch mixes null/non-null
+    assets = assets.withColumn(
+        "meta",
+        F.when(
+            F.col("asset_id") == 2,
+            F.struct(
+                F.col("meta.n_bytes").alias("n_bytes"),
+                F.col("meta.mime").alias("mime"),
+                F.col("meta.width").alias("width"),
+                F.col("meta.height").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        ).otherwise(F.col("meta")),
+    ).coalesce(1)
+    rows = multimodal.sample_frames(assets, every_ms=2000, max_frames=8).collect()
+    ids = {r.asset_id for r in rows}
+    assert 1 in ids and 2 not in ids  # null-duration row skipped, not raised

@@ -228,3 +228,17 @@ def test_waterfill_requires_exactly_one_budget(spark):
     per = spark.createDataFrame([("a", 1)], "src string, n long")
     with pytest.raises(ValueError, match="exactly one"):
         sampling.waterfill_allocations(per, "src", "n")
+
+
+def test_waterfill_zero_size_key_yields_null_epochs(spark):
+    """ADVICE r5: a key with size 0 (a source whose documents are all
+    empty) must produce an agreed NULL epochs, not a 0/0 engine
+    divergence; it gets allocation 0 and is never counted as capped."""
+    per = spark.createDataFrame(
+        [("a", 0), ("b", 100), ("c", 900)], ["src", "n"]
+    )
+    out = {r.src: r for r in sampling.waterfill_allocations(per, "src", "n", 500).collect()}
+    assert out["a"].allocated == 0.0
+    assert out["a"].epochs is None
+    assert out["a"].capped is False
+    assert out["b"].epochs is not None

@@ -201,13 +201,19 @@ def quantile_normalize(
     """
     from pyspark.sql import Window
 
+    # ranks carried as LONG end-to-end (ADVICE r5: an int cast capped the
+    # computed rank at ~2.1B rows). Note the remaining bound: row_number()
+    # itself returns IntegerType, so the single-window global ranking here
+    # is valid to 2^31−1 rows — beyond that, swap THIS stage for the
+    # two-pass range-partitioned ranking the docstring describes (per-range
+    # counts → offset + within-range row_number), which composes in long.
     g = df.select(
         F.col(value_col).alias("__gv"), F.col(order_col).alias("__go")
     ).withColumn(
         "__gi",
         F.row_number().over(
             Window.orderBy(F.col("__gv").asc(), F.col("__go").asc())
-        ),
+        ).cast("long"),
     ).select("__gv", "__gi")
     total = df.agg(F.count("*").cast("long").alias("__n"))
     wg = Window.partitionBy(group_col).orderBy(
@@ -219,8 +225,8 @@ def quantile_normalize(
         .withColumn("__ns", F.count("*").over(Window.partitionBy(group_col)))
     )
     # integer ceil-division: exact at any scale (double floor would lose
-    # exactness once i*N passes 2^53)
-    s = s.withColumn("__gi", F.expr("(__i * __n + __ns - 1) DIV __ns").cast("int"))
+    # exactness once i*N passes 2^53); DIV yields long — keep it long
+    s = s.withColumn("__gi", F.expr("(__i * __n + __ns - 1) DIV __ns").cast("long"))
     s = s.drop("__n")
     return (
         s.join(g, "__gi")

@@ -183,7 +183,11 @@ def sample_frames(
             for aid, payload, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                if payload is None or dur is None:
+                # pd.isna, not `is None`: a nullable long duration_ms column
+                # arrives in pandas as float64, so a null is NaN (ADVICE r5 —
+                # `is None` never fired and int(NaN) raised instead of
+                # honoring the documented skip contract)
+                if payload is None or pd.isna(dur):
                     continue
                 n_last = min(int(dur) // every_ms, max_frames - 1)
                 for i in range(n_last + 1):

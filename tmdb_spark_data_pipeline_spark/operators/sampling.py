@@ -296,7 +296,15 @@ def waterfill_allocations(
                 F.round(F.least(F.col("__size").cast("double"), F.col("cap")), 2)
             ),
         )
-        .withColumn("epochs", F.round(F.col("allocated") / F.col("__size"), 6))
+        # size-0 guard (ADVICE r5): epochs is undefined for an empty key —
+        # emit an explicit NULL so engine and oracle can't diverge on the
+        # 0/0 failure mode
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("__size") > 0, F.round(F.col("allocated") / F.col("__size"), 6)
+            ),
+        )
         .withColumn(
             "capped",
             F.when(F.col("cap").isNull(), F.lit(False)).otherwise(

@@ -881,10 +881,15 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # FRACTIONAL-second gap (ADVICE r5): events.ts carries fractional
+    # seconds, and the oracle's epoch() is fractional — unix_timestamp
+    # truncates to whole seconds, so a gap within ~1s of the threshold
+    # could sessionize differently in the two engines
+    sec = F.col("ts").cast("timestamp").cast("double")
+    prev_sec = F.lag("ts").over(w).cast("timestamp").cast("double")
     flagged = ev.withColumn(
         "new_session",
-        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(F.lag("ts").over(w).isNull() | (sec - prev_sec > 1800), 1).otherwise(0),
     )
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
@@ -4810,7 +4815,11 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional-second gap, matching the oracle's epoch() (ADVICE r5 —
+    # see sessionization)
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag("ts").over(w).cast(
+        "timestamp"
+    ).cast("double")
     flagged = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
@@ -7407,11 +7416,18 @@ REGISTRY["classifier_agreement_kappa"].oracle = (
                    coalesce(max(CASE WHEN feasible THEN cum END), 0) AS cumstar,
                    max(budget) AS budget, max(k) AS k
             FROM f),
-    cap AS (SELECT round((budget - cumstar) * 1.0 / (k - istar), 6) AS cap FROM sel)
+    cap AS (SELECT CASE WHEN istar < k THEN
+                     round((budget - cumstar) * 1.0 / (k - istar), 6)
+                   END AS cap FROM sel)
+    -- degenerate-input guards mirror the operator (ADVICE r5): NULL cap =
+    -- budget covers everything (least() ignores the NULL, capped false);
+    -- a zero-token source has undefined epochs -> agreed NULL
     SELECT f.source, f.n_tokens, cap.cap,
            round(least(f.n_tokens * 1.0, cap.cap), 2) AS allocated,
-           round(round(least(f.n_tokens * 1.0, cap.cap), 2) / f.n_tokens, 6) AS epochs,
-           f.n_tokens * 1.0 > cap.cap AS capped
+           CASE WHEN f.n_tokens > 0 THEN
+             round(round(least(f.n_tokens * 1.0, cap.cap), 2) / f.n_tokens, 6)
+           END AS epochs,
+           coalesce(f.n_tokens * 1.0 > cap.cap, false) AS capped
     FROM f CROSS JOIN cap
     """,
 )
@@ -9088,10 +9104,12 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                THEN 1 ELSE 0 END) AS BIGINT) AS disc
            FROM common a JOIN common b ON a.doc_id < b.doc_id)
     SELECT CAST(sp.m AS BIGINT) AS n_common,
-           round(1.0 - 6.0 * sp.sd2 / (sp.m * (sp.m * sp.m - 1.0)), 6)
-             AS spearman_rho,
-           round((kd.conc - kd.disc) * 2.0 / (sp.m * (sp.m - 1.0)), 6)
-             AS kendall_tau
+           CASE WHEN sp.m >= 2 THEN
+             round(1.0 - 6.0 * sp.sd2 / (sp.m * (sp.m * sp.m - 1.0)), 6)
+           END AS spearman_rho,
+           CASE WHEN sp.m >= 2 THEN
+             round((kd.conc - kd.disc) * 2.0 / (sp.m * (sp.m - 1.0)), 6)
+           END AS kendall_tau
     FROM sp CROSS JOIN kd
     """,
 )
@@ -9174,16 +9192,26 @@ def truncation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(prod < 0, 1).otherwise(0)).alias("disc"),
         )
     )
+    # m >= 2 guard (ADVICE r5): with fewer than 2 common docs both
+    # denominators are 0 and the two engines disagree on the failure mode —
+    # emit an agreed NULL instead (mirrored as CASE WHEN in the oracle)
     return sp.crossJoin(F.broadcast(kd)).select(
         F.col("m").cast("long").alias("n_common"),
-        F.round(
-            1.0 - 6.0 * F.col("sd2") / (F.col("m") * (F.col("m") * F.col("m") - 1.0)),
-            6,
+        F.when(
+            F.col("m") >= 2,
+            F.round(
+                1.0
+                - 6.0 * F.col("sd2") / (F.col("m") * (F.col("m") * F.col("m") - 1.0)),
+                6,
+            ),
         ).alias("spearman_rho"),
-        F.round(
-            (F.col("conc") - F.col("disc")) * 2.0
-            / (F.col("m") * (F.col("m") - 1.0)),
-            6,
+        F.when(
+            F.col("m") >= 2,
+            F.round(
+                (F.col("conc") - F.col("disc")) * 2.0
+                / (F.col("m") * (F.col("m") - 1.0)),
+                6,
+            ),
         ).alias("kendall_tau"),
     )
 
@@ -9840,9 +9868,11 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
-        F.lag("ts").over(w).cast("timestamp")
-    )
+    # fractional-second gap, matching the oracle's epoch() (ADVICE r5 —
+    # see sessionization)
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag("ts").over(w).cast(
+        "timestamp"
+    ).cast("double")
     flagged = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
