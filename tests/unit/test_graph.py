@@ -92,3 +92,39 @@ def test_geo_within_distance_pairs_boundary_and_recall(spark):
     assert set(out) == {(1, 2), (1, 4), (2, 4)}
     assert out[(1, 4)] == 0.0
     assert abs(out[(1, 2)] - 1500.0) < 0.01
+
+
+def test_kcore_triangle_with_tail_cascades(spark):
+    # triangle {1,2,3} + tail 3-4-5: peeling 5 (deg 1) drops 4 to deg 1 —
+    # the cascade must continue until only the triangle remains
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    out = {r.node: r.core_deg for r in graph.kcore(edges, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_no_core_exists(spark):
+    # path graph: no 2-core at all (every peel round empties further)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert graph.kcore(edges, 2).count() == 0
+
+
+def test_kcore_k4_is_its_own_3core(spark):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = {r.node: r.core_deg for r in graph.kcore(spark.createDataFrame(k4, ["u", "v"]), 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_fixed_integer_exact_values(spark):
+    # triangle {1,2,3} + pendant 3-4: hub 3 ranks highest, symmetric 1/2
+    # tie exactly; values pinned against the DuckDB recursive-CTE replay of
+    # the same integer formula (micro-units of 1e12, 5 rounds, d=0.85)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], ["u", "v"])
+    out = {r.node: r.rank_micro for r in graph.pagerank_fixed(edges, iters=5).collect()}
+    assert out == {
+        1: 242317606967,
+        2: 242317606967,
+        3: 380015367293,
+        4: 135349418763,
+    }

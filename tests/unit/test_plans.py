@@ -534,6 +534,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "theta_segment_algebra",        # 1-row sketch/scalar broadcasts
         "daily_revenue_changepoint",    # scalar mean/sums + 1-row argmax pick
         "time_to_purchase_km",          # scalar subject-count broadcast
+        "copurchase_pagerank",          # 1-row node-count broadcast per round
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {
@@ -551,6 +552,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "truncation_rank_stability",  # broadcast probe + <=20-row pair join
         "truncation_rank_rbo",      # broadcast probe + <=20-row tables
         "neardup_method_agreement",  # contains the cosine all-pairs baseline leg (cached)
+        "embedding_knn_label_spread",  # all-pairs kNN build on the bounded subset
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

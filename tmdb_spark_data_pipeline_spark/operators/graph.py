@@ -72,6 +72,106 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-CORE of an undirected simple graph (id-canonical edges, the
+    ``triangle_stats`` contract): iteratively peel every node of degree
+    < k until none remains — the standard community-density filter (a
+    node survives iff it has ≥ k surviving neighbors; the 3-core of a
+    co-purchase graph is its "always bought together" backbone).
+
+    Returns ``(node, core_deg)`` — surviving nodes with their degree
+    INSIDE the core. Peeling is the Pregel discipline of
+    ``dedup.connected_components``: each round is one symmetric-degree
+    aggregate + two anti-joins carrying (src, dst) longs only,
+    ``localCheckpoint`` truncates the iterative lineage, and the
+    per-round convergence ``count()`` is the documented one-scalar
+    exception to the no-driver-collect rule. Rounds are bounded by the
+    peel DEPTH (≤ degeneracy ≪ n); each removes every currently-light
+    node at once, so cascades collapse into few rounds."""
+    sym = (
+        edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+        .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count("*").alias("__d"))
+        dead = deg.filter(F.col("__d") < k).select("src")
+        if dead.isEmpty():
+            break
+        sym = (
+            sym.join(dead, "src", "left_anti")
+            .join(dead.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    u_col: str = "u",
+    v_col: str = "v",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the SYMMETRIZED graph, in ALL-INTEGER
+    arithmetic so an external engine replays it bit-for-bit: ranks live in
+    micro-units of ``scale`` total mass, every division is integer DIV
+    (floor), and each of the ``iters`` synchronous rounds computes
+    ``rank' = (15·(scale DIV n)) DIV 100 + (85·Σ (rank DIV outdeg)) DIV
+    100`` — damping 0.85 as an exact integer formula. Float PageRank is
+    NOT cross-engine checkable (neighbor-sum order changes the last ulp);
+    the integer form loses a bounded floor remainder per round and gains
+    determinism, which is the right trade for an oracle-gated pipeline.
+    Symmetric graphs have no dangling nodes (every node has out-edges and
+    in-edges), so no dangling-mass term is needed.
+
+    Iteration shape: per round one key-partitioned join of (node, rank)
+    against the out-edge list and one grouped sum — shuffles carry (long,
+    long) pairs, never payloads; ``localCheckpoint`` truncates the
+    iterative lineage. Output: (node, rank_micro)."""
+    sym = (
+        edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+        .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("__nn"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({scale} DIV __nn AS BIGINT)").alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
+            .join(sym.select(F.col("src").alias("node"), "dst"), "node")
+            .select("dst", F.expr("rank DIV outdeg").alias("__c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST((15 * ({scale} DIV __nn)) DIV 100"
+                    " + (85 * __s) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
 def propagate_labels(
     edges: DataFrame,
     seeds: DataFrame,

@@ -8280,6 +8280,323 @@ def brand_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_knn_label_spread",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+    nrm AS (SELECT vec_id, embedding, label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    cos AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (a.nf * b.nf) AS c
+            FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    knn AS (SELECT qa, qb FROM (
+              SELECT qa, qb,
+                     row_number() OVER (PARTITION BY qa
+                                        ORDER BY c DESC, qb ASC) AS rn
+              FROM cos) WHERE rn <= 5),
+    edges AS (SELECT DISTINCT least(qa, qb) AS u, greatest(qa, qb) AS v FROM knn),
+    sym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    seeds AS (SELECT vec_id AS id, label FROM sub WHERE vec_id % 4 = 0),
+    v1 AS (SELECT s.src, l.label, count(*) AS n
+           FROM sym s JOIN seeds l ON l.id = s.dst
+           WHERE s.src NOT IN (SELECT id FROM seeds)
+           GROUP BY 1, 2),
+    p1 AS (SELECT src AS id, label FROM (
+             SELECT src, label,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY n DESC, label ASC) AS rn
+             FROM v1) WHERE rn = 1),
+    l1 AS (SELECT id, label FROM seeds UNION ALL SELECT id, label FROM p1),
+    v2 AS (SELECT s.src, l.label, count(*) AS n
+           FROM sym s JOIN l1 l ON l.id = s.dst
+           WHERE s.src NOT IN (SELECT id FROM l1)
+           GROUP BY 1, 2),
+    p2 AS (SELECT src AS id, label FROM (
+             SELECT src, label,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY n DESC, label ASC) AS rn
+             FROM v2) WHERE rn = 1)
+    SELECT id AS vec_id, label, 1 AS round FROM p1
+    UNION ALL
+    SELECT id, label, 2 FROM p2
+    """,
+)
+def embedding_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over the embeddings kNN GRAPH (the PLAN_r06 item:
+    ``brand_label_propagation``'s machinery, driven by geometry instead of
+    co-purchase): the 5-NN cosine graph over a bounded probe subset is
+    symmetrized into undirected edges, a quarter of the vectors keep their
+    cluster label as clamped seeds, and the rest inherit the majority
+    neighbor label over two synchronous rounds (``graph.propagate_labels``
+    — lexicographic tie-break, execution-order independent). This is
+    semi-supervised label densification for a partially-labeled embedding
+    corpus. The all-pairs kNN build on the ≤200-vector subset is the
+    declared exactness baseline (same contract as
+    ``knn_label_disagreement``); at 100 TB the graph comes from the
+    LSH/IVF candidate paths and the propagation rounds — key-partitioned
+    join + vote + windowed argmax — are unchanged."""
+    from ..operators import graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 200)
+    nn = similarity.cosine_topk_bruteforce(
+        sub.select("vec_id", "embedding"), sub.select("vec_id", "embedding"), k=5
+    )
+    edges = nn.select(
+        F.least("query_id", "neighbor_id").alias("u"),
+        F.greatest("query_id", "neighbor_id").alias("v"),
+    ).distinct()
+    seeds = sub.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    out = graph.propagate_labels(edges, seeds, rounds=2)
+    return out.filter(F.col("round") > 0).select(
+        F.col("id").alias("vec_id"), "label", F.col("round").cast("int").alias("round")
+    )
+
+
+@query(
+    "copurchase_kcore",
+    oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
+    -- iterative peel: each round keeps edges whose BOTH endpoints have
+    -- symmetric degree >= 3, and recurses only while something was removed
+    -- (n_surv < total). At termination the last iteration is either fully
+    -- in-core or the core is empty — the final all-survive check below
+    -- disambiguates (a round that removes the last edges emits nothing, so
+    -- "last emitted" alone would over-report).
+    peel AS (
+      SELECT src, dst, 0 AS it FROM sym
+      UNION ALL
+      SELECT src, dst, it + 1 FROM (
+          SELECT src, dst, it, total,
+                 sum(CASE WHEN ds >= 3 AND dd >= 3 THEN 1 ELSE 0 END)
+                   OVER () AS n_surv,
+                 ds, dd
+          FROM (
+            SELECT src, dst, it,
+                   count(*) OVER (PARTITION BY src) AS ds,
+                   count(*) OVER (PARTITION BY dst) AS dd,
+                   count(*) OVER () AS total
+            FROM peel))
+      WHERE ds >= 3 AND dd >= 3 AND n_surv < total
+    ),
+    last AS (SELECT src, dst FROM peel WHERE it = (SELECT max(it) FROM peel)),
+    chk AS (SELECT src, dst,
+                   count(*) OVER (PARTITION BY src) AS ds,
+                   count(*) OVER (PARTITION BY dst) AS dd
+            FROM last)
+    SELECT src AS node, count(*) AS core_deg FROM chk
+    WHERE (SELECT min(CASE WHEN ds >= 3 AND dd >= 3 THEN 1 ELSE 0 END)
+           FROM chk) = 1
+    GROUP BY 1
+    """,
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-CORE of the co-purchase graph (``graph.kcore``): iteratively
+    peel parts with fewer than 3 surviving co-purchase partners — what
+    remains is the dense "always bought together" backbone that survives
+    arbitrary removal of weakly-attached parts (every member keeps ≥3
+    in-core neighbors by construction). The density filter that runs
+    before community detection on any large graph. Spark side is the
+    Pregel peel loop (degree agg + two anti-joins on (src, dst) longs,
+    localCheckpoint lineage truncation, one convergence scalar per round
+    — peel-depth rounds total); the oracle replays the identical peel as
+    a recursive CTE whose termination/empty-core subtlety is documented
+    inline. Output: (node, core_deg) for the surviving parts."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return graph.kcore(edges, 3)
+
+
+@query(
+    "copurchase_pagerank",
+    oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM deg),
+    pr AS (
+      SELECT node, CAST(1000000000000 // nn AS BIGINT) AS rank, 0 AS it
+      FROM deg CROSS JOIN n
+      UNION ALL
+      SELECT s.dst AS node,
+             CAST((15 * (1000000000000 // n.nn)) // 100
+                  + (85 * sum(p.rank // d.outdeg)) // 100 AS BIGINT) AS rank,
+             p.it + 1 AS it
+      FROM pr p
+      JOIN deg d ON d.node = p.node
+      JOIN sym s ON s.src = p.node
+      CROSS JOIN n
+      WHERE p.it < 5
+      GROUP BY s.dst, p.it, n.nn
+    )
+    SELECT node, rank AS rank_micro FROM pr WHERE it = 5
+    """,
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the co-purchase graph (``graph.pagerank_fixed``): 5
+    synchronous power-iteration rounds, damping 0.85, in ALL-INTEGER
+    micro-unit arithmetic (total mass 10^12) so the oracle's recursive CTE
+    replays every floor division exactly — float PageRank cannot be
+    hash-gated because neighbor-sum order perturbs the last ulp. The
+    centrality ranking a merchandiser reads as "which parts anchor the
+    catalog". Per round: one (node, rank) join against the out-edge list +
+    one grouped sum — (long, long) shuffles only, localCheckpoint lineage
+    truncation; the 1-row node-count broadcast is the verified scalar
+    nested-loop class."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return graph.pagerank_fixed(edges, iters=5)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             -- band on DOUBLE in both engines: decimal-division scale rules
+             -- differ across engines; double is exact at the only floor
+             -- boundaries that exist (whole multiples of 1000.00)
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT count(*) AS n_classes,
+           CAST(min(n) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+             AS risky_row_share
+    FROM cls
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    1000-unit balance band): an equivalence class smaller than k=5 means
+    those customers are re-identifiable by joining public attributes — the
+    release-gate check a privacy review runs before training data or
+    analytics extracts leave the building (companion to ``pii_redaction``,
+    which handles direct identifiers; this handles indirect ones). One
+    grouped count plus a one-row summary — min class size, risky-class and
+    risky-row counts, and the share of rows needing generalization or
+    suppression. All-integer until the final share division."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("n"))
+    risky_rows = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).alias("n_risky_classes"),
+        risky_rows.alias("n_risky_rows"),
+        F.round(risky_rows * 1.0 / F.sum("n"), 6).alias("risky_row_share"),
+    )
+
+
+@query(
+    "token_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\s+')
+                     IF x <> '']) AS token
+      FROM documents),
+    cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    top AS (SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token ASC) AS r
+            FROM cnt QUALIFY r <= 1000),
+    t AS (SELECT CAST(round(ln(r), 12) AS DECIMAL(30,12)) AS x,
+                 CAST(round(ln(n), 12) AS DECIMAL(30,12)) AS y
+          FROM top),
+    s AS (SELECT count(*) AS m,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y * y AS DECIMAL(38,20))) AS DOUBLE) AS syy
+          FROM t)
+    SELECT CAST(m AS BIGINT) AS n_tokens_fit,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS zipf_r2
+    FROM s
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log(frequency) on
+    log(rank) for the top-1000 tokens — slope ≈ −1 is the natural-language
+    signature, and a corpus whose slope drifts far from it is
+    boilerplate-heavy or template-generated (a cheap corpus-level quality
+    gate next to the per-document scores). Determinism follows the
+    decimal-power-sum discipline (``order_price_moments``): each log term
+    is rounded at 12 then summed as DECIMAL — exact, order-independent —
+    and only the final scalar slope/r² combination runs in double. One
+    token-count aggregate over the corpus; the fit runs on 1000 rows."""
+    from ..operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_ops.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    top = (
+        cnt.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc())),
+        )
+        .filter(F.col("r") <= 1000)
+    )
+    dec = "decimal(30,12)"
+    t = top.select(
+        F.round(F.log(F.col("r")), 12).cast(dec).alias("x"),
+        F.round(F.log(F.col("n")), 12).cast(dec).alias("y"),
+    )
+    s = t.agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,20)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,20)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,20)")).cast("double").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("m").cast("long").alias("n_tokens_fit"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(num * num / (den * deny), 6).alias("zipf_r2"),
+    )
+
+
+@query(
     "corpus_curation_e2e",
     oracle=r"""
     WITH RECURSIVE q AS (
@@ -10322,6 +10639,12 @@ _SWEEP_FRONT = (
     # prefix (4 never + 37 r1-tier + head of r2-tier) is what gets
     # re-checked in round 6. New round-6 queries are inserted at the very
     # top as they land.
+    # --- new in round 6 (no driver row yet) ---
+    "embedding_knn_label_spread",
+    "copurchase_kcore",
+    "copurchase_pagerank",
+    "k_anonymity_audit",
+    "token_zipf_fit",
     # --- never driver-checked ---
     "event_value_anomalies",
     "key_skew_profile",
