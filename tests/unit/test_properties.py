@@ -412,3 +412,36 @@ def test_winnowing_guarantee_on_random_docs(spark, left, right, run):
     for r in fp.collect():
         sets[r.doc_id].add(r.fingerprint)
     assert sets[1] & sets[2], (doc1, doc2)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_matches_python_peel_model(spark, edges, k):
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not canon:
+        return
+    # python model: iterate removal of degree<k nodes until fixpoint
+    es = set(canon)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        dead = {n for n, d in deg.items() if d < k}
+        if not dead:
+            break
+        es = {(u, v) for u, v in es if u not in dead and v not in dead}
+    expect = {}
+    for u, v in es:
+        expect[u] = expect.get(u, 0) + 1
+        expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(canon, "u int, v int")
+    got = {r.node: r.core_deg for r in graph.kcore(df, k).collect()}
+    assert got == expect
