@@ -128,3 +128,20 @@ def test_pagerank_fixed_integer_exact_values(spark):
         3: 380015367293,
         4: 135349418763,
     }
+
+
+def test_personalized_pagerank_pinned_values(spark):
+    # triangle {1,2,3} + pendant 3-4, seeds {1, 9} (9 not in the graph →
+    # ignored); values pinned against the DuckDB recursive-CTE replay
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], ["u", "v"])
+    seeds = spark.createDataFrame([(1,), (9,)], ["id"])
+    out = {
+        r.node: r.rank_micro
+        for r in graph.personalized_pagerank_fixed(edges, seeds, iters=5).collect()
+    }
+    assert out == {
+        1: 332492085502,
+        2: 239635161674,
+        3: 343951743704,
+        4: 83921009114,
+    }

@@ -535,6 +535,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "daily_revenue_changepoint",    # scalar mean/sums + 1-row argmax pick
         "time_to_purchase_km",          # scalar subject-count broadcast
         "copurchase_pagerank",          # 1-row node-count broadcast per round
+        "brand_parts_ppr",              # 1-row seed-count broadcast per round
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {

@@ -445,3 +445,34 @@ def test_kcore_matches_python_peel_model(spark, edges, k):
     df = spark.createDataFrame(canon, "u int, v int")
     got = {r.node: r.core_deg for r in graph.kcore(df, k).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=16
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_fixed_matches_python_integer_model(spark, edges, iters):
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not canon:
+        return
+    scale = 10**12
+    sym: list[tuple[int, int]] = []
+    for u, v in canon:
+        sym += [(u, v), (v, u)]
+    nodes = sorted({n for e in sym for n in e})
+    outdeg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+    nn = len(nodes)
+    rank = {n: scale // nn for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d in sym:
+            acc[d] += rank[s] // outdeg[s]
+        rank = {n: (15 * (scale // nn)) // 100 + (85 * acc[n]) // 100 for n in nodes}
+    df = spark.createDataFrame(canon, "u int, v int")
+    got = {r.node: r.rank_micro for r in graph.pagerank_fixed(df, iters=iters).collect()}
+    assert got == rank

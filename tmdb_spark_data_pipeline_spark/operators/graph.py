@@ -172,6 +172,76 @@ def pagerank_fixed(
     return ranks.select("node", F.col("rank").alias("rank_micro"))
 
 
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 5,
+    u_col: str = "u",
+    v_col: str = "v",
+    seed_col: str = "id",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank (restart to a SEED SET) in the same
+    all-integer discipline as ``pagerank_fixed``: the teleport mass
+    ``(15·(scale DIV n_seeds)) DIV 100`` returns to seed nodes only, so
+    the stationary mass concentrates in the seeds' graph neighborhood —
+    "parts similar to THIS brand's parts", the recommendation-seed query
+    global PageRank can't answer. Seeds outside the graph are ignored
+    (they can neither receive nor forward mass); non-seed nodes start at
+    0 and fill in as mass diffuses. Same per-round shape as the global
+    variant: one (node, rank) join against out-edges + one grouped sum,
+    (long, long) shuffles, localCheckpoint truncation."""
+    sym = (
+        edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+        .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed_nodes = (
+        deg.select("src")
+        .join(seeds.select(F.col(seed_col).alias("src")).distinct(), "src", "left_semi")
+        .select(F.col("src").alias("node"))
+    )
+    ns = seed_nodes.agg(F.count("*").alias("__ns"))
+    base = seed_nodes.crossJoin(F.broadcast(ns)).select(
+        "node", F.expr(f"CAST((15 * ({scale} DIV __ns)) DIV 100 AS BIGINT)").alias("__base")
+    )
+    # initial distribution: all mass on the seeds
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .join(
+            seed_nodes.crossJoin(F.broadcast(ns)).select(
+                "node", F.expr(f"CAST({scale} DIV __ns AS BIGINT)").alias("rank")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("rank", F.lit(0).cast("bigint")).alias("rank"))
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
+            .join(sym.select(F.col("src").alias("node"), "dst"), "node")
+            .select("dst", F.expr("rank DIV outdeg").alias("__c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(summed.select(F.col("dst").alias("node"), "__s"), "node", "left")
+            .join(base, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("__base", F.lit(0).cast("bigint"))
+                    + F.expr("CAST((85 * coalesce(__s, 0)) DIV 100 AS BIGINT)")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
 def propagate_labels(
     edges: DataFrame,
     seeds: DataFrame,

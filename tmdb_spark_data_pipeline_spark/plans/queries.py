@@ -8521,6 +8521,118 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_parts_ppr",
+    oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1),
+    sd AS (SELECT DISTINCT d.node FROM deg d
+           JOIN part p ON p.p_partkey = d.node WHERE p.p_brand = 'Brand#13'),
+    ns AS (SELECT count(*) AS n FROM sd),
+    pr AS (
+      SELECT d.node,
+             CAST(CASE WHEN s.node IS NOT NULL
+                       THEN 1000000000000 // ns.n ELSE 0 END AS BIGINT) AS rank,
+             0 AS it
+      FROM deg d LEFT JOIN sd s ON s.node = d.node CROSS JOIN ns
+      UNION ALL
+      SELECT d.node,
+             CAST(CASE WHEN s.node IS NOT NULL
+                       THEN (15 * (1000000000000 // ns.n)) // 100 ELSE 0 END
+                  + (85 * coalesce(c.sm, 0)) // 100 AS BIGINT) AS rank,
+             (SELECT max(it) FROM pr) + 1 AS it
+      FROM deg d
+      LEFT JOIN (SELECT s2.dst AS node, sum(p.rank // dd.outdeg) AS sm
+                 FROM pr p
+                 JOIN deg dd ON dd.node = p.node
+                 JOIN sym s2 ON s2.src = p.node
+                 GROUP BY s2.dst) c ON c.node = d.node
+      LEFT JOIN sd s ON s.node = d.node
+      CROSS JOIN ns
+      WHERE (SELECT max(it) FROM pr) < 5
+    )
+    SELECT node, rank AS rank_micro FROM pr WHERE it = 5
+    """,
+)
+def brand_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (``graph.personalized_pagerank_fixed``):
+    teleport mass restarts at one brand's parts instead of uniformly, so
+    the stationary distribution ranks the whole catalog by co-purchase
+    proximity TO THAT BRAND — the "customers who buy this brand also
+    anchor on…" recommendation seed that global ``copurchase_pagerank``
+    cannot express. Same all-integer micro-unit discipline (the oracle's
+    recursive CTE replays every floor division; out-of-graph seed parts
+    are ignored on both sides), same per-round join+sum shape; the only
+    additions are a broadcast seed semi-join and a LEFT join so
+    zero-mass nodes stay present every round."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    seeds = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        F.col("p_partkey").alias("id")
+    )
+    return graph.personalized_pagerank_fixed(edges, seeds, iters=5)
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT) AS bal_band,
+             count(*) AS n,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_classes,
+           CAST(sum(CASE WHEN l = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           round(sum(CASE WHEN l < 3 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+             AS below_3_diverse_row_share
+    FROM cls
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — ``k_anonymity_audit``'s companion: k-anonymity
+    alone fails to the HOMOGENEITY attack (a class of 50 people all
+    sharing the sensitive value discloses it for every member even though
+    k=50), so each quasi-identifier class (nation, 2000-unit balance
+    band) is additionally profiled by how many DISTINCT sensitive values
+    (market segment) it contains. Output: class count, worst-case l,
+    fully-homogeneous classes and their exposed rows, and the row share
+    below l=3. One grouped count-distinct — partial-aggregated like any
+    distinct — plus a one-row summary."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias("n_homogeneous_classes"),
+        F.sum(F.when(F.col("l") == 1, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
+        F.round(
+            F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0)) * 1.0 / F.sum("n"),
+            6,
+        ).alias("below_3_diverse_row_share"),
+    )
+
+
+@query(
     "token_zipf_fit",
     oracle=r"""
     WITH toks AS (
@@ -10644,6 +10756,8 @@ _SWEEP_FRONT = (
     "copurchase_kcore",
     "copurchase_pagerank",
     "k_anonymity_audit",
+    "l_diversity_audit",
+    "brand_parts_ppr",
     "token_zipf_fit",
     # --- never driver-checked ---
     "event_value_anomalies",
