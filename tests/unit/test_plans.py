@@ -554,6 +554,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "truncation_rank_rbo",      # broadcast probe + <=20-row tables
         "neardup_method_agreement",  # contains the cosine all-pairs baseline leg (cached)
         "embedding_knn_label_spread",  # all-pairs kNN build on the bounded subset
+        "embedding_dbscan_clusters",   # all-pairs eps-graph on the bounded subset
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

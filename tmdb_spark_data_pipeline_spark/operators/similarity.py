@@ -702,3 +702,91 @@ def project_planes(vec: ColumnOrName, planes: list[list[float]]) -> Column:
     return F.array(
         *[dot(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
     )
+
+
+def dbscan_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    eps: float = 0.3,
+    min_pts: int = 4,
+) -> DataFrame:
+    """Deterministic DBSCAN over cosine distance (1 − cos): core points
+    have ≥ ``min_pts`` neighbors within ``eps`` (SELF INCLUDED, the
+    textbook convention); clusters are connected components of the
+    core–core eps-graph labeled by their minimum id; border points
+    (non-core within eps of ≥1 core) attach to the SMALLEST adjacent
+    cluster id — classic DBSCAN leaves shared-border assignment
+    scan-order-dependent, and the min rule makes it a pure function of
+    the input, which is what lets an external engine replay it. Noise
+    gets cluster −1. Output: (id, cluster, role ∈ core|border|noise).
+
+    The all-pairs distance pass is the declared exactness baseline (run
+    on a bounded subset / sample, same contract as
+    ``cosine_topk_bruteforce``); at 100 TB the eps-neighbor pairs come
+    from the LSH/IVF candidate paths (``embedding_neardup_pairs``) and
+    everything downstream — degree count, component labels, border
+    attach — is key-partitioned joins over the near-pair list.
+    """
+    from . import dedup
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = base.select(
+        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    near = (
+        a.join(b, F.col("qa") != F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
+        )
+        .filter(F.col("__d") <= eps)
+        .select("qa", "qb")
+        # three consumers (degree count, core-core edges, border attach)
+        # would each re-run the all-pairs distance pass — materialize the
+        # small near-pair list once (localCheckpoint: ContextCleaner frees
+        # the blocks on GC, no CacheManager entry to leak)
+        .localCheckpoint()
+    )
+    deg = base.select(F.col("__id").alias("qa")).join(
+        near.groupBy("qa").agg(F.count("*").alias("__nb")), "qa", "left"
+    ).select("qa", F.coalesce("__nb", F.lit(0)).alias("__nb"))
+    core = (
+        deg.filter(F.col("__nb") + 1 >= min_pts)
+        .select(F.col("qa").alias("id"))
+        .localCheckpoint()
+    )
+    core_edges = (
+        near.join(core.select(F.col("id").alias("qa")), "qa", "left_semi")
+        .join(core.select(F.col("id").alias("qb")), "qb", "left_semi")
+        .filter(F.col("qa") < F.col("qb"))
+        .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"))
+        .distinct()
+    )
+    comp = dedup.connected_components(core_edges)
+    core_lab = core.join(comp, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("cluster"), F.lit("core").alias("role")
+    )
+    border = (
+        near.join(core.select(F.col("id").alias("qa")), "qa", "left_anti")
+        .join(core_lab.select(F.col("id").alias("qb"), "cluster"), "qb")
+        .groupBy(F.col("qa").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+        .select("id", "cluster", F.lit("border").alias("role"))
+    )
+    labeled = core_lab.unionByName(border)
+    noise = (
+        base.select(F.col("__id").alias("id"))
+        .join(labeled.select("id"), "id", "left_anti")
+        .select("id", F.lit(-1).cast("long").alias("cluster"), F.lit("noise").alias("role"))
+    )
+    return labeled.unionByName(noise)

@@ -8583,6 +8583,66 @@ def brand_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dbscan_clusters",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    nrm AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    near AS (SELECT a.vec_id AS qa, b.vec_id AS qb
+             FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+             WHERE 1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (a.nf * b.nf) <= 0.70),
+    deg AS (SELECT s.vec_id AS id, coalesce(n.nb, 0) AS nb
+            FROM sub s LEFT JOIN (SELECT qa, count(*) AS nb
+                                  FROM near GROUP BY 1) n ON n.qa = s.vec_id),
+    core AS (SELECT id FROM deg WHERE nb + 1 >= 4),
+    ce AS (SELECT n.qa AS s, n.qb AS d FROM near n
+           JOIN core a ON n.qa = a.id JOIN core b ON n.qb = b.id),
+    reach AS (SELECT s, d FROM ce
+              UNION SELECT r.s, e.d FROM reach r JOIN ce e ON r.d = e.s),
+    comp AS (SELECT c.id,
+                    CAST(coalesce(least(c.id, m.mn), c.id) AS BIGINT) AS cluster
+             FROM core c LEFT JOIN (SELECT s, min(d) AS mn
+                                    FROM reach GROUP BY s) m ON m.s = c.id),
+    border AS (SELECT n.qa AS id, min(comp.cluster) AS cluster
+               FROM near n JOIN comp ON comp.id = n.qb
+               WHERE n.qa NOT IN (SELECT id FROM core)
+               GROUP BY 1)
+    SELECT id, cluster, 'core' AS role FROM comp
+    UNION ALL
+    SELECT id, cluster, 'border' FROM border
+    UNION ALL
+    SELECT s.vec_id AS id, CAST(-1 AS BIGINT) AS cluster, 'noise'
+    FROM sub s
+    WHERE s.vec_id NOT IN (SELECT id FROM comp)
+      AND s.vec_id NOT IN (SELECT id FROM border)
+    """,
+)
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over embeddings
+    (``similarity.dbscan_cosine``, eps = 0.70 cosine distance,
+    minPts = 4) — the clustering family member k-means can't replace:
+    no preset k, arbitrary-shape clusters, and an explicit NOISE class
+    (the outlier embeddings a curation pass quarantines rather than
+    force-assigns). Deterministic variant: shared border points attach
+    to the SMALLEST adjacent cluster id (classic DBSCAN leaves that
+    scan-order-dependent, which would be un-replayable), clusters are
+    labeled by minimum member id via ``connected_components`` on the
+    core–core eps-graph, replayed in the oracle as a transitive-closure
+    recursive CTE. All-pairs distances on the bounded subset are the
+    declared exactness baseline; the 100 TB path feeds the same
+    downstream from LSH/IVF candidate pairs."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.dbscan_cosine(
+        emb.select("vec_id", "embedding"), eps=0.70, min_pts=4
+    ).select(F.col("id"), "cluster", "role")
+
+
+@query(
     "l_diversity_audit",
     oracle="""
     WITH cls AS (
@@ -10758,6 +10818,7 @@ _SWEEP_FRONT = (
     "k_anonymity_audit",
     "l_diversity_audit",
     "brand_parts_ppr",
+    "embedding_dbscan_clusters",
     "token_zipf_fit",
     # --- never driver-checked ---
     "event_value_anomalies",
