@@ -342,3 +342,33 @@ def test_pit_composition_none_before_first_interval(spark):
         for r in pit.select(F.col("l.event_id").alias("event_id"), F.col("r.state").alias("state")).collect()
     }
     assert got == {900: None, 901: "bronze", 902: "gold", 903: "gold"}
+
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    """Count-Min invariants: estimate >= exact for every probe, and the
+    sketch of a union equals the summed sketches of the parts (mergeable)."""
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import sketch
+
+    vals = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [(f"x{i}",) for i in range(200)]
+    df = spark.createDataFrame(vals, ["v"])
+    cm = sketch.cm_sketch(df, "v", width=32, depth=4)  # narrow → collisions likely
+    exact = df.groupBy("v").agg(F.count("*").alias("n"))
+    probes = exact.filter(F.col("v").isin("a", "b", "c"))
+    est = {r.v: (r.n, r.cm_estimate) for r in sketch.cm_estimate(cm, probes, "v", width=32, depth=4).collect()}
+    for v, (n, e) in est.items():
+        assert e >= n, (v, n, e)
+    assert est["a"][1] >= 50 and est["b"][1] >= 20
+    # mergeability: sketch(part1) + sketch(part2) == sketch(whole)
+    p1 = spark.createDataFrame(vals[:100], ["v"])
+    p2 = spark.createDataFrame(vals[100:], ["v"])
+    merged = (
+        sketch.cm_sketch(p1, "v", width=32, depth=4)
+        .unionByName(sketch.cm_sketch(p2, "v", width=32, depth=4))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = {(r.r, r.b): r.c for r in cm.collect()}
+    got = {(r.r, r.b): r.c for r in merged.collect()}
+    assert got == whole

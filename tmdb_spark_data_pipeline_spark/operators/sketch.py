@@ -73,3 +73,66 @@ def heavy_hitter_candidates(
         op, "value string, mg_count long"
     )
     return cand.groupBy("value").agg(F.sum("mg_count").alias("mg_count"))
+
+
+def _cm_bucket(row: int, col, width: int):
+    """Portable 32-bit bucket hash, bit-identical across engines (the
+    md5-prefix discipline of ``sampling.hash_split``): Spark
+    ``conv(substr(md5('r:' || x), 1, 8), 16, 10) % width`` ≡ DuckDB
+    ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % width``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def cm_sketch(df, col: str, *, width: int = 256, depth: int = 4):
+    """COUNT-MIN sketch of a value stream → the (row, bucket, c) counter
+    table. One pass: each value fans out to ``depth`` (row, bucket)
+    entries (in-row ``explode`` of a literal array — no extra scan), then
+    a grouped count. The counter table is MERGEABLE by construction
+    (grouped sums commute with partitioning/merging — same contract as
+    the MG/HLL/KLL family): shard sketches = shard-local groupBy, global
+    sketch = one more grouped sum over depth×width rows. Point estimate
+    = min over rows of the value's counter; guaranteed ≥ the true count
+    (hash collisions only ever ADD), within εN with high probability for
+    width = e/ε. Hashes are portable md5 prefixes, so an external engine
+    rebuilds the IDENTICAL table — the property the declared query's
+    oracle exploits."""
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cm_bucket(r, F.col(col), width).alias("b")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.r", "__e.b")
+    return entries.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+
+def cm_estimate(sketch, probes, col: str, *, width: int = 256, depth: int = 4):
+    """Point-estimate lookup against a ``cm_sketch`` counter table for a
+    (small, broadcastable) probe set: recompute the probe's bucket per
+    row, equi-join the counters, take the per-probe MIN. Returns the
+    probe DataFrame with ``cm_estimate`` appended."""
+    probed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cm_bucket(r, F.col(col), width).alias("b")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("*", F.col("__e.r").alias("r"), F.col("__e.b").alias("b")).drop("__e")
+    joined = probed.join(sketch, ["r", "b"])
+    keys = [c for c in probes.columns]
+    return joined.groupBy(*keys).agg(F.min("c").alias("cm_estimate"))

@@ -8693,6 +8693,71 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cm_sketch_token_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\s+')
+                     IF x <> '']) AS token
+      FROM documents),
+    rows4 AS (SELECT unnest(range(4)) AS r),
+    cm AS (SELECT r,
+                  CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8)
+                       AS BIGINT) % 256 AS b,
+                  count(*) AS c
+           FROM toks CROSS JOIN rows4 GROUP BY 1, 2),
+    cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    top AS (SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+            FROM cnt QUALIFY rk <= 20),
+    est AS (SELECT t.token, t.n, min(cm.c) AS e
+            FROM top t CROSS JOIN rows4 rr
+            JOIN cm ON cm.r = rr.r
+                   AND cm.b = CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR)
+                                   || ':' || t.token), 1, 8) AS BIGINT) % 256
+            GROUP BY 1, 2)
+    SELECT token, n AS exact_n, CAST(e AS BIGINT) AS cm_estimate,
+           CAST(e - n AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cm_sketch_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN frequency sketch (``sketch.cm_sketch``), the mergeable
+    point-frequency member the MG/HLL/Theta/KLL family lacked: a 4×256
+    counter table built in one grouped pass (per-partition partials merge
+    by summing — the shard-then-merge 100 TB shape), probed for the
+    top-20 exact tokens. Hashes are portable md5 prefixes, so the oracle
+    rebuilds the IDENTICAL counter table and the estimates match
+    bit-for-bit — and the emitted ``overestimate`` column doubles as the
+    structural gate (Count-Min can only ever over-count: a single
+    negative value means the sketch is broken)."""
+    from ..operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cm = sketch.cm_sketch(toks, "token", width=256, depth=4)
+    from pyspark.sql import Window
+
+    cnt = toks.groupBy("token").agg(F.count("*").alias("n"))
+    top = (
+        cnt.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc())),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("token", "n")
+    )
+    est = sketch.cm_estimate(cm, top, "token", width=256, depth=4)
+    return est.select(
+        "token",
+        F.col("n").alias("exact_n"),
+        F.col("cm_estimate"),
+        (F.col("cm_estimate") - F.col("n")).cast("long").alias("overestimate"),
+    )
+
+
+@query(
     "token_zipf_fit",
     oracle=r"""
     WITH toks AS (
@@ -10819,6 +10884,7 @@ _SWEEP_FRONT = (
     "l_diversity_audit",
     "brand_parts_ppr",
     "embedding_dbscan_clusters",
+    "cm_sketch_token_counts",
     "token_zipf_fit",
     # --- never driver-checked ---
     "event_value_anomalies",
