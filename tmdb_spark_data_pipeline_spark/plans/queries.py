@@ -8693,6 +8693,131 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_prejoin_audit",
+    oracle="""
+    WITH q1 AS (SELECT * FROM orders
+                WHERE o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate <  DATE '1995-04-01'),
+    keys AS (SELECT DISTINCT o_custkey AS k FROM q1),
+    rows3 AS (SELECT unnest(range(3)) AS r),
+    bits AS (SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                    || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 2048 AS pos
+             FROM keys CROSS JOIN rows3),
+    probe AS (SELECT c.c_custkey,
+                     count(*) AS hits
+              FROM customer c CROSS JOIN rows3 r
+              JOIN bits b ON b.pos =
+                   CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(c.c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 2048
+              GROUP BY 1),
+    verdicts AS (SELECT c.c_custkey,
+                        coalesce(p.hits, 0) = 3 AS bloom_pos,
+                        EXISTS (SELECT 1 FROM q1 o
+                                WHERE o.o_custkey = c.c_custkey) AS truth
+                 FROM customer c LEFT JOIN probe p USING (c_custkey))
+    SELECT count(*) AS n_customers,
+           CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_orders,
+           CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(sum(CASE WHEN bloom_pos AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN truth AND NOT bloom_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negative,
+           round(sum(CASE WHEN bloom_pos AND NOT truth THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END), 0), 6)
+             AS fp_rate
+    FROM verdicts
+    """,
+)
+def bloom_prejoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Bloom filter + false-positive audit — the pre-join runtime
+    filter made explicit: custkeys with a Q1-1995 order build a 2048-bit /
+    3-hash Bloom (represented as a distinct set-bit TABLE — grouped
+    distinct, mergeable across shards, broadcastable at ≤2048 rows no
+    matter how large the build side), every customer probes it, and the
+    audit cross-checks against the exact semi-join truth. The structural
+    gate is ``n_false_negative`` — a Bloom filter NEVER misses a real
+    member, so any nonzero value means the filter is broken; ``fp_rate``
+    is what you'd trade against shuffle savings when pre-filtering a
+    100 TB probe side before the join (AQE's injected bloom does exactly
+    this; here the mechanism is explicit and oracle-checkable via
+    portable md5 position hashes). The bit width is deliberately FIXED
+    while the build side grows with SF, so the two test scales
+    demonstrate both regimes: a well-sized filter (substantive fp_rate
+    at sf0.01) and a saturated one (fp_rate → 1 at sf0.1 — the sizing
+    lesson itself)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    q1 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    keys = q1.select(F.col("o_custkey").alias("k")).distinct()
+
+    def pos(r: int, col) -> "Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2048
+        )
+
+    bits = (
+        keys.select(
+            F.explode(F.array(*[pos(r, F.col("k")) for r in range(3)])).alias("pos")
+        )
+        .distinct()
+    )
+    probed = (
+        c.select("c_custkey")
+        .select(
+            "c_custkey",
+            F.explode(F.array(*[pos(r, F.col("c_custkey")) for r in range(3)])).alias(
+                "pos"
+            ),
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("hits"))
+    )
+    truth = c.select("c_custkey").join(
+        q1.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).withColumn("truth", F.lit(True))
+    verdicts = (
+        c.select("c_custkey")
+        .join(probed, "c_custkey", "left")
+        .join(truth.select("c_custkey", "truth"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.coalesce("hits", F.lit(0)) == 3).alias("bloom_pos"),
+            F.coalesce("truth", F.lit(False)).alias("truth"),
+        )
+    )
+    fp = F.sum(F.when(F.col("bloom_pos") & ~F.col("truth"), 1).otherwise(0))
+    return verdicts.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_with_orders"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0)).alias("n_bloom_positive"),
+        fp.alias("n_false_positive"),
+        F.sum(F.when(F.col("truth") & ~F.col("bloom_pos"), 1).otherwise(0)).alias(
+            "n_false_negative"
+        ),
+        F.round(
+            fp * 1.0
+            / F.nullif(F.sum(F.when(~F.col("truth"), 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+@query(
     "cm_sketch_token_counts",
     oracle=r"""
     WITH toks AS (
@@ -10885,6 +11010,7 @@ _SWEEP_FRONT = (
     "brand_parts_ppr",
     "embedding_dbscan_clusters",
     "cm_sketch_token_counts",
+    "bloom_prejoin_audit",
     "token_zipf_fit",
     # --- never driver-checked ---
     "event_value_anomalies",
