@@ -150,7 +150,7 @@ def pagerank_fixed(
         F.col("src").alias("node"),
         F.expr(f"CAST({scale} DIV __nn AS BIGINT)").alias("rank"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
             .join(sym.select(F.col("src").alias("node"), "dst"), "node")
@@ -167,8 +167,12 @@ def pagerank_fixed(
                     " + (85 * __s) DIV 100 AS BIGINT)"
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # truncate every OTHER round: two rounds of join+agg lineage is
+        # shallow, and each eager localCheckpoint costs a full
+        # materialization — halving them saves ~1/3 of the loop wall
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("rank").alias("rank_micro"))
 
 
@@ -219,7 +223,7 @@ def personalized_pagerank_fixed(
         )
         .select("node", F.coalesce("rank", F.lit(0).cast("bigint")).alias("rank"))
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
             .join(sym.select(F.col("src").alias("node"), "dst"), "node")
@@ -237,8 +241,10 @@ def personalized_pagerank_fixed(
                     + F.expr("CAST((85 * coalesce(__s, 0)) DIV 100 AS BIGINT)")
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # every-other-round truncation — see pagerank_fixed
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("rank").alias("rank_micro"))
 
 
