@@ -635,3 +635,28 @@ def test_lateral_limit_plans_as_partitioned_topk(spark, sf_smoke):
     plan = _plan(queries.lateral_top2_orders(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cm_sketch_counter_build_is_single_grouped_pass(spark, sf_smoke):
+    """The Count-Min counter table must be one explode + one grouped count —
+    no joins, no extra exchanges beyond the groupBy."""
+    from tmdb_spark_data_pipeline_spark.operators import sketch, text
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    toks = (
+        load_table(spark, sf_smoke, "documents")
+        .select(F.explode(text.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    plan = _plan(sketch.cm_sketch(toks, "token", width=64, depth=4))
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # the groupBy only
+
+
+def test_bloom_probe_joins_broadcast_bit_table(spark, sf_smoke):
+    """The Bloom probe must join the (<=2048-row) set-bit table as a
+    BROADCAST hash join on the position key — the probe side never
+    shuffles, which is the entire point of a pre-join filter."""
+    plan = _plan(queries.bloom_prejoin_audit(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
