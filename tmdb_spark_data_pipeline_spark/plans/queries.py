@@ -10993,67 +10993,23 @@ def stream_batch_twins() -> dict[str, QueryFn]:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-6 rotation: the 4 queries with NO driver CORRECTNESS row in any
-    # of rounds 1-5 come first (VERDICT_r05 "Next round" #1), then strict
-    # staleness order by last driver-verified round (r1 -> r2 -> r3 -> r4
-    # -> r5; within a tier, prior front order). Built from the union of
-    # CORRECTNESS_r01-r05. The driver caps each sweep at ~50 names, so this
-    # prefix (4 never + 37 r1-tier + head of r2-tier) is what gets
-    # re-checked in round 6. New round-6 queries are inserted at the very
-    # top as they land.
-    # --- new in round 6 (no driver row yet) ---
-    "embedding_knn_label_spread",
-    "copurchase_kcore",
-    "copurchase_pagerank",
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "brand_parts_ppr",
-    "embedding_dbscan_clusters",
-    "cm_sketch_token_counts",
-    "bloom_prejoin_audit",
-    "token_zipf_fit",
-    # --- never driver-checked ---
-    "event_value_anomalies",
-    "key_skew_profile",
-    "source_mixture_weights",
-    "stream_stream_left_join",
+    # round-7 rotation (VERDICT_r06 "Next round" #1): hll_mergeable_rollup
+    # leads — it is the ONLY query of 238 without a green driver
+    # CORRECTNESS row (its sole row is r3 `no_oracle`, predating its exact
+    # oracle; verified green locally via tools/driver_mimic.py in r6 and
+    # r7). After it: new round-7 queries (no driver row yet), then strict
+    # staleness order by last GREEN driver round across the full
+    # CORRECTNESS_r01-r06 union (r1 -> r2 -> r3 -> r4 -> r5 -> r6; within
+    # a tier, prior front order). The driver caps each sweep at ~50 names,
+    # so the prefix (hll + new r7 + the r1/r2 tiers) is what gets
+    # re-checked in round 7.
+    # --- new in round 7 (no driver row yet) ---
+    "er_blocking_quality",
+    "copurchase_weighted_pagerank",
+    "kcore_incremental_maintenance",
+    "winnow_match_clusters",
+    "hll_mergeable_rollup",
     # --- last verified r1 ---
-    "scan_filter_project",
-    "derived_metrics",
-    "cleaning_normalize",
-    "dedup_by_key",
-    "top_orders_by_price",
-    "bottom_orders_by_price",
-    "grouped_topn",
-    "pricing_summary",
-    "orders_priority_agg",
-    "orders_by_year",
-    "franchise_style_agg",
-    "rollup_lineitem",
-    "cube_lineitem",
-    "distinct_parts_per_flag",
-    "having_big_customers",
-    "revenue_by_region",
-    "shipping_priority",
-    "supplier_revenue_by_nation",
-    "promo_revenue_pct",
-    "customers_without_orders",
-    "customer_order_counts",
-    "left_join_nation_counts",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "word_counts_top20",
-    "search_documents",
-    "nested_hof_orders",
-    "json_extract_props",
-    "dedup_exact_by_source",
-    "ngram_jaccard_neardups",
-    "minhash_neardups",
-    "cosine_neardups",
-    "text_stats",
-    "doc_fingerprints",
-    "lang_stopword_stats",
     "doc_quality_scores",
     # --- last verified r2 ---
     "similarity_topk_multiprobe",
@@ -11133,7 +11089,6 @@ _SWEEP_FRONT = (
     "stream_dedup_watermarked",
     "grouped_topn_ties",
     "quality_percentile_calibration",
-    "hll_mergeable_rollup",
     "capitalized_entities_top20",
     "neardup_method_agreement",
     "textrank_keywords_top20",
@@ -11246,6 +11201,57 @@ _SWEEP_FRONT = (
     "recursive_custkey_rollup",
     "containment_neardups",
     "neardup_dedup_apply",
+    # --- last verified r6 ---
+    "embedding_knn_label_spread",
+    "copurchase_kcore",
+    "copurchase_pagerank",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "brand_parts_ppr",
+    "embedding_dbscan_clusters",
+    "cm_sketch_token_counts",
+    "bloom_prejoin_audit",
+    "token_zipf_fit",
+    "event_value_anomalies",
+    "key_skew_profile",
+    "source_mixture_weights",
+    "stream_stream_left_join",
+    "scan_filter_project",
+    "derived_metrics",
+    "cleaning_normalize",
+    "dedup_by_key",
+    "top_orders_by_price",
+    "bottom_orders_by_price",
+    "grouped_topn",
+    "pricing_summary",
+    "orders_priority_agg",
+    "orders_by_year",
+    "franchise_style_agg",
+    "rollup_lineitem",
+    "cube_lineitem",
+    "distinct_parts_per_flag",
+    "having_big_customers",
+    "revenue_by_region",
+    "shipping_priority",
+    "supplier_revenue_by_nation",
+    "promo_revenue_pct",
+    "customers_without_orders",
+    "customer_order_counts",
+    "left_join_nation_counts",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "word_counts_top20",
+    "search_documents",
+    "nested_hof_orders",
+    "json_extract_props",
+    "dedup_exact_by_source",
+    "ngram_jaccard_neardups",
+    "minhash_neardups",
+    "cosine_neardups",
+    "text_stats",
+    "doc_fingerprints",
+    "lang_stopword_stats",
 )
 
 
