@@ -71,6 +71,43 @@ def test_overwrite_preserves_old_table_on_failed_write(spark):
         spark.sql("DROP TABLE IF EXISTS t_atomic__overwrite_staging")
 
 
+def test_overwrite_recovers_interrupted_rename(spark):
+    """ADVICE r6: a crash in the window between DROP TABLE of the target
+    and the staging→target rename leaves the newest data ONLY in the
+    committed staging table. The next call must rename staging into place
+    (recovery) instead of clearing it as junk — and the recovered data
+    must then survive a subsequent FAILED overwrite (it plays the normal
+    'previous table' role)."""
+    import pytest
+
+    newest = spark.range(0, 9).select(F.col("id").alias("k"), F.lit("newest").alias("v"))
+    try:
+        # simulate the crash window: committed staging table, no target
+        write_bucketed_table(newest, "t_crash__overwrite_staging", ("k",), 2, mode="errorifexists")
+        spark.sql("DROP TABLE IF EXISTS t_crash")
+        assert not spark.catalog.tableExists("t_crash")
+
+        # 1) a failing overwrite must FIRST recover staging→target, then
+        #    leave the recovered table intact when its own write fails
+        bad = spark.range(0, 4).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 2, F.lit("x"))
+            .otherwise(F.raise_error(F.lit("boom")))
+            .alias("v"),
+        )
+        with pytest.raises(Exception, match="boom"):
+            write_bucketed_table(bad, "t_crash", ("k",), 2)
+        assert spark.table("t_crash").filter(F.col("v") == "newest").count() == 9
+
+        # 2) a good overwrite over the recovered table proceeds normally
+        good = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("next").alias("v"))
+        write_bucketed_table(good, "t_crash", ("k",), 2)
+        assert spark.table("t_crash").filter(F.col("v") == "next").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_crash")
+        spark.sql("DROP TABLE IF EXISTS t_crash__overwrite_staging")
+
+
 def test_overwrite_clears_stale_unregistered_location(spark):
     """In-memory catalog restart scenario: a table DIR survives in the
     warehouse with no catalog registration. Overwrite must clear the

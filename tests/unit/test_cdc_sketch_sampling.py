@@ -372,3 +372,29 @@ def test_cm_sketch_overestimates_and_merges(spark):
     whole = {(r.r, r.b): r.c for r in cm.collect()}
     got = {(r.r, r.b): r.c for r in merged.collect()}
     assert got == whole
+
+
+def test_cm_estimate_absent_probe_returns_zero(spark):
+    """Point-estimate contract for out-of-stream probes (ADVICE r6): a
+    probe value absent from the stream must appear in the output, and if
+    ANY of its buckets has no counter row the estimate floors at 0 —
+    never the min over only the occupied buckets, and never a dropped
+    row. A wide sketch over a tiny stream guarantees empty buckets."""
+    from tmdb_spark_data_pipeline_spark.operators import sketch
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["v"])
+    cm = sketch.cm_sketch(df, "v", width=4096, depth=4)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-1",), ("never-seen-2",)], ["v"]
+    )
+    est = {
+        r.v: r.cm_estimate
+        for r in sketch.cm_estimate(cm, probes, "v", width=4096, depth=4).collect()
+    }
+    assert set(est) == {"a", "never-seen-1", "never-seen-2"}  # no dropped probes
+    assert est["a"] >= 2
+    # 3 distinct values -> at most 3 occupied buckets per row out of 4096;
+    # an unseen value hits 4 empty buckets with overwhelming probability,
+    # and min(coalesce(c,0)) must floor at 0 even if one bucket collides.
+    assert est["never-seen-1"] == 0
+    assert est["never-seen-2"] == 0

@@ -116,6 +116,44 @@ def test_kcore_k4_is_its_own_3core(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_kcore_raises_when_max_iter_exhausted_with_dead_nodes(spark):
+    """ADVICE r6: a peel cascade deeper than max_iter must RAISE, not
+    silently return a non-core with degree-<k nodes still present. A path
+    graph peels exactly one layer per round from each end."""
+    import pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["u", "v"]
+    )  # 11-edge chain: 2-core is empty, but needs ~6 peel rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(path, 2, max_iter=2)
+    # same graph with enough rounds converges to the (empty) true core
+    assert graph.kcore(path, 2, max_iter=10).count() == 0
+
+
+def test_kcore_converges_exactly_at_max_iter_boundary(spark):
+    """The final peel landing exactly on the last allowed round is a
+    CONVERGED result (the post-loop re-check must pass), not an error."""
+    # triangle + 1-deep tail: the single allowed round peels node 4 and the
+    # loop exits WITHOUT seeing an empty dead set — the post-loop re-check
+    # must confirm convergence instead of raising
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["u", "v"])
+    out = {r.node: r.core_deg for r in graph.kcore(edges, 2, max_iter=1).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_personalized_pagerank_empty_seed_set_raises(spark):
+    """ADVICE r6: an empty EFFECTIVE seed set (no seed present in the
+    graph) must raise instead of silently emitting NULL ranks via the
+    non-ANSI scale DIV 0."""
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    seeds = spark.createDataFrame([(99,), (100,)], ["id"])  # none in graph
+    with pytest.raises(ValueError, match="no seed is present"):
+        graph.personalized_pagerank_fixed(edges, seeds, iters=2)
+
+
 def test_pagerank_fixed_integer_exact_values(spark):
     # triangle {1,2,3} + pendant 3-4: hub 3 ranks highest, symmetric 1/2
     # tie exactly; values pinned against the DuckDB recursive-CTE replay of

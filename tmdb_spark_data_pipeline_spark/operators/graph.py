@@ -94,21 +94,37 @@ def kcore(
     per-round convergence ``count()`` is the documented one-scalar
     exception to the no-driver-collect rule. Rounds are bounded by the
     peel DEPTH (≤ degeneracy ≪ n); each removes every currently-light
-    node at once, so cascades collapse into few rounds."""
+    node at once, so cascades collapse into few rounds. If the cascade
+    is DEEPER than ``max_iter`` (a long chain peels one layer per round)
+    the function raises rather than silently returning a non-core with
+    degree-<k nodes still present (ADVICE r6) — callers on pathological
+    graphs raise ``max_iter``; the result is always a true k-core."""
     sym = (
         edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
         .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         deg = sym.groupBy("src").agg(F.count("*").alias("__d"))
         dead = deg.filter(F.col("__d") < k).select("src")
         if dead.isEmpty():
+            converged = True
             break
         sym = (
             sym.join(dead, "src", "left_anti")
             .join(dead.select(F.col("src").alias("dst")), "dst", "left_anti")
             .localCheckpoint()
+        )
+    if not converged and not (
+        sym.groupBy("src").agg(F.count("*").alias("__d"))
+        .filter(F.col("__d") < k)
+        .isEmpty()
+    ):
+        raise RuntimeError(
+            f"kcore did not converge within max_iter={max_iter} rounds: "
+            f"degree-<{k} nodes remain (peel depth exceeds max_iter — "
+            "raise max_iter)"
         )
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("core_deg")
@@ -193,9 +209,12 @@ def personalized_pagerank_fixed(
     "parts similar to THIS brand's parts", the recommendation-seed query
     global PageRank can't answer. Seeds outside the graph are ignored
     (they can neither receive nor forward mass); non-seed nodes start at
-    0 and fill in as mass diffuses. Same per-round shape as the global
-    variant: one (node, rank) join against out-edges + one grouped sum,
-    (long, long) shuffles, localCheckpoint truncation."""
+    0 and fill in as mass diffuses. An EMPTY effective seed set (no seed
+    present in the graph) raises — under non-ANSI Spark SQL the
+    ``scale DIV 0`` would otherwise yield silent NULL ranks for every
+    node (ADVICE r6). Same per-round shape as the global variant: one
+    (node, rank) join against out-edges + one grouped sum, (long, long)
+    shuffles, localCheckpoint truncation."""
     sym = (
         edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
         .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
@@ -207,6 +226,12 @@ def personalized_pagerank_fixed(
         .join(seeds.select(F.col(seed_col).alias("src")).distinct(), "src", "left_semi")
         .select(F.col("src").alias("node"))
     )
+    if seed_nodes.isEmpty():
+        raise ValueError(
+            "personalized_pagerank_fixed: no seed is present in the graph "
+            "(empty effective seed set) — the restart distribution is "
+            "undefined; check the seed ids against the edge list"
+        )
     ns = seed_nodes.agg(F.count("*").alias("__ns"))
     base = seed_nodes.crossJoin(F.broadcast(ns)).select(
         "node", F.expr(f"CAST((15 * ({scale} DIV __ns)) DIV 100 AS BIGINT)").alias("__base")

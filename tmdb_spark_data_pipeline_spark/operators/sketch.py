@@ -118,8 +118,16 @@ def cm_sketch(df, col: str, *, width: int = 256, depth: int = 4):
 def cm_estimate(sketch, probes, col: str, *, width: int = 256, depth: int = 4):
     """Point-estimate lookup against a ``cm_sketch`` counter table for a
     (small, broadcastable) probe set: recompute the probe's bucket per
-    row, equi-join the counters, take the per-probe MIN. Returns the
-    probe DataFrame with ``cm_estimate`` appended."""
+    row, LEFT-join the counters, take the per-probe MIN of
+    ``coalesce(c, 0)``. Returns the probe DataFrame with ``cm_estimate``
+    appended. The left join + zero floor preserves the sketch's
+    point-estimate contract for out-of-stream probes: a value none of
+    whose buckets has a counter row estimates 0 (never vanishes from the
+    output), and a probe with SOME empty buckets floors its min at 0
+    instead of min-ing only over the occupied ones (which would bias the
+    estimate upward). For in-stream probes every bucket holds at least
+    the probe's own count, so the join behaves exactly as the old inner
+    join did."""
     probed = probes.select(
         "*",
         F.explode(
@@ -133,6 +141,8 @@ def cm_estimate(sketch, probes, col: str, *, width: int = 256, depth: int = 4):
             )
         ).alias("__e"),
     ).select("*", F.col("__e.r").alias("r"), F.col("__e.b").alias("b")).drop("__e")
-    joined = probed.join(sketch, ["r", "b"])
+    joined = probed.join(sketch, ["r", "b"], "left")
     keys = [c for c in probes.columns]
-    return joined.groupBy(*keys).agg(F.min("c").alias("cm_estimate"))
+    return joined.groupBy(*keys).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate")
+    )

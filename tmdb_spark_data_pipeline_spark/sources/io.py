@@ -204,7 +204,17 @@ def write_bucketed_table(
         return os.path.join(base.removeprefix("file:"), tbl.lower())
 
     staging = f"{name}__overwrite_staging"
-    # Staging junk is always safe to clear: the name is ours, and any
+    # Crash-recovery first (ADVICE r6): a previous call that died in the
+    # window between its DROP TABLE of the target and the staging→target
+    # rename leaves the newest data ONLY in the committed staging table.
+    # If the target is missing but a staging table is registered, finish
+    # that interrupted rename — clearing staging as junk here would
+    # discard the only copy. The recovered table then plays the normal
+    # "previous table" role for this call's write-first overwrite.
+    if spark.catalog.tableExists(staging) and not spark.catalog.tableExists(name):
+        shutil.rmtree(_managed_location(name), ignore_errors=True)
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+    # Staging junk is now safe to clear: the name is ours, and any
     # leftover (catalog entry or stale dir) is a previous failed attempt.
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     shutil.rmtree(_managed_location(staging), ignore_errors=True)
