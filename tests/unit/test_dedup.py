@@ -390,3 +390,52 @@ def test_artifact_pairs_leave_no_cached_blocks(corpus, tmp_path):
     out = dedup.minhash_pairs_from_artifact(corpus, "text", "doc_id", path, min_jaccard=0.5)
     assert out.count() >= 1  # materialize fully
     assert persistent_ids() - before == set()
+
+
+def test_max_df_cap_bounds_hot_shingle_buckets(spark):
+    """VERDICT_r06 #2: on a stop-shingle-heavy corpus the opt-in ``max_df``
+    cap must (a) bound every self-join bucket at max_df rows, (b) still
+    find the genuine near-dup pair (near-dups share RARE shingles), and
+    (c) leave the default-off exact path byte-identical to before."""
+    # 40 docs all opening with the same boilerplate phrase (one ubiquitous
+    # trigram bucket of size 40) + unique tails; docs 100/101 are near-dups
+    boiler = "terms of service apply here"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta {i}") for i in range(40)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # (a) bucket bound: after the cap no shingle has df > max_df
+    sh = dedup._hash_shingles(
+        df.select(F.col("doc_id").alias("__id"))
+        .join(df.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t")), "__id")
+        .select("__id", F.explode(dedup.word_shingles("__t", 3)).alias("__s"))
+    )
+    uncapped_max = sh.groupBy("__s").count().agg(F.max("count")).collect()[0][0]
+    assert uncapped_max >= 40  # the boilerplate trigrams really are hot
+    capped = dedup._max_df_filter(sh, 5)
+    capped_max = capped.groupBy("__s").count().agg(F.max("count")).collect()[0][0]
+    assert capped_max <= 5
+
+    # (b) the real near-dup pair survives the cap
+    with_cap = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.5, max_df=5
+    )
+    got = {(r.id_a, r.id_b) for r in with_cap.collect()}
+    assert (100, 101) in got
+    # boilerplate-only co-occurrence must NOT fabricate pairs
+    assert all(a >= 100 for a, _ in got)
+
+    # (c) default-off path unchanged: exact Jaccard incl. the boilerplate
+    no_cap = dedup.ngram_jaccard_pairs(df, "text", "doc_id", min_jaccard=0.5)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in no_cap.collect()}
+    assert (100, 101) in exact
+
+    # containment twin honors the same cap
+    cont = dedup.shingle_containment_pairs(
+        df, "text", "doc_id", min_containment=0.8, max_df=5
+    )
+    cont_pairs = {(r.contained_id, r.container_id) for r in cont.collect()}
+    assert all(a >= 100 or b >= 100 for a, b in cont_pairs) or cont_pairs == set()

@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     persist_shingles: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard, blocked on shared shingles.
 
@@ -106,12 +107,17 @@ def ngram_jaccard_pairs(
     explode(shingles) → self equi-join on shingle → count shared per pair →
     ``|A∩B| / (|A|+|B|-|A∩B|)``. Only pairs sharing ≥1 shingle ever meet,
     so the join *is* the blocking step. Output: (id_a, id_b, jaccard).
+
+    ``max_df`` is the hot-shingle skew cap (VERDICT_r06 #2) — see
+    ``_jaccard_from_shingles``. Default OFF: this entry point's declared
+    role is the exact-baseline oracle twin; a Zipfian corpus at scale sets
+    ``max_df`` (or routes to the MinHash path).
     """
     sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
         "__id",
         F.explode(word_shingles("__t", n)).alias("__s"),
     )
-    return _jaccard_from_shingles(sh, min_jaccard, persist=persist_shingles)
+    return _jaccard_from_shingles(sh, min_jaccard, persist=persist_shingles, max_df=max_df)
 
 
 def _hash_shingles(sh: DataFrame) -> DataFrame:
@@ -129,7 +135,36 @@ def _hash_shingles(sh: DataFrame) -> DataFrame:
     return sh.select("__id", F.xxhash64("__s").alias("__s"))
 
 
-def _jaccard_from_shingles(sh: DataFrame, min_jaccard: float, *, persist: bool = True) -> DataFrame:
+def _max_df_filter(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles occurring in more than ``max_df`` documents before a
+    shingle self-equi-join (the hot-shingle skew cap, VERDICT_r06 #2).
+
+    The self-join's pair work is Σ|bucket|² over shingle buckets; on a
+    Zipfian corpus a handful of stop-shingles ("of the and"-grade n-grams
+    appearing in a large fraction of documents) make those buckets
+    quadratic at scale. Capping document frequency bounds EVERY bucket at
+    ``max_df`` rows per side (≤ max_df² pairs), turning worst-case corpus²
+    into corpus × max_df. Semantics: Jaccard/containment is then computed
+    over the df-capped shingle SETS — sizes and shared counts both exclude
+    the ubiquitous shingles, so the ratio stays internally consistent.
+    Near-dup pairs share rare shingles overwhelmingly, so at a 0.5
+    threshold the decision barely moves; exact-baseline callers default
+    the cap OFF. The df aggregate is one grouped count over the already
+    (id-distinct) shingle rows, and the semi-join back reuses the same
+    ``__s`` partitioning the self-join needs anyway."""
+    dfreq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+    return sh.join(
+        dfreq.filter(F.col("__df") <= max_df).select("__s"), "__s", "left_semi"
+    )
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    min_jaccard: float,
+    *,
+    persist: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
     """(id, shingle) pairs → (id_a, id_b, jaccard ≥ threshold).
 
     ``sh`` has three consumers (sizes, both self-join sides) and no exchange
@@ -138,8 +173,16 @@ def _jaccard_from_shingles(sh: DataFrame, min_jaccard: float, *, persist: bool =
     semi-joined ``sh`` down to candidates (``minhash_lsh_pairs``). Callers
     that feed an ITERATIVE consumer (connected components) pass
     ``persist=False``: the loop's own checkpoints would keep the full
-    shingle table pinned across every round for a one-shot saving."""
+    shingle table pinned across every round for a one-shot saving.
+
+    ``max_df`` (opt-in) applies the ``_max_df_filter`` hot-shingle cap
+    BEFORE sizes/join, bounding self-join bucket skew on Zipfian corpora;
+    when None (default) the exact full-set Jaccard is computed — corpora
+    too skewed for that must either set the cap or route to the MinHash
+    path (which is candidate-restricted by banding, not by this join)."""
     sh = _hash_shingles(sh)
+    if max_df is not None:
+        sh = _max_df_filter(sh, max_df)
     if persist:
         sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
@@ -869,6 +912,7 @@ def shingle_containment_pairs(
     *,
     n: int = 3,
     min_containment: float = 0.9,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: ordered pairs where document A's
     shingle set is (almost) contained in document B's —
@@ -883,12 +927,17 @@ def shingle_containment_pairs(
     generation, only the contained side's size normalizes the count, and
     both orientations fall out of one join (the pair row count is 2× the
     Jaccard form's, the shuffle still carries (shingle, id) pairs only).
+    ``max_df`` is the same opt-in hot-shingle skew cap as
+    ``_jaccard_from_shingles`` (see ``_max_df_filter``); default off for
+    the exact-baseline role.
     """
     sh = _hash_shingles(
         _spread(
             df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         ).select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     )
+    if max_df is not None:
+        sh = _max_df_filter(sh, max_df)
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
