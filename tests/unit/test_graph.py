@@ -168,6 +168,36 @@ def test_pagerank_fixed_integer_exact_values(spark):
     }
 
 
+def test_pagerank_weighted_pinned_values(spark):
+    # triangle {1,2,3} + pendant 3-4 with edge weights 1/2/3/10: the heavy
+    # 3-4 edge pulls mass to the pendant (unweighted PR gives 4 the LOWEST
+    # rank; weighted gives it the 2nd highest); values pinned against the
+    # DuckDB recursive-CTE replay of the identical integer formula
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 1, 3), (3, 4, 10)], ["u", "v", "w"]
+    )
+    out = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted_fixed(edges, iters=5).collect()
+    }
+    assert out == {
+        1: 138980328547,
+        2: 114975140425,
+        3: 487874300245,
+        4: 258170230768,
+    }
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    # w=1 everywhere must reproduce pagerank_fixed exactly (same floors)
+    e = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    ew = spark.createDataFrame([(u, v, 1) for u, v in e], ["u", "v", "w"])
+    eu = spark.createDataFrame(e, ["u", "v"])
+    got_w = {r.node: r.rank_micro for r in graph.pagerank_weighted_fixed(ew, iters=5).collect()}
+    got_u = {r.node: r.rank_micro for r in graph.pagerank_fixed(eu, iters=5).collect()}
+    assert got_w == got_u
+
+
 def test_personalized_pagerank_pinned_values(spark):
     # triangle {1,2,3} + pendant 3-4, seeds {1, 9} (9 not in the graph →
     # ignored); values pinned against the DuckDB recursive-CTE replay

@@ -536,6 +536,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "time_to_purchase_km",          # scalar subject-count broadcast
         "copurchase_pagerank",          # 1-row node-count broadcast per round
         "brand_parts_ppr",              # 1-row seed-count broadcast per round
+        "copurchase_weighted_pagerank",  # 1-row node-count broadcast per round
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {
@@ -555,6 +556,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "neardup_method_agreement",  # contains the cosine all-pairs baseline leg (cached)
         "embedding_knn_label_spread",  # all-pairs kNN build on the bounded subset
         "embedding_dbscan_clusters",   # all-pairs eps-graph on the bounded subset
+        "er_blocking_quality",         # all-pairs TRUTH leg on the declared %10 stratum
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -476,3 +476,44 @@ def test_pagerank_fixed_matches_python_integer_model(spark, edges, iters):
     df = spark.createDataFrame(canon, "u int, v int")
     got = {r.node: r.rank_micro for r in graph.pagerank_fixed(df, iters=iters).collect()}
     assert got == rank
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)),
+        min_size=1,
+        max_size=16,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_weighted_matches_python_integer_model(spark, edges, iters):
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    # canonicalize: undirected simple graph, first weight wins per pair
+    seen: dict[tuple[int, int], int] = {}
+    for u, v, w in edges:
+        if u != v:
+            seen.setdefault((min(u, v), max(u, v)), w)
+    canon = sorted((u, v, w) for (u, v), w in seen.items())
+    if not canon:
+        return
+    scale = 10**12
+    sym: list[tuple[int, int, int]] = []
+    for u, v, w in canon:
+        sym += [(u, v, w), (v, u, w)]
+    nodes = sorted({n for s, d, _ in sym for n in (s, d)})
+    wdeg = {n: sum(w for s, _, w in sym if s == n) for n in nodes}
+    nn = len(nodes)
+    rank = {n: scale // nn for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d, w in sym:
+            acc[d] += (rank[s] * w) // wdeg[s]
+        rank = {n: (15 * (scale // nn)) // 100 + (85 * acc[n]) // 100 for n in nodes}
+    df = spark.createDataFrame(canon, "u int, v int, w int")
+    got = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted_fixed(df, iters=iters).collect()
+    }
+    assert got == rank

@@ -192,6 +192,72 @@ def pagerank_fixed(
     return ranks.select("node", F.col("rank").alias("rank_micro"))
 
 
+def pagerank_weighted_fixed(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    scale: int = 10**12,
+) -> DataFrame:
+    """WEIGHTED fixed-iteration PageRank: same all-integer micro-unit
+    discipline as ``pagerank_fixed``, but a node's rank splits across its
+    out-edges PROPORTIONALLY TO EDGE WEIGHT instead of uniformly —
+    ``contrib(u→v) = (rank_u · w_uv) DIV Σ_x w_ux``. On a co-purchase
+    graph where the weight is the co-occurrence count, centrality then
+    follows purchase VOLUME, not mere adjacency — the ranking a
+    merchandiser actually wants (a part co-bought 50× with a hub should
+    outrank one co-bought twice). Weights must be positive integers
+    (caller's contract; counts are). Multiply-before-divide keeps the
+    floor exact and stays in bigint: rank < scale=10^12 and Σw per node
+    < ~10^6 at any realistic degree, so rank·w < 10^18 < 2^63.
+
+    Same per-round shape and replayability as the unweighted form: one
+    (node, rank) join against the weighted out-edge list + one grouped
+    sum, (long, long, long) shuffles, localCheckpoint every other round;
+    an external engine replays every floor division bit-for-bit."""
+    sym = (
+        edges.select(
+            F.col(u_col).alias("src"), F.col(v_col).alias("dst"), F.col(w_col).alias("w")
+        )
+        .unionAll(
+            edges.select(
+                F.col(v_col).alias("src"), F.col(u_col).alias("dst"), F.col(w_col).alias("w")
+            )
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    n = deg.agg(F.count("*").alias("__nn"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({scale} DIV __nn AS BIGINT)").alias("rank"),
+    )
+    for i in range(iters):
+        contrib = (
+            ranks.join(deg.select(F.col("src").alias("node"), "wdeg"), "node")
+            .join(sym.select(F.col("src").alias("node"), "dst", "w"), "node")
+            .select("dst", F.expr("(rank * w) DIV wdeg").alias("__c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST((15 * ({scale} DIV __nn)) DIV 100"
+                    " + (85 * __s) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+        # every-other-round truncation — see pagerank_fixed
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
 def personalized_pagerank_fixed(
     edges: DataFrame,
     seeds: DataFrame,

@@ -8152,6 +8152,68 @@ def winnowed_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_match_clusters",
+    oracle=r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id,
+             [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS ws
+      FROM documents),
+    g AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS pos
+          FROM w WHERE len(ws) >= 3),
+    h AS (SELECT doc_id, pos,
+                 substr(md5(ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3]), 1, 16) AS hh
+          FROM g),
+    m AS (SELECT doc_id, pos,
+                 min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+          FROM h),
+    fp AS (SELECT DISTINCT doc_id, mh FROM m WHERE pos >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s)
+    SELECT comp AS cluster_id, count(*) AS n_docs,
+           CAST(max(id) AS BIGINT) AS max_doc_id
+    FROM labels GROUP BY 1
+    """,
+)
+def winnow_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match CLUSTERING — the third winnowing stage (after
+    ``winnowed_doc_fingerprints`` selects fingerprints and
+    ``winnowed_match_candidates`` finds sharing pairs): candidate pairs →
+    connected components → one row per match cluster (min-doc-id label,
+    member count, max member id). This is how a plagiarism/boilerplate
+    report is actually consumed — "these N documents are one shared-text
+    group", not a pair soup (a 10-document template family is 45 pairs
+    but one cluster). Pair generation reuses the fingerprint equi-join
+    blocking; the CC loop runs on the tiny pair list (same
+    min-label/pointer-jump discipline as ``neardup_components``); cluster
+    stats are one grouped pass over the labels."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.winnowed_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.max("id").cast("long").alias("max_doc_id"),
+    )
+
+
+@query(
     "copurchase_triangle_stats",
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -8470,6 +8532,164 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return graph.pagerank_fixed(edges, iters=5)
+
+
+@query(
+    "copurchase_weighted_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v, CAST(n_orders AS BIGINT) AS w FROM e0
+              WHERE n_orders >= 2),
+    sym AS (SELECT u AS src, v AS dst, w FROM edges
+            UNION ALL SELECT v, u, w FROM edges),
+    deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+            FROM sym GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM deg),
+    pr AS (
+      SELECT node, CAST(1000000000000 // nn AS BIGINT) AS rank, 0 AS it
+      FROM deg CROSS JOIN n
+      UNION ALL
+      SELECT s.dst AS node,
+             CAST((15 * (1000000000000 // n.nn)) // 100
+                  + (85 * sum((p.rank * s.w) // d.wdeg)) // 100 AS BIGINT)
+               AS rank,
+             p.it + 1 AS it
+      FROM pr p
+      JOIN deg d ON d.node = p.node
+      JOIN sym s ON s.src = p.node
+      CROSS JOIN n
+      WHERE p.it < 5
+      GROUP BY s.dst, p.it, n.nn
+    )
+    SELECT node, rank AS rank_micro FROM pr WHERE it = 5
+    """,
+)
+def copurchase_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank on the co-purchase graph
+    (``graph.pagerank_weighted_fixed``): rank mass splits across a part's
+    neighbors proportionally to the CO-OCCURRENCE COUNT, so centrality
+    follows purchase volume, not mere adjacency — a part co-bought 50×
+    with a hub outranks one co-bought twice, the distinction the
+    unweighted ``copurchase_pagerank`` can't make. Same all-integer
+    micro-unit discipline (multiply-before-floor-divide keeps every round
+    bit-replayable in the oracle's recursive CTE; rank·w < 10^18 stays in
+    bigint). Per round: one (node, rank) join against the weighted
+    out-edge list + one grouped sum — (long, long, long) shuffles only."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return graph.pagerank_weighted_fixed(edges, iters=5)
+
+
+@query(
+    "kcore_incremental_maintenance",
+    oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
+    -- full-recompute oracle: the peel over edges built in ONE pass, plus
+    -- each surviving node's total co-purchase weight from the same table.
+    -- The engine builds the weighted edge table INCREMENTALLY (per-stratum
+    -- pair counts merged via combine_rollups), so a green row certifies
+    -- merge == recompute for the graph-maintenance path.
+    peel AS (
+      SELECT src, dst, 0 AS it FROM sym
+      UNION ALL
+      SELECT src, dst, it + 1 FROM (
+          SELECT src, dst, it, total,
+                 sum(CASE WHEN ds >= 3 AND dd >= 3 THEN 1 ELSE 0 END)
+                   OVER () AS n_surv,
+                 ds, dd
+          FROM (
+            SELECT src, dst, it,
+                   count(*) OVER (PARTITION BY src) AS ds,
+                   count(*) OVER (PARTITION BY dst) AS dd,
+                   count(*) OVER () AS total
+            FROM peel))
+      WHERE ds >= 3 AND dd >= 3 AND n_surv < total
+    ),
+    last AS (SELECT src, dst FROM peel WHERE it = (SELECT max(it) FROM peel)),
+    chk AS (SELECT src, dst,
+                   count(*) OVER (PARTITION BY src) AS ds,
+                   count(*) OVER (PARTITION BY dst) AS dd
+            FROM last),
+    core AS (SELECT src AS node, count(*) AS core_deg FROM chk
+             WHERE (SELECT min(CASE WHEN ds >= 3 AND dd >= 3 THEN 1 ELSE 0 END)
+                    FROM chk) = 1
+             GROUP BY 1),
+    wt AS (SELECT node, CAST(sum(n_orders) AS BIGINT) AS copurchase_weight
+           FROM (SELECT u AS node, n_orders FROM e0 WHERE n_orders >= 2
+                 UNION ALL
+                 SELECT v, n_orders FROM e0 WHERE n_orders >= 2)
+           GROUP BY 1)
+    SELECT c.node, c.core_deg, w.copurchase_weight
+    FROM core c JOIN wt w ON w.node = c.node
+    """,
+)
+def kcore_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GRAPH maintenance feeding the k-core
+    (VERDICT_r06 #5): the weighted co-purchase edge table is built the way
+    a daily 100 TB pipeline would — per-stratum pair counts (here 4
+    orderkey strata standing in for daily partitions; an order's pairs
+    fall wholly inside one stratum, so counts are mergeable partials)
+    merged via ``agg.combine_rollups`` instead of recomputed — then the
+    3-core peel runs on the merged table, and each surviving node carries
+    its total co-purchase weight FROM THE MERGED COUNTS. The oracle is the
+    single-pass full recompute, so the green row certifies
+    merge == recompute end-to-end: any count lost or double-merged flips
+    the ≥2 edge filter, the peel, or the weight column. Output: (node,
+    core_deg, copurchase_weight).
+
+    Plan note: the per-stratum partials come out of ONE grouped pass
+    (stratum in the group key — each partial is still computed only from
+    its own stratum's rows, exactly as 4 independent daily jobs would),
+    checkpointed once, then split and handed to ``combine_rollups`` — not
+    4 separate corpus scans."""
+    from ..operators import agg as agg_ops
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    partials = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        # stratum = orderkey band: the SAME (u,v) pair co-occurring in
+        # orders from different strata gets separate partial counts that
+        # the merge must genuinely re-add (stratifying by a function of
+        # (u,v) would make the merge vacuous — every key in one stratum)
+        .groupBy((F.col("ok") % 4).alias("__stratum"), "u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint()
+    )
+    merged = agg_ops.combine_rollups(
+        [
+            partials.filter(F.col("__stratum") == s).drop("__stratum")
+            for s in range(4)
+        ],
+        ("u", "v"),
+        sum_cols=("n_orders",),
+    )
+    edges = merged.filter(F.col("n_orders") >= 2)
+    core = graph.kcore(edges.select("u", "v"), 3)
+    wt = (
+        edges.select(F.col("u").alias("node"), "n_orders")
+        .unionAll(edges.select(F.col("v").alias("node"), "n_orders"))
+        .groupBy("node")
+        .agg(F.sum("n_orders").alias("copurchase_weight"))
+    )
+    return core.join(wt, "node").select("node", "core_deg", "copurchase_weight")
 
 
 @query(
@@ -9433,6 +9653,100 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__golden"), F.col("c_custkey"))
             == F.col("c_custkey")
         ).alias("is_golden"),
+    )
+
+
+@query(
+    "er_blocking_quality",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0),
+    truth AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2),
+    cand AS (
+      SELECT DISTINCT ka, kb FROM (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+               a.c_name AS na, b.c_name AS nb
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+         AND substr(a.c_name, 10, 3) = substr(b.c_name, 10, 3)
+        UNION ALL
+        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+         AND substr(a.c_name, 13, 3) = substr(b.c_name, 13, 3)
+        UNION ALL
+        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+         AND substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3))),
+    hit AS (SELECT cand.ka, cand.kb FROM cand
+            JOIN truth ON truth.ka = cand.ka AND truth.kb = cand.kb),
+    m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM cand) AS n_candidates,
+                 (SELECT count(*) FROM hit) AS n_true_candidates)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+           round(n_true_candidates * 1.0 / n_candidates, 6) AS precision,
+           round(n_true_candidates * 1.0 / n_truth, 6) AS recall
+    FROM m
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY audit for the entity-resolution family
+    (VERDICT_r06 #3): precision and recall of the pigeonhole substring
+    blocking (the exact scheme ``fuzzy_customer_name_pairs`` /
+    ``customer_golden_records`` ship) against a TRUTH SET of all
+    levenshtein ≤ 2 name pairs, computed all-pairs on the same bounded
+    deterministic stratum (custkey % 10 — the ``embedding_knn_label_spread``
+    pattern: truth is exact but declared-bounded, so the audit costs
+    |stratum|² name comparisons, not |corpus|²). Recall certifies the
+    pigeonhole guarantee empirically (equal-length digit names make
+    dist ≤ 2 pure substitutions, so ≥1 of 3 blocks must match → expect
+    1.0 — a drop below flags a name-format drift that broke the blocking
+    assumption); precision measures how much exact-verification work the
+    blocks admit. One summary row: counts + both ratios."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name")
+    )
+    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"))
+    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"))
+    truth = (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("ka", "kb")
+    )
+    blocks = [(10, 3), (13, 3), (16, 3)]
+    cand = None
+    for pos, width in blocks:
+        leg = a.join(
+            b,
+            (F.col("ka") < F.col("kb"))
+            & (F.substring("na", pos, width) == F.substring("nb", pos, width)),
+        ).select("ka", "kb", "na", "nb")
+        cand = leg if cand is None else cand.unionAll(leg)
+    cand = cand.distinct()
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = (
+        cand.filter(F.levenshtein("na", "nb") <= 2)
+        .agg(F.count("*").alias("n_true_candidates"))
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_true_candidates",
+            F.round(F.col("n_true_candidates") * 1.0 / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_true_candidates") * 1.0 / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+        )
     )
 
 
