@@ -537,6 +537,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "copurchase_pagerank",          # 1-row node-count broadcast per round
         "brand_parts_ppr",              # 1-row seed-count broadcast per round
         "copurchase_weighted_pagerank",  # 1-row node-count broadcast per round
+        "dsir_importance_selection",    # scalar LM-totals broadcast
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {
@@ -557,6 +558,8 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_knn_label_spread",  # all-pairs kNN build on the bounded subset
         "embedding_dbscan_clusters",   # all-pairs eps-graph on the bounded subset
         "er_blocking_quality",         # all-pairs TRUTH leg on the declared %10 stratum
+        "embedding_mutual_reach_clusters",  # all-pairs mr-graph on the bounded subset
+        "hard_negative_mining",        # broadcast bounded probe side (declared)
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -218,3 +218,124 @@ def test_label_dispersion_grouped_agg_pandas_udf(spark):
     assert out[0].dispersion == 1.0 and out[0].n_vectors == 2
     assert out[1].dispersion == 0.0
     assert out[2].dispersion == round(math.sqrt(2) / 2, 6)
+
+
+def test_mutual_reachability_dissolves_sparse_blob(spark):
+    """The distinctive mutual-reachability semantics: a 3-point blob is
+    TIGHT pairwise (d ~ 0) but SPARSE at k=4 (each member's 4th nearest
+    other point lies across the gap), so its core distances blow past eps
+    and the blob dissolves to noise — while the 5-point blob, dense at
+    k=4, clusters. A plain eps-graph (DBSCAN) would cluster both."""
+    import math as m
+
+    def unit(theta):
+        return [m.cos(theta), m.sin(theta)]
+
+    # 5-blob around 0 rad (spread 0.02 rad), 3-blob around pi/2
+    rows = [(i, unit(0.005 * i)) for i in range(5)]
+    rows += [(10 + i, unit(m.pi / 2 + 0.005 * i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.id: r.cluster
+        for r in similarity.mutual_reachability_clusters(df, k=4, eps=0.3).collect()
+    }
+    assert out[0] == out[1] == out[2] == out[3] == out[4] == 0  # min-id label
+    assert out[10] == out[11] == out[12] == -1  # dissolved to noise
+    # sanity: the same eps-graph WITHOUT core inflation keeps the 3-blob
+    db = {
+        r.id: r.cluster
+        for r in similarity.dbscan_cosine(df, min_pts=2, eps=0.3).collect()
+    }
+    assert db[10] == db[11] == db[12] == 10
+
+
+def test_mutual_reachability_matches_python_model(spark):
+    """Brute-force model replay on a deterministic pseudo-random set: same
+    cosine distances (sequential fold order), same k-th-NN core distance
+    (qb tiebreak), same eps-graph components (min-id labels)."""
+    import math as m
+    import random as rnd
+
+    rng = rnd.Random(7)
+    n, dim, k, eps = 24, 4, 3, 0.45
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+    def cos_d(a, b):
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(x * x for x in b))
+        return 1.0 - dp / (na * nb)
+
+    d = {(i, j): cos_d(vecs[i], vecs[j]) for i in vecs for j in vecs if i != j}
+    core = {}
+    for i in vecs:
+        nn = sorted(((d[(i, j)], j) for j in vecs if j != i))
+        core[i] = nn[k - 1][0]
+    # eps-graph on mutual reachability -> components via union-find
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = 0
+    for i in vecs:
+        for j in vecs:
+            if i < j and max(d[(i, j)], core[i], core[j]) <= eps:
+                edges += 1
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    assert 0 < edges  # non-vacuous draw
+    expect = {}
+    sizes: dict[int, int] = {}
+    for i in vecs:
+        sizes[find(i)] = sizes.get(find(i), 0) + 1
+    for i in vecs:
+        root = find(i)
+        expect[i] = root if sizes[root] > 1 else -1
+
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in vecs], ["vec_id", "embedding"]
+    )
+    got = {
+        r.id: r.cluster
+        for r in similarity.mutual_reachability_clusters(df, k=k, eps=eps).collect()
+    }
+    assert got == expect
+
+
+def test_hard_negative_is_nearest_other_label(spark):
+    """The mined negative must be the most-similar DIFFERENT-label vector
+    — same-label near-duplicates are skipped, ties break on lowest id."""
+    rows = [
+        (0, 0, [1.0, 0.0]),        # probe, label 0
+        (1, 0, [0.999, 0.01]),     # nearest overall but SAME label
+        (2, 1, [0.95, 0.3]),       # nearest other-label
+        (3, 1, [0.0, 1.0]),        # far other-label
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    # exercise the declared query's selection rule directly
+    base = df.select(
+        "vec_id", "label", "embedding", similarity.l2_norm("embedding").alias("n")
+    )
+    p = base.filter(F.col("vec_id") == 0)
+    c = base
+    pairs = c.alias("c").join(
+        p.alias("p"),
+        (F.col("c.vec_id") != F.col("p.vec_id"))
+        & (F.col("c.label") != F.col("p.label")),
+    ).select(
+        F.col("p.vec_id").alias("probe_id"),
+        F.col("c.vec_id").alias("neg_id"),
+        (
+            similarity.dot("p.embedding", "c.embedding")
+            / (F.col("p.n") * F.col("c.n"))
+        ).alias("cos"),
+    )
+    top = pairs.orderBy(F.col("cos").desc(), F.col("neg_id").asc()).first()
+    assert top.neg_id == 2  # not 1 (same label), not 3 (far)

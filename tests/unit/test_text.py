@@ -204,3 +204,33 @@ def test_winnowing_short_doc_and_param_guards(spark):
     assert T.winnowed_fingerprints(df, "text", "doc_id", k=3, window=4).count() == 0
     with pytest.raises(ValueError, match="window"):
         T.winnowed_fingerprints(df, "text", "doc_id", k=0)
+
+
+def test_dsir_importance_stats_hand_case(spark):
+    """Hand-checked log-ratio LM: target corpus 'a a b', source docs
+    'a a' (in-domain-looking) and 'c c' (out-of-domain) — the 'a' doc
+    must outscore the 'c' doc, and both means must equal the closed-form
+    smoothed ratio."""
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    rows = [
+        (1, "a a b", True),
+        (2, "a a", False),
+        (3, "c c", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    out = {
+        r.doc_id: (r.n_tokens, r.avg_log_ratio)
+        for r in T.dsir_importance_stats(df, "text", "doc_id", "is_target").collect()
+    }
+    assert set(out) == {2, 3}  # target doc never scored
+    # counts: ct(a)=2 ct(b)=1 ct(c)=0; cs(a)=2 cs(b)=0 cs(c)=2
+    # Nt=3, Ns=4, V=3 (union vocab)
+    def term(ct, cs):
+        return round(math.log((ct + 1) / (3 + 3)) - math.log((cs + 1) / (4 + 3)), 12)
+
+    assert out[2] == (2, round(term(2, 2), 6))
+    assert out[3] == (2, round(term(0, 2), 6))
+    assert out[2][1] > out[3][1]  # in-domain-looking source doc wins

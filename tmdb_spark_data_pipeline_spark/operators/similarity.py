@@ -790,3 +790,86 @@ def dbscan_cosine(
         .select("id", F.lit(-1).cast("long").alias("cluster"), F.lit("noise").alias("role"))
     )
     return labeled.unionByName(noise)
+
+
+def mutual_reachability_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    eps: float = 0.75,
+) -> DataFrame:
+    """Density clustering over the MUTUAL REACHABILITY distance — the
+    HDBSCAN* smoothing of ``dbscan_cosine`` (Campello/Moulavi/Sander):
+    ``d_mr(a,b) = max(core_k(a), core_k(b), d(a,b))`` where ``core_k(x)``
+    is x's cosine distance to its k-th nearest other point. Inflating
+    every pairwise distance to at least both endpoints' core distances
+    makes sparse-region points repel — the single-link "noise bridge"
+    that chains two dense blobs through a stray midpoint under plain
+    DBSCAN dissolves, because the midpoint's large core distance poisons
+    every edge through it. Clusters are the connected components of the
+    ``d_mr ≤ eps`` graph, labeled by minimum member id (deterministic,
+    replayable); isolated points get cluster −1. Output:
+    (id, cluster, core_dist) with core_dist rounded at 6 for display —
+    edges compare on the RAW doubles, identically computed in any engine
+    that evaluates the same expression shape.
+
+    All-pairs distances are the declared exactness baseline (bounded
+    subset, the ``dbscan_cosine`` contract); the 100 TB path feeds the
+    same core-distance window + edge filter from LSH/IVF candidate pairs
+    (core_k then needs k neighbors per point among candidates — standard
+    HDBSCAN-on-ANN practice). Downstream of the pair list everything is
+    one window + key-partitioned joins + the CC loop on a tiny edge set.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = base.select(
+        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    dist = (
+        a.join(b, F.col("qa") != F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
+        )
+        # two consumers (core-distance window, mr-edge join) — materialize
+        # the pair list once; ContextCleaner frees localCheckpoint blocks
+        .localCheckpoint()
+    )
+    wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
+    core = (
+        dist.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == k)
+        .select(F.col("qa").alias("__id"), F.col("__d").alias("__cd"))
+    )
+    ca = core.select(F.col("__id").alias("qa"), F.col("__cd").alias("__ca"))
+    cb = core.select(F.col("__id").alias("qb"), F.col("__cd").alias("__cb"))
+    edges = (
+        dist.filter(F.col("qa") < F.col("qb"))
+        .join(ca, "qa")
+        .join(cb, "qb")
+        .filter(F.greatest("__d", "__ca", "__cb") <= eps)
+        .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"))
+    )
+    comp = dedup.connected_components(edges)
+    labeled = base.select(F.col("__id").alias("id")).join(comp, "id", "left")
+    return (
+        labeled.join(core.select(F.col("__id").alias("id"), "__cd"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("comp", F.lit(-1)).cast("long").alias("cluster"),
+            F.round(F.col("__cd"), 6).alias("core_dist"),
+        )
+    )

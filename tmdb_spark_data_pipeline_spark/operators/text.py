@@ -615,3 +615,62 @@ def winnowed_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def dsir_importance_stats(
+    df: DataFrame, text_col: str, id_col: str, target_col: str
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023 — public method): fit add-one-smoothed unigram LMs on
+    the TARGET-domain slice and the SOURCE (non-target) slice of the same
+    corpus, then score every source document by its mean per-token
+    log-likelihood ratio ``ln p_target(w) − ln p_source(w)``. High
+    scores = out-of-domain documents that LOOK in-domain — the ones
+    importance resampling promotes into the training mix.
+
+    ``target_col`` is a boolean column marking target-domain rows.
+    Returns (id, n_tokens, avg_log_ratio) for SOURCE documents only.
+
+    Distributed shape: ONE tokenization pass carries the target flag, so
+    a single grouped aggregate yields both LMs' counts (sum(flag) /
+    sum(1−flag) per token — map-side partial); the three scalars (target
+    total N_t, source total N_s, shared vocab V) reduce from that counts
+    table; scoring is the token-stream ⋈ counts equi-join (AQE picks
+    broadcast vs co-partitioned by vocab size — never unconditional) +
+    one per-document aggregate. Document text never shuffles. Both
+    smoothers share the UNION vocabulary V so a token unseen in the
+    target still gets smoothing mass. Determinism: each token's ratio
+    term is a fixed-shape double expression rounded at 12 then
+    decimal-summed, the ``unigram_logprob_stats`` discipline."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(_col(text_col)))).alias("__w"),
+        F.col(target_col).cast("int").alias("__t"),
+    ).filter(F.col("__w") != "")
+    counts = tok.groupBy("__w").agg(
+        F.sum("__t").alias("__ct"),
+        F.sum(1 - F.col("__t")).alias("__cs"),
+    )
+    scalars = counts.agg(
+        F.sum("__ct").alias("__nt"),
+        F.sum("__cs").alias("__ns"),
+        F.count("*").alias("__v"),
+    )
+    scored = (
+        tok.filter(F.col("__t") == 0)
+        .join(counts, "__w")
+        .crossJoin(F.broadcast(scalars))
+    )
+    term = F.log(
+        (F.col("__ct") + 1).cast("double") / (F.col("__nt") + F.col("__v"))
+    ) - F.log((F.col("__cs") + 1).cast("double") / (F.col("__ns") + F.col("__v")))
+    per_doc = scored.groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(30,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_log_ratio"),
+    )
+    return per_doc.select(F.col("__id").alias(id_col), "n_tokens", "avg_log_ratio")

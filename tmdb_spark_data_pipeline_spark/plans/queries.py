@@ -8863,6 +8863,191 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_mutual_reach_clusters",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    nrm AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    dist AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                    1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                          / (a.nf * b.nf) AS d
+             FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    core AS (SELECT qa AS id, d AS cd FROM dist
+             QUALIFY row_number() OVER (PARTITION BY qa
+                                        ORDER BY d ASC, qb ASC) = 4),
+    e AS (SELECT d.qa, d.qb
+          FROM dist d JOIN core ca ON ca.id = d.qa
+                      JOIN core cb ON cb.id = d.qb
+          WHERE d.qa < d.qb AND greatest(d.d, ca.cd, cb.cd) <= 0.70),
+    edges AS (SELECT qa AS s, qb AS t FROM e UNION SELECT qb, qa FROM e),
+    reach AS (SELECT s, t FROM edges
+              UNION SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+    labels AS (SELECT s AS id, least(s, min(t)) AS comp FROM reach GROUP BY s)
+    SELECT s.vec_id AS id,
+           CAST(coalesce(l.comp, -1) AS BIGINT) AS cluster,
+           round(c.cd, 6) AS core_dist
+    FROM sub s LEFT JOIN labels l ON l.id = s.vec_id
+               LEFT JOIN core c ON c.id = s.vec_id
+    """,
+)
+def embedding_mutual_reach_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN*-style density clustering over the MUTUAL REACHABILITY
+    distance (``similarity.mutual_reachability_clusters``, k = 4,
+    eps = 0.70): every pairwise cosine distance is inflated to at least
+    both endpoints' core distances (distance to the 4th nearest other
+    point) before the eps-graph is built, so sparse-region points repel
+    and the single-link "noise bridge" failure mode of plain DBSCAN
+    (``embedding_dbscan_clusters``) dissolves — the standard robustness
+    upgrade (VERDICT_r06 #4's named candidate). Min-id component labels,
+    isolated points −1, per-point core distance in the output. Same
+    declared bounded-subset baseline contract as the DBSCAN query; at
+    scale the pair list comes from LSH/IVF candidates instead."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.mutual_reachability_clusters(
+        emb.select("vec_id", "embedding"), k=4, eps=0.70
+    )
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, w, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+        FROM documents)
+      WHERE w <> ''),
+    cnt AS (SELECT w, sum(t) AS ct, sum(1 - t) AS cs FROM tok GROUP BY w),
+    sc AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM cnt),
+    scored AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             round(CAST(sum(CAST(round(
+                     ln((cnt.ct + 1) * 1.0 / (sc.nt + sc.v))
+                   - ln((cnt.cs + 1) * 1.0 / (sc.ns + sc.v)), 12)
+                   AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+               AS avg_log_ratio
+      FROM tok JOIN cnt USING (w) CROSS JOIN sc
+      WHERE tok.t = 0
+      GROUP BY tok.doc_id)
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_log_ratio
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.avg_log_ratio DESC, s.doc_id ASC
+    LIMIT 20
+    """,
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (``text.dsir_importance_stats`` — Xie et
+    al. 2023, importance resampling with unigram features): unigram LMs
+    are fit on the English slice (the TARGET domain) and the non-English
+    remainder (the SOURCE pool) of the documents corpus; every source
+    document is scored by its mean per-token log-likelihood ratio, and
+    the top 20 — the out-of-domain documents that look most in-domain,
+    the ones importance resampling would promote into the training mix —
+    are emitted with language and token count. One tokenization pass
+    feeds both LMs (the flag travels with the token), the scoring join
+    never moves text, and the final top-k is a TakeOrdered over per-doc
+    rows. Deterministic: ratio terms rounded at 12 and decimal-summed,
+    output rounded at 6, (score desc, doc_id) total order."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.dsir_importance_stats(
+        docs.withColumn("__is_target", F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        "__is_target",
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("avg_log_ratio").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "lang", "n_tokens", "avg_log_ratio")
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH nrm AS (SELECT vec_id, label, embedding,
+                        sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+                 FROM embeddings),
+    p AS (SELECT * FROM nrm WHERE vec_id < 150),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+                 q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+               / (p.nf * c.nf) AS cos
+      FROM p JOIN nrm c ON c.vec_id <> p.vec_id AND c.label <> p.label)
+    SELECT probe_id, probe_label, neg_id AS hard_negative_id, neg_label,
+           round(cos, 6) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neg_id ASC) = 1
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training data: for each probe
+    embedding (bounded subset vec_id < 150 — the declared all-pairs
+    baseline contract), the single most cosine-similar vector with a
+    DIFFERENT label — the near-miss that teaches a contrastive model the
+    decision boundary, where random negatives (``negative_sampling_pairs``)
+    teach almost nothing. Broadcast the tiny probe side against the full
+    corpus, one windowed argmax per probe (cos desc, id tiebreak). At
+    100 TB the candidate pairs come from the LSH/IVF paths and the same
+    window runs per probe over candidates only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", "embedding", similarity.l2_norm("embedding").alias("__n")
+    )
+    p = base.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("__pv"),
+        F.col("__n").alias("__pn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    from pyspark.sql import Window
+
+    pairs = c.join(
+        F.broadcast(p),
+        (F.col("neg_id") != F.col("probe_id"))
+        & (F.col("neg_label") != F.col("probe_label")),
+    ).select(
+        "probe_id",
+        "probe_label",
+        "neg_id",
+        "neg_label",
+        (similarity.dot("__pv", "__cv") / (F.col("__pn") * F.col("__cn"))).alias(
+            "__cos"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("__cos").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("neg_id").alias("hard_negative_id"),
+            "neg_label",
+            F.round("__cos", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
     "l_diversity_audit",
     oracle="""
     WITH cls AS (
@@ -11322,6 +11507,9 @@ _SWEEP_FRONT = (
     "copurchase_weighted_pagerank",
     "kcore_incremental_maintenance",
     "winnow_match_clusters",
+    "embedding_mutual_reach_clusters",
+    "dsir_importance_selection",
+    "hard_negative_mining",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",
