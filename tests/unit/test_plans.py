@@ -538,6 +538,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "brand_parts_ppr",              # 1-row seed-count broadcast per round
         "copurchase_weighted_pagerank",  # 1-row node-count broadcast per round
         "dsir_importance_selection",    # scalar LM-totals broadcast
+        "embedding_source_calibration",  # 1-row global-centroid broadcast
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {

@@ -7910,6 +7910,95 @@ def quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "quality", "normalized")
 
 
+@query(
+    "embedding_source_calibration",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    -- round-at-12 BEFORE the decimal cast: casting an unrounded float
+    -- lets each engine round differently (Spark shortest-repr vs DuckDB
+    -- exact-double) — the one-ulp divergence this query's first draft hit
+    mu AS (SELECT pos, CAST(sum(CAST(round(CAST(val AS DOUBLE), 12)
+                                     AS DECIMAL(30,12))) AS DOUBLE)
+                       / count(*) AS m
+           FROM (SELECT unnest(embedding) AS val,
+                        generate_subscripts(embedding, 1) AS pos FROM e)
+           GROUP BY pos),
+    c AS (SELECT list(m ORDER BY pos) AS cvec FROM mu),
+    s AS (SELECT e.vec_id,
+                 round(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.cvec,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) AS centroid_cos
+          FROM e CROSS JOIN c),
+    q AS (SELECT s.vec_id, d.source, s.centroid_cos
+          FROM s JOIN documents d ON d.doc_id = s.vec_id),
+    g AS (SELECT centroid_cos AS gv,
+                 row_number() OVER (ORDER BY centroid_cos ASC, vec_id ASC) AS gi
+          FROM q),
+    t AS (SELECT count(*) AS n FROM q),
+    sr AS (SELECT vec_id, source, centroid_cos,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY centroid_cos ASC, vec_id ASC) AS i,
+                  count(*) OVER (PARTITION BY source) AS ns
+           FROM q)
+    SELECT sr.vec_id, sr.source, sr.centroid_cos, g.gv AS normalized
+    FROM sr CROSS JOIN t
+    JOIN g ON g.gi = (sr.i * t.n + sr.ns - 1) // sr.ns
+    """,
+)
+def embedding_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source calibration of an EMBEDDING-derived score
+    (VERDICT_r06 #8's named candidate — ``quality_quantile_normalized``'s
+    twin on the vector side): each vector's cosine to the global corpus
+    centroid — the "how typical is this embedding" score that drives
+    outlier triage and source weighting — is quantile-normalized per
+    source onto the global distribution (``calibrate.quantile_normalize``,
+    all-integer rank mapping), so a crawl source whose encoder runs
+    systematically hot no longer monopolizes a cross-source threshold.
+    The centroid is one exploded decimal-summed mean (≤ dim rows shuffle,
+    the ``kmeans_lloyd`` discipline); scoring is a broadcast of that
+    1-row centroid; scores round at 6 BEFORE ranking so the rank order is
+    engine-stable. Output: (vec_id, source, centroid_cos, normalized)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            (
+                # round-at-12 then cast (see the oracle comment): a direct
+                # float->decimal cast rounds differently per engine
+                F.sum(F.round(F.col("val").cast("double"), 12).cast("decimal(30,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.round(
+            similarity.dot("embedding", "cvec")
+            / (similarity.l2_norm("embedding") * similarity.l2_norm("cvec")),
+            6,
+        ).alias("centroid_cos"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    q = scored.join(docs, "vec_id")
+    out = calibrate.quantile_normalize(
+        q, "centroid_cos", "source", "vec_id", out_col="normalized"
+    )
+    return out.select("vec_id", "source", "centroid_cos", "normalized")
+
+
 def _jl_planes() -> list[list[float]]:
     """Seeded Gaussian planes shared by the engine and the oracle generator
     (same discipline as ``_lsh_planes`` — one generator, no literal drift)."""
@@ -11510,6 +11599,7 @@ _SWEEP_FRONT = (
     "embedding_mutual_reach_clusters",
     "dsir_importance_selection",
     "hard_negative_mining",
+    "embedding_source_calibration",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",
