@@ -9986,8 +9986,12 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"))
     b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"))
+    # the truth leg streams |stratum|² levenshtein evals through a BNLJ;
+    # a single-file parquet stratum arrives as ONE partition, which would
+    # serialize the whole quadratic pass on one core (dedup._spread rule)
     truth = (
-        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        dedup._spread(a)
+        .join(F.broadcast(b), F.col("ka") < F.col("kb"))
         .filter(F.levenshtein("na", "nb") <= 2)
         .select("ka", "kb")
     )
