@@ -1373,6 +1373,57 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+             len(list_filter(
+                 string_split_regex(trim(regexp_replace(text,
+                     '([\\.,;:!\\?\\(\\)\\[\\]\\{\\}"''])', ' \\1 ', 'g')), '\\s+'),
+                 x -> x <> '')) AS n_bpe
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_bpe_token,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS bpe_per_ws_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY profile per language — the compression-rate
+    audit behind multilingual token budgeting: languages whose text costs
+    more (sub-word) tokens per character eat disproportionate context and
+    training budget, so mixture weights set in *documents* or *bytes*
+    silently under-train them. Per lang: corpus sizes in chars /
+    whitespace words / BPE-ish tokens, chars-per-token (the fertility
+    inverse), and the sub-word blow-up ratio vs whitespace words. Pure
+    per-row expressions + one grouped integer sum — map-side partials,
+    one tiny shuffle; the ratios divide exact integers so no decimal
+    staging is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(text.tokens("text")).alias("n_ws"),
+        F.size(text.bpe_ish_tokens("text")).alias("n_bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_bpe"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 6).alias("bpe_per_ws_token"),
+    )
+
+
 def _language_id_oracle() -> str:
     """SQL twin of ``text.language_id`` generated from the same STOPWORDS
     table, so the heuristic and its oracle can't drift apart."""
@@ -11604,6 +11655,7 @@ _SWEEP_FRONT = (
     "dsir_importance_selection",
     "hard_negative_mining",
     "embedding_source_calibration",
+    "tokenizer_fertility_by_lang",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",
