@@ -213,3 +213,39 @@ def test_personalized_pagerank_pinned_values(spark):
         3: 343951743704,
         4: 83921009114,
     }
+
+
+def test_s_core_strength_vs_count_semantics(spark):
+    """The distinction that makes s-core not-a-k-core: a 2-partner node
+    with heavy edges survives s=6 (strength 6+6=12) while a 3-partner
+    weight-1 node (strength 3) peels — the OPPOSITE of a 3-core verdict.
+    Graph: heavy triangle {1,2,3} (w=6 each) + light star 4-{5,6,7}
+    (w=1 each)."""
+    edges = spark.createDataFrame(
+        [(1, 2, 6), (2, 3, 6), (1, 3, 6), (4, 5, 1), (4, 6, 1), (4, 7, 1)],
+        ["u", "v", "w"],
+    )
+    out = {r.node: (r.core_deg, r.core_weight) for r in graph.s_core(edges, 6).collect()}
+    assert out == {1: (2, 12), 2: (2, 12), 3: (2, 12)}  # star fully peeled
+
+
+def test_s_core_cascade_and_empty(spark):
+    # weighted chain 1-2-3-4 (w=3): ends have strength 3, middles 6;
+    # peeling ends drops middles to 3 -> cascade empties the s=6 core
+    chain = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 3), (3, 4, 3)], ["u", "v", "w"]
+    )
+    assert graph.s_core(chain, 6).count() == 0
+    # s=3 keeps everything
+    out = {r.node: r.core_weight for r in graph.s_core(chain, 3).collect()}
+    assert out == {1: 3, 2: 6, 3: 6, 4: 3}
+
+
+def test_s_core_raises_on_max_iter_exhaustion(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(1, 12)], ["u", "v", "w"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.s_core(chain, 3, max_iter=2)

@@ -517,3 +517,42 @@ def test_pagerank_weighted_matches_python_integer_model(spark, edges, iters):
         for r in graph.pagerank_weighted_fixed(df, iters=iters).collect()
     }
     assert got == rank
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    ),
+    s=st.integers(min_value=1, max_value=8),
+)
+def test_s_core_matches_python_peel_model(spark, edges, s):
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    seen: dict[tuple[int, int], int] = {}
+    for u, v, w in edges:
+        if u != v:
+            seen.setdefault((min(u, v), max(u, v)), w)
+    canon = sorted((u, v, w) for (u, v), w in seen.items())
+    if not canon:
+        return
+    es = {(u, v): w for u, v, w in canon}
+    while True:
+        stg: dict[int, int] = {}
+        for (u, v), w in es.items():
+            stg[u] = stg.get(u, 0) + w
+            stg[v] = stg.get(v, 0) + w
+        dead = {n for n, d in stg.items() if d < s}
+        if not dead:
+            break
+        es = {k: w for k, w in es.items() if k[0] not in dead and k[1] not in dead}
+    expect = {}
+    for (u, v), w in es.items():
+        for n in (u, v):
+            d, cw = expect.get(n, (0, 0))
+            expect[n] = (d + 1, cw + w)
+    df = spark.createDataFrame(canon, "u int, v int, w int")
+    got = {r.node: (r.core_deg, r.core_weight) for r in graph.s_core(df, s).collect()}
+    assert got == expect

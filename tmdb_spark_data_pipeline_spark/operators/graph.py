@@ -131,6 +131,70 @@ def kcore(
     )
 
 
+def s_core(
+    edges: DataFrame,
+    s: int,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The s-CORE (weighted k-core; Eidsaa & Almaas 2013, public method)
+    of an undirected weighted simple graph: iteratively peel every node
+    whose total incident edge WEIGHT (strength) is < ``s`` until none
+    remains. Where ``kcore`` filters on partner COUNT, this filters on
+    interaction VOLUME — a part with three weight-1 partners survives a
+    3-core but not an s=6 core, while a two-partner node with heavy
+    edges does; the density filter that respects how often things
+    co-occur, not just whether they do.
+
+    Returns ``(node, core_deg, core_weight)`` — surviving nodes with
+    their degree and strength INSIDE the core. Same Pregel discipline
+    and convergence guard as ``kcore``: per round one grouped weight sum
+    + two anti-joins carrying (long, long, long) rows, localCheckpoint
+    lineage truncation, a convergence scalar per round, and a raise if
+    ``max_iter`` rounds exhaust with light nodes remaining (silent
+    non-cores never escape)."""
+    sym = (
+        edges.select(
+            F.col(u_col).alias("src"), F.col(v_col).alias("dst"), F.col(w_col).alias("w")
+        )
+        .unionAll(
+            edges.select(
+                F.col(v_col).alias("src"), F.col(u_col).alias("dst"), F.col(w_col).alias("w")
+            )
+        )
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        wd = sym.groupBy("src").agg(F.sum("w").alias("__d"))
+        dead = wd.filter(F.col("__d") < s).select("src")
+        if dead.isEmpty():
+            converged = True
+            break
+        sym = (
+            sym.join(dead, "src", "left_anti")
+            .join(dead.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    if not converged and not (
+        sym.groupBy("src").agg(F.sum("w").alias("__d"))
+        .filter(F.col("__d") < s)
+        .isEmpty()
+    ):
+        raise RuntimeError(
+            f"s_core did not converge within max_iter={max_iter} rounds: "
+            f"strength-<{s} nodes remain (peel depth exceeds max_iter — "
+            "raise max_iter)"
+        )
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_deg"),
+        F.sum("w").cast("long").alias("core_weight"),
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     *,

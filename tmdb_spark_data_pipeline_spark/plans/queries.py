@@ -1424,6 +1424,63 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "distinct_ngram_diversity",
+    oracle=r"""
+    WITH d AS (
+      -- regex split + per-DOCUMENT shingling, the word_shingles convention
+      -- (shingles never cross document boundaries)
+      SELECT source, string_split_regex(lower(text), '\s+') AS w
+      FROM documents),
+    tri AS (
+      SELECT source,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS g
+      FROM d WHERE len(w) >= 3),
+    per AS (SELECT source, g, count(*) AS c FROM tri GROUP BY source, g)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS total_trigrams,
+           count(*) AS distinct_trigrams,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_trigrams,
+           round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS singleton_share
+    FROM per GROUP BY source
+    """,
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DIVERSITY audit via distinct-n (the Self-BLEU-adjacent
+    metric used to detect mode collapse in SYNTHETIC training data): per
+    source, total vs distinct word trigrams, the distinct ratio, and the
+    singleton share (trigrams seen exactly once). A source whose
+    generator loops templates shows a collapsing distinct ratio long
+    before eyeballing catches it — the gate a synthetic-data pipeline
+    runs before mixing machine-generated text into the corpus.
+    Frequency-sensitive shingles (``distinct=False``) — dedup within a
+    document must COUNT here — then one (source, trigram) grouped count;
+    shuffle rows are (source, 3-word string) pairs, never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "source",
+        F.explode(
+            dedup.word_shingles(F.lower(F.col("text")), 3, distinct=False)
+        ).alias("g"),
+    )
+    per = tri.groupBy("source", "g").agg(F.count("*").alias("c"))
+    return per.groupBy("source").agg(
+        F.sum("c").cast("long").alias("total_trigrams"),
+        F.count("*").alias("distinct_trigrams"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("singleton_trigrams"),
+        F.round(F.count("*") * 1.0 / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) * 1.0 / F.count("*"), 6
+        ).alias("singleton_share"),
+    )
+
+
 def _language_id_oracle() -> str:
     """SQL twin of ``text.language_id`` generated from the same STOPWORDS
     table, so the heuristic and its oracle can't drift apart."""
@@ -8736,6 +8793,73 @@ def copurchase_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_score",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    sym AS (SELECT u AS src, v AS dst, CAST(n_orders AS BIGINT) AS w FROM e0
+            UNION ALL SELECT v, u, CAST(n_orders AS BIGINT) FROM e0),
+    peel AS (
+      SELECT src, dst, w, 0 AS it FROM sym
+      UNION ALL
+      SELECT src, dst, w, it + 1 FROM (
+          SELECT src, dst, w, it, total,
+                 sum(CASE WHEN ds >= 80 AND dd >= 80 THEN 1 ELSE 0 END)
+                   OVER () AS n_surv,
+                 ds, dd
+          FROM (
+            SELECT src, dst, w, it,
+                   sum(w) OVER (PARTITION BY src) AS ds,
+                   sum(w) OVER (PARTITION BY dst) AS dd,
+                   count(*) OVER () AS total
+            FROM peel))
+      WHERE ds >= 80 AND dd >= 80 AND n_surv < total
+    ),
+    last AS (SELECT src, dst, w FROM peel
+             WHERE it = (SELECT max(it) FROM peel)),
+    chk AS (SELECT src, dst, w,
+                   sum(w) OVER (PARTITION BY src) AS ds,
+                   sum(w) OVER (PARTITION BY dst) AS dd
+            FROM last)
+    SELECT src AS node, count(*) AS core_deg,
+           CAST(sum(w) AS BIGINT) AS core_weight
+    FROM chk
+    WHERE (SELECT min(CASE WHEN ds >= 80 AND dd >= 80 THEN 1 ELSE 0 END)
+           FROM chk) = 1
+    GROUP BY 1
+    """,
+)
+def copurchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s=80 S-CORE of the FULL weighted co-purchase graph
+    (``graph.s_core``): peel parts whose total co-purchase VOLUME
+    (strength = Σ co-occurrence counts over surviving partners) is
+    < 80 — the weighted companion to ``copurchase_kcore``, which this
+    graph makes genuinely different: weight-1 edges (dropped entirely by
+    the k-core's ≥2 filter) contribute volume here, and a node with few
+    heavy partners survives where a count filter kills it. Same
+    recursive-peel oracle with the empty-core termination
+    disambiguation; the final all-survive check is on STRENGTH. Output:
+    (node, core_deg, core_weight) — non-vacuous at every SF (187/200,
+    1889/2000, 18891/20000 nodes survive)."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    return graph.s_core(edges, 80)
+
+
+@query(
     "kcore_incremental_maintenance",
     oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
     -- full-recompute oracle: the peel over edges built in ONE pass, plus
@@ -11656,6 +11780,8 @@ _SWEEP_FRONT = (
     "hard_negative_mining",
     "embedding_source_calibration",
     "tokenizer_fertility_by_lang",
+    "distinct_ngram_diversity",
+    "copurchase_score",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",
