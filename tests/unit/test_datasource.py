@@ -136,3 +136,76 @@ def test_rest_stream_pages_and_replays(spark):
     run_stream_to_memory(agg, "rest_stream_probe", output_mode="complete")
     got = {r.success: r.n for r in spark.table("rest_stream_probe").collect()}
     assert got == {True: 2, False: 1}
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """The writer's commit protocol: staged temp files are renamed to
+    part-N ONLY at commit, a _SUCCESS marker carries the total row count,
+    and no _tmp_ staging files survive a successful job."""
+    import json
+    import os
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    path = str(tmp_path / "jsonl_commit")
+    df = spark.range(0, 50).selectExpr("id", "id * 3 AS v")
+    df.repartition(3).write.format("jsonl_py").option("path", path).mode(
+        "overwrite"
+    ).save()
+    names = sorted(os.listdir(path))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_tmp_") for n in names)
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 3
+    rows = []
+    for p in parts:
+        rows += [json.loads(ln) for ln in open(os.path.join(path, p))]
+    assert sorted(r["id"] for r in rows) == list(range(50))
+    assert open(os.path.join(path, "_SUCCESS")).read() == "50"
+
+
+def test_jsonl_writer_failed_job_preserves_previous_output(spark, tmp_path):
+    """Write-first discipline: a job that fails mid-write must leave the
+    previously committed part files and _SUCCESS fully intact (rename
+    happens only in commit, which a failed job never reaches)."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    path = str(tmp_path / "jsonl_atomic")
+    good = spark.range(0, 10).selectExpr("id", "id AS v")
+    good.write.format("jsonl_py").option("path", path).mode("overwrite").save()
+    bad = spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") < 5, F.col("id"))
+        .otherwise(F.raise_error(F.lit("boom")))
+        .alias("v"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        bad.write.format("jsonl_py").option("path", path).mode("overwrite").save()
+    names = sorted(os.listdir(path))
+    parts = [n for n in names if n.startswith("part-")]
+    rows = []
+    for p in parts:
+        rows += [json.loads(ln) for ln in open(os.path.join(path, p))]
+    assert sorted(r["id"] for r in rows) == list(range(10))  # old data intact
+    # a subsequent good overwrite still lands cleanly (staging junk cleared)
+    spark.range(0, 4).selectExpr("id", "id AS v").write.format("jsonl_py").option(
+        "path", path
+    ).mode("overwrite").save()
+    names2 = sorted(os.listdir(path))
+    assert not any(n.startswith("_tmp_") for n in names2)
+    rows2 = []
+    for p in [n for n in names2 if n.startswith("part-")]:
+        rows2 += [json.loads(ln) for ln in open(os.path.join(path, p))]
+    assert sorted(r["id"] for r in rows2) == list(range(4))

@@ -582,7 +582,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
     SIDE_EFFECT = {
         "json_roundtrip", "csv_roundtrip", "orc_roundtrip", "xml_roundtrip",
         "partitioned_roundtrip", "zorder_key_sample", "bucketed_join_revenue",
-        "multimodal_features",
+        "multimodal_features", "pyds_jsonl_roundtrip",
     }
     offenders: dict[str, str] = {}
     probes = {n: spec.fn for n, spec in REGISTRY.items() if n not in streaming}

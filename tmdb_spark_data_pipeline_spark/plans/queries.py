@@ -1831,6 +1831,56 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pyds_jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2)
+             AS sum_total
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY 1
+    """,
+)
+def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER round trip
+    (``sources.datasource.JsonLinesDataSource`` — the sink-side
+    counterpart of the custom Python sources): a filtered orders slice is
+    written through ``format("jsonl_py")`` — per-task staging files, a
+    driver-side two-phase commit that renames only reported attempts and
+    drops a ``_SUCCESS`` marker — then read back with an EXPLICIT schema
+    and aggregated; the oracle aggregates the original table, so the green
+    row certifies values survive the full task→commit→rename→read cycle.
+    Decimal staging keeps the money sum exact through the JSON text form."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.datasource import register_jsonl_writer
+
+    register_jsonl_writer(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pyds_jsonl_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.format(
+        "jsonl_py"
+    ).option("path", path).mode("overwrite").save()
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(os.path.join(path, "part-*.jsonl"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("sum_total"),
+    )
+
+
+@query(
     "partitioned_roundtrip",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
@@ -11782,6 +11832,7 @@ _SWEEP_FRONT = (
     "tokenizer_fertility_by_lang",
     "distinct_ngram_diversity",
     "copurchase_score",
+    "pyds_jsonl_roundtrip",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",

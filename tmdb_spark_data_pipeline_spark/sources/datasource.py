@@ -29,8 +29,15 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .rest import RetryPolicy, fetch_with_retry
 
@@ -298,3 +305,109 @@ class RestStreamDataSource(DataSource):
 
 def register_rest_stream(spark) -> None:
     spark.dataSource.register(RestStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER — the sink-side counterpart of the sources above
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged temp file + its row count."""
+
+    tmp_name: str = ""
+    n_rows: int = 0
+
+
+class JsonLinesDataSource(DataSource):
+    """Batch JSON-lines SINK via the Spark 4 Python DataSource writer API —
+    ``df.write.format("jsonl_py").option("path", ...).mode("overwrite").save()``.
+
+    Demonstrates the full two-phase WriterCommitMessage protocol in Python
+    (the piece ``RestDataSource`` doesn't cover — reference S5 is a plain
+    driver-side JSON dump, ``fetch_movies.py:285-286``):
+
+    - each task streams its partition to ``_tmp_<taskAttemptId>.jsonl``
+      (attempt-unique name, so speculative / retried attempts never
+      collide) and returns the temp name + row count as its commit message;
+    - the DRIVER's ``commit`` renames exactly the reported temp files to
+      final ``part-N.jsonl`` names and drops a ``_SUCCESS`` marker —
+      temp files from failed or speculative attempts are never renamed, so
+      readers (which ignore ``_tmp_*``) see an all-or-nothing result;
+    - ``abort`` deletes whatever staged files the failed job reported.
+
+    Options: ``path`` (required). Overwrite mode clears previous committed
+    output at commit time (write-first: the old data survives any failure
+    before the final rename step, the ``write_bucketed_table`` discipline).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_py"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_py writer requires option 'path'")
+        return JsonLinesWriter(path, [f.name for f in schema.fields], overwrite)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, field_names: list, overwrite: bool):
+        self.path = path
+        self.field_names = field_names
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"_tmp_{attempt}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.field_names, row)), default=str))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp_name=tmp_name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+            total += m.n_rows
+        # stale temp files (failed/speculative attempts, earlier crashes)
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp_"):
+                os.remove(os.path.join(self.path, name))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.tmp_name))
+
+
+def register_jsonl_writer(spark) -> None:
+    """Register the JSON-lines sink: ``register_jsonl_writer(spark)`` then
+    ``df.write.format("jsonl_py").option("path", ...).save()``."""
+    spark.dataSource.register(JsonLinesDataSource)
