@@ -1461,7 +1461,9 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     document must COUNT here — then one (source, trigram) grouped count;
     shuffle rows are (source, 3-word string) pairs, never documents."""
     docs = _t(spark, sf_dir, "documents")
-    tri = docs.select(
+    # single-file parquet arrives as ONE partition; spread before the
+    # per-row shingle transform or one core does all the explode work
+    tri = dedup._spread(docs.select("source", "text")).select(
         "source",
         F.explode(
             dedup.word_shingles(F.lower(F.col("text")), 3, distinct=False)
