@@ -105,17 +105,20 @@ def kcore(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         deg = sym.groupBy("src").agg(F.count("*").alias("__d"))
-        dead = deg.filter(F.col("__d") < k).select("src")
+        # three consumers of the tiny dead list (probe + both anti-join
+        # sides) — materialize once, not three degree aggregates per round
+        dead = deg.filter(F.col("__d") < k).select("src").localCheckpoint()
         if dead.isEmpty():
             converged = True
             break
-        sym = (
-            sym.join(dead, "src", "left_anti")
-            .join(dead.select(F.col("src").alias("dst")), "dst", "left_anti")
-            .localCheckpoint()
+        sym = sym.join(dead, "src", "left_anti").join(
+            dead.select(F.col("src").alias("dst")), "dst", "left_anti"
         )
+        # every-other-round truncation — see s_core / pagerank_fixed
+        if i % 2 == 1:
+            sym = sym.localCheckpoint()
     if not converged and not (
         sym.groupBy("src").agg(F.count("*").alias("__d"))
         .filter(F.col("__d") < k)
@@ -168,17 +171,25 @@ def s_core(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         wd = sym.groupBy("src").agg(F.sum("w").alias("__d"))
-        dead = wd.filter(F.col("__d") < s).select("src")
+        # the dead set has three consumers (the convergence probe + both
+        # anti-join sides); materialize the tiny node list once instead of
+        # re-running the full-edge-list strength aggregate three times
+        dead = wd.filter(F.col("__d") < s).select("src").localCheckpoint()
         if dead.isEmpty():
             converged = True
             break
-        sym = (
-            sym.join(dead, "src", "left_anti")
-            .join(dead.select(F.col("src").alias("dst")), "dst", "left_anti")
-            .localCheckpoint()
+        sym = sym.join(dead, "src", "left_anti").join(
+            dead.select(F.col("src").alias("dst")), "dst", "left_anti"
         )
+        # truncate every OTHER round (the pagerank_fixed measurement): two
+        # rounds of broadcast-anti-join lineage is shallow and cheap to
+        # recompute, while each eager localCheckpoint materializes the full
+        # surviving edge list — halving them saves ~1/3 of the loop wall on
+        # a million-edge graph
+        if i % 2 == 1:
+            sym = sym.localCheckpoint()
     if not converged and not (
         sym.groupBy("src").agg(F.sum("w").alias("__d"))
         .filter(F.col("__d") < s)
