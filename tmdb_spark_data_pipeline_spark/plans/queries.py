@@ -6267,6 +6267,75 @@ def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_pyds_jsonl_totals",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_pyds_jsonl_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PYTHON DATASOURCE SINK, driver-gated
+    (``sources.datasource.JsonLinesStreamWriter`` — the DataSource-API twin
+    of ``stream_exactly_once_totals``'s foreachBatch sink): the event
+    stream lands as JSON-lines through the writer's per-EPOCH two-phase
+    commit (attempt-unique staging, commit renames only reported attempts
+    under the epoch's prefix and REPLACES a retried epoch's earlier files),
+    run TWICE against the same checkpoint — the second ``AvailableNow``
+    pass must be a committed-offset no-op. Green iff the doubly-run sink's
+    files, read back with an explicit schema, still equal the batch
+    aggregate: duplication from either retry path breaks the counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.datasource import register_jsonl_writer
+    from ..streaming.windows import stream_from_parquet_dir
+
+    register_jsonl_writer(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_pyds_stream_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_pyds_sckpt_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def _run(name: str) -> None:
+        stream = stream_from_parquet_dir(
+            spark, os.path.dirname(src), schema, glob_filter=os.path.basename(src)
+        ).select("event_id", "event_type", "value")
+        q = (
+            stream.writeStream.format("jsonl_py")
+            .queryName(name)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+
+    _run("pyds_jsonl_1")
+    _run("pyds_jsonl_2")  # committed offsets -> must add nothing
+    back_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(back_schema).json(os.path.join(out, "part-*.jsonl"))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(_dsum(F.col("value")), 2).alias("total"),
+    )
+
+
+@query(
     "basket_item_lift",
     oracle="""
     WITH items AS (
@@ -10160,7 +10229,12 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "er_blocking_quality",
     oracle="""
-    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0),
+    -- stratum is SF-INVARIANT above sf0.1: the custkey cap fixes the truth
+    -- set at <= 1500 names, so the declared |stratum|^2 audit cost stops
+    -- growing with the corpus (sampled truth estimates recall/precision
+    -- just as well)
+    WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 10 = 0 AND c_custkey <= 15000),
     truth AS (
       SELECT a.c_custkey AS ka, b.c_custkey AS kb
       FROM c a JOIN c b ON a.c_custkey < b.c_custkey
@@ -10208,7 +10282,9 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks admit. One summary row: counts + both ratios."""
     c = (
         _t(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 10 == 0)
+        # the custkey cap makes the stratum SF-invariant above sf0.1
+        # (<= 1500 names at any scale) — the truth cost stays bounded
+        .filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") <= 15000))
         .select("c_custkey", "c_name")
     )
     a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"))
@@ -11752,6 +11828,7 @@ STREAM_REPLAY_ONLY: dict[str, str] = {
     "stream_dedup_watermarked": "dropDuplicatesWithinWatermark is rejected on batch DataFrames",
     "stream_cdc_last_state": "applyInPandasWithState is streaming-only",
     "stream_exactly_once_totals": "foreachBatch exactly-once sink protocol",
+    "stream_pyds_jsonl_totals": "Python DataSource stream-writer epoch-commit protocol",
     "stream_python_source_totals": "custom Python streaming DataSource",
     "stream_rest_ingest_audit": "custom REST streaming source",
     "stream_late_data_accounting": "watermark drop/evict semantics ARE the query",
@@ -11835,6 +11912,7 @@ _SWEEP_FRONT = (
     "distinct_ngram_diversity",
     "copurchase_score",
     "pyds_jsonl_roundtrip",
+    "stream_pyds_jsonl_totals",
     "hll_mergeable_rollup",
     # --- last verified r1 ---
     "doc_quality_scores",

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -352,6 +353,12 @@ class JsonLinesDataSource(DataSource):
             raise ValueError("jsonl_py writer requires option 'path'")
         return JsonLinesWriter(path, [f.name for f in schema.fields], overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_py stream writer requires option 'path'")
+        return JsonLinesStreamWriter(path, [f.name for f in schema.fields])
+
 
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, path: str, field_names: list, overwrite: bool):
@@ -411,3 +418,65 @@ def register_jsonl_writer(spark) -> None:
     """Register the JSON-lines sink: ``register_jsonl_writer(spark)`` then
     ``df.write.format("jsonl_py").option("path", ...).save()``."""
     spark.dataSource.register(JsonLinesDataSource)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``JsonLinesWriter`` — the per-EPOCH two-phase
+    commit that makes the sink exactly-once under Structured Streaming's
+    retry model: a failed/retried micro-batch re-runs ``write`` (new
+    attempt-unique temp files) and then ``commit(messages, batchId)``
+    REPLACES any files a previous attempt of the SAME batch already
+    renamed (epoch-idempotent), so replays never duplicate rows — the
+    ``foreachBatch`` dynamic-partition-overwrite discipline of
+    ``streaming/sinks.py``, expressed through the DataSource API."""
+
+    def __init__(self, path: str, field_names: list):
+        self.path = path
+        self.field_names = field_names
+
+    def write(self, iterator) -> _JsonlCommit:
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"_tmp_{attempt}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.field_names, row)), default=str))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp_name=tmp_name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        prefix = f"part-{batchId:09d}-"
+        # epoch idempotence: a retried batch replaces its own earlier files
+        for name in os.listdir(self.path):
+            if name.startswith(prefix):
+                os.remove(os.path.join(self.path, name))
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"{prefix}{i:05d}.jsonl"),
+            )
+            total += m.n_rows
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp_"):
+                os.remove(os.path.join(self.path, name))
+        with open(os.path.join(self.path, f"_epoch_{batchId:09d}"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages, batchId: int) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.tmp_name))
