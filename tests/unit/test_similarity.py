@@ -339,3 +339,87 @@ def test_hard_negative_is_nearest_other_label(spark):
     )
     top = pairs.orderBy(F.col("cos").desc(), F.col("neg_id").asc()).first()
     assert top.neg_id == 2  # not 1 (same label), not 3 (far)
+
+
+def test_dbscan_roles_and_min_id_border_attach(spark):
+    """Crafted DBSCAN case pinning all three roles and the deterministic
+    border rule: a 4-point dense blob (cores at minPts=4, self included),
+    one border point within eps of a core but with too few neighbors, and
+    one far noise point. A border point adjacent to TWO clusters must
+    attach to the SMALLER cluster id (the replayable min rule)."""
+    import math as m
+
+    def unit(theta):
+        return [m.cos(theta), m.sin(theta)]
+
+    rows = [(i, unit(0.06 * i)) for i in range(4)]            # blob A: cores
+    rows += [(10, unit(0.44))]                                # border of A
+    rows += [(20 + i, unit(m.pi / 2 + 0.06 * i)) for i in range(4)]  # blob B
+    rows += [(30, unit(m.pi))]                                # noise
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.id: (r.cluster, r.role)
+        for r in similarity.dbscan_cosine(df, eps=0.05, min_pts=4).collect()
+    }
+    for i in range(4):
+        assert out[i] == (0, "core")
+    for i in range(4):
+        assert out[20 + i] == (20, "core")
+    assert out[30] == (-1, "noise")
+    # the point at 0.44 rad reaches ONLY the 0.18-rad core within eps
+    # (1-cos(0.26) ~ 0.034 <= 0.05; next-closest 1-cos(0.32) ~ 0.051 > eps),
+    # so it has 1 neighbor (< min_pts) but sits within eps of a core:
+    # a BORDER point of cluster 0
+    assert out[10] == (0, "border")
+
+
+def test_dbscan_matches_python_model(spark):
+    """Brute-force replay of the deterministic DBSCAN definition on a
+    pseudo-random set: same eps-graph, same core rule (self included),
+    same min-id component labels, same min-cluster border attach."""
+    import math as m
+    import random as rnd
+
+    rng = rnd.Random(11)
+    n, dim, eps, min_pts = 26, 3, 0.35, 3
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+    def cos_d(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        return 1.0 - dp / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(x * x for x in b)))
+
+    near = {i: {j for j in vecs if j != i and cos_d(vecs[i], vecs[j]) <= eps} for i in vecs}
+    cores = {i for i in vecs if len(near[i]) + 1 >= min_pts}
+    # CC over core-core edges, min-id labels
+    parent = {i: i for i in cores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in cores:
+        for j in near[i]:
+            if j in cores:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expect = {}
+    for i in cores:
+        expect[i] = (find(i), "core")
+    for i in vecs:
+        if i in cores:
+            continue
+        adj = [find(j) for j in near[i] if j in cores]
+        if adj:
+            expect[i] = (min(adj), "border")
+        else:
+            expect[i] = (-1, "noise")
+
+    df = spark.createDataFrame([(i, vecs[i]) for i in vecs], ["vec_id", "embedding"])
+    got = {
+        r.id: (r.cluster, r.role)
+        for r in similarity.dbscan_cosine(df, eps=eps, min_pts=min_pts).collect()
+    }
+    assert got == expect
