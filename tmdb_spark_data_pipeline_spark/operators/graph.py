@@ -236,16 +236,21 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degree is static across rounds — attach it to the edge list ONCE
+    # so each round needs a single (node, rank)⋈edges join, not two
+    sym_deg = (
+        sym.join(deg, "src")
+        .select(F.col("src").alias("node"), "dst", "outdeg")
+        .localCheckpoint()
+    )
     n = deg.agg(F.count("*").alias("__nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
         F.expr(f"CAST({scale} DIV __nn AS BIGINT)").alias("rank"),
     )
     for i in range(iters):
-        contrib = (
-            ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
-            .join(sym.select(F.col("src").alias("node"), "dst"), "node")
-            .select("dst", F.expr("rank DIV outdeg").alias("__c"))
+        contrib = ranks.join(sym_deg, "node").select(
+            "dst", F.expr("rank DIV outdeg").alias("__c")
         )
         ranks = (
             contrib.groupBy("dst")
@@ -304,16 +309,21 @@ def pagerank_weighted_fixed(
         .localCheckpoint()
     )
     deg = sym.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # static weighted degree attached to the edge list once (see
+    # pagerank_fixed) — one join per round instead of two
+    sym_deg = (
+        sym.join(deg, "src")
+        .select(F.col("src").alias("node"), "dst", "w", "wdeg")
+        .localCheckpoint()
+    )
     n = deg.agg(F.count("*").alias("__nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
         F.expr(f"CAST({scale} DIV __nn AS BIGINT)").alias("rank"),
     )
     for i in range(iters):
-        contrib = (
-            ranks.join(deg.select(F.col("src").alias("node"), "wdeg"), "node")
-            .join(sym.select(F.col("src").alias("node"), "dst", "w"), "node")
-            .select("dst", F.expr("(rank * w) DIV wdeg").alias("__c"))
+        contrib = ranks.join(sym_deg, "node").select(
+            "dst", F.expr("(rank * w) DIV wdeg").alias("__c")
         )
         ranks = (
             contrib.groupBy("dst")
@@ -389,21 +399,35 @@ def personalized_pagerank_fixed(
         )
         .select("node", F.coalesce("rank", F.lit(0).cast("bigint")).alias("rank"))
     )
+    # static out-degree attached once (see pagerank_fixed), and the static
+    # per-node teleport base folded onto the node list once — each round is
+    # then ONE edge join + ONE grouped sum + ONE node-list left join
+    sym_deg = (
+        sym.join(deg, "src")
+        .select(F.col("src").alias("node"), "dst", "outdeg")
+        .localCheckpoint()
+    )
+    node_base = (
+        deg.select(F.col("src").alias("node"))
+        .join(base, "node", "left")
+        .select(
+            "node", F.coalesce("__base", F.lit(0).cast("bigint")).alias("__base")
+        )
+        .localCheckpoint()
+    )
     for i in range(iters):
-        contrib = (
-            ranks.join(deg.select(F.col("src").alias("node"), "outdeg"), "node")
-            .join(sym.select(F.col("src").alias("node"), "dst"), "node")
-            .select("dst", F.expr("rank DIV outdeg").alias("__c"))
+        contrib = ranks.join(sym_deg, "node").select(
+            "dst", F.expr("rank DIV outdeg").alias("__c")
         )
         summed = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
         ranks = (
-            deg.select(F.col("src").alias("node"))
-            .join(summed.select(F.col("dst").alias("node"), "__s"), "node", "left")
-            .join(base, "node", "left")
+            node_base.join(
+                summed.select(F.col("dst").alias("node"), "__s"), "node", "left"
+            )
             .select(
                 "node",
                 (
-                    F.coalesce("__base", F.lit(0).cast("bigint"))
+                    F.col("__base")
                     + F.expr("CAST((85 * coalesce(__s, 0)) DIV 100 AS BIGINT)")
                 ).alias("rank"),
             )
