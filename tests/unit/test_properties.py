@@ -556,3 +556,178 @@ def test_s_core_matches_python_peel_model(spark, edges, s):
     df = spark.createDataFrame(canon, "u int, v int, w int")
     got = {r.node: (r.core_deg, r.core_weight) for r in graph.s_core(df, s).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_ngram_jaccard_matches_python_set_model(spark, docs, thr):
+    """The core exact-dedup operator vs a plain set-Jaccard model: every
+    pair at or above the threshold is found with the exact value (rounded
+    at 10 to absorb the double division), and nothing below it leaks."""
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+
+    texts = [" ".join(words) for words in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 10)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, min_jaccard=thr
+        ).collect()
+    }
+
+    def shingles(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= thr and inter > 0:
+                expect[(i, j)] = round(jac, 10)
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=20
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not canon:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in canon:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expect = {n: find(n) for n in parent}
+    df = spark.createDataFrame(canon, "id_a int, id_b int")
+    got = {r.id: r.comp for r in dedup.connected_components(df).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=16
+    ),
+    seed_bits=st.integers(min_value=1, max_value=255),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_propagate_labels_matches_sync_model(spark, edges, seed_bits, rounds):
+    """Synchronous majority label spreading vs a python simulation: per
+    round every unlabeled node with labeled neighbors takes the majority
+    label (lexicographic tiebreak); seeds clamp; labels never change."""
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not canon:
+        return
+    nodes = sorted({n for e in canon for n in e})
+    seeds = [(n, f"L{n % 3}") for n in nodes if (seed_bits >> (n % 8)) & 1]
+    if not seeds:
+        return
+    adj: dict[int, set] = {n: set() for n in nodes}
+    for u, v in canon:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: lab for n, lab in seeds}
+    expect = {n: (lab, 0) for n, lab in seeds}
+    for r in range(1, rounds + 1):
+        votes = {}
+        for n in nodes:
+            if n in labels:
+                continue
+            counts: dict[str, int] = {}
+            for m in adj[n]:
+                if m in labels:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+            if counts:
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                votes[n] = best
+        for n, lab in votes.items():
+            labels[n] = lab
+            expect[n] = (lab, r)
+    df = spark.createDataFrame(canon, "u int, v int")
+    sdf = spark.createDataFrame(seeds, "id int, label string")
+    got = {
+        r.id: (r.label, r.round)
+        for r in graph.propagate_labels(df, sdf, rounds=rounds).collect()
+    }
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("xyz"), min_size=1, max_size=6),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_dsir_matches_python_lm_model(spark, docs):
+    """DSIR log-ratio scoring vs a python add-one-smoothed LM model."""
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    if not any(t for _, t in docs) or not any(not t for _, t in docs):
+        return  # need both a target and a source slice
+    rows = [(i, " ".join(ws), t) for i, (ws, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    ct: dict[str, int] = {}
+    cs: dict[str, int] = {}
+    for ws, t in docs:
+        for w in ws:
+            (ct if t else cs)[w] = (ct if t else cs).get(w, 0) + 1
+    vocab = set(ct) | set(cs)
+    nt, ns, v = sum(ct.values()), sum(cs.values()), len(vocab)
+    from decimal import Decimal
+
+    expect = {}
+    for i, (ws, t) in enumerate(docs):
+        if t:
+            continue
+        # mirror the engine exactly: 12-rounded double terms summed in
+        # DECIMAL (order-free), one final double division
+        terms = [
+            Decimal(
+                f"{round(math.log((ct.get(w, 0) + 1) / (nt + v)) - math.log((cs.get(w, 0) + 1) / (ns + v)), 12):.12f}"
+            )
+            for w in ws
+        ]
+        expect[i] = (len(ws), round(float(sum(terms)) / len(terms), 6))
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_log_ratio)
+        for r in T.dsir_importance_stats(df, "text", "doc_id", "is_target").collect()
+    }
+    assert got == expect
