@@ -7,7 +7,9 @@
 
 Each query is materialized through the noop sink (full computation, no
 collect-to-driver serialization skewing the numbers). Set BENCH_QUERIES to a
-comma-separated subset to iterate on specific queries.
+comma-separated subset to iterate on specific queries — subset runs write
+their per-query JSON to BENCH_SUBSET.json, never the canonical
+BENCH_FULL.json (see _output_path).
 
 Isolation policy (VERDICT_r05 #6). Two levels, both ON by default where they
 matter:
@@ -49,6 +51,23 @@ from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from tmdb_spark_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _output_path(subset: bool) -> str:
+    """Where the full per-query JSON goes.
+
+    BENCH_FULL.json is the CANONICAL per-round artifact the judge diffs
+    round-over-round; a ``BENCH_QUERIES=<subset>`` iteration run must never
+    overwrite it (it did in round 7 and the file had to be reconstructed
+    from stderr logs). Subset runs therefore default to BENCH_SUBSET.json;
+    an explicit BENCH_FULL_PATH always wins (the sharded parent uses it to
+    collect per-shard chunks).
+    """
+    explicit = os.environ.get("BENCH_FULL_PATH")
+    if explicit:
+        return explicit
+    name = "BENCH_SUBSET.json" if subset else "BENCH_FULL.json"
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
 def _speed_canary() -> float:
     """Milliseconds for a fixed single-thread compute+memory workload.
 
@@ -79,7 +98,7 @@ def _cpu_jiffies() -> tuple[int, int] | None:
         return None
 
 
-def _run_sharded(names: list[str], shards: int, sf_val) -> None:
+def _run_sharded(names: list[str], shards: int, sf_val, subset: bool) -> None:
     """Parent mode for BENCH_SHARDS: run the suite as K contiguous chunks,
     each in a fresh process (fresh JVM), and merge the per-shard
     BENCH_FULL outputs into the standard artifacts."""
@@ -126,9 +145,7 @@ def _run_sharded(names: list[str], shards: int, sf_val) -> None:
         "query_steal_pct": query_steal,
         "isolation": {"mode": "process-shards", "n_shards": shards},
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    full_path = _output_path(subset)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"# merged shard timings -> {full_path}", file=sys.stderr)
@@ -170,7 +187,7 @@ def main() -> None:
     shards = int(os.environ.get("BENCH_SHARDS", "0"))
     if shards > 1 and not os.environ.get("BENCH_SHARD_CHILD"):
         sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-        _run_sharded(names, shards, sf_val)
+        _run_sharded(names, shards, sf_val, subset=bool(only))
         return
 
     spark = get_spark(app_name="bench")
@@ -292,10 +309,7 @@ def main() -> None:
         "canary_ms": [canary0, canary1],
         "query_steal_pct": query_steal,
     }
-    full_path = os.environ.get(
-        "BENCH_FULL_PATH",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-    )
+    full_path = _output_path(subset=bool(only))
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"# full per-query timings -> {full_path}", file=sys.stderr)

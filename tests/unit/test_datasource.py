@@ -209,3 +209,95 @@ def test_jsonl_writer_failed_job_preserves_previous_output(spark, tmp_path):
     for p in [n for n in names2 if n.startswith("part-")]:
         rows2 += [json.loads(ln) for ln in open(os.path.join(path, p))]
     assert sorted(r["id"] for r in rows2) == list(range(4))
+
+
+def test_jsonl_writer_append_continues_numbering(spark, tmp_path):
+    """ADVICE_r07 (medium): append mode must not clobber a previous
+    commit's part files — final numbering continues past the highest
+    existing part and _SUCCESS accumulates the cumulative row count."""
+    import json
+    import os
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    path = str(tmp_path / "jsonl_append")
+    first = spark.range(0, 10).selectExpr("id", "id AS v")
+    first.repartition(2).write.format("jsonl_py").option("path", path).mode(
+        "overwrite"
+    ).save()
+    second = spark.range(100, 110).selectExpr("id", "id AS v")
+    second.repartition(2).write.format("jsonl_py").option("path", path).mode(
+        "append"
+    ).save()
+    parts = sorted(n for n in os.listdir(path) if n.startswith("part-"))
+    assert parts == [f"part-{i:05d}.jsonl" for i in range(4)]
+    rows = []
+    for p in parts:
+        rows += [json.loads(ln) for ln in open(os.path.join(path, p))]
+    assert sorted(r["id"] for r in rows) == list(range(10)) + list(range(100, 110))
+    assert open(os.path.join(path, "_SUCCESS")).read() == "20"
+
+
+def test_jsonl_commit_sweep_is_token_scoped(spark, tmp_path):
+    """ADVICE_r07 (low): the stale-staging sweep must only touch THIS
+    job's token — a concurrent writer's in-flight staging file in the same
+    directory survives the commit."""
+    import os
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    path = str(tmp_path / "jsonl_foreign")
+    os.makedirs(path)
+    foreign = os.path.join(path, "_tmp_feedbeefcafe_42.jsonl")
+    with open(foreign, "w") as f:
+        f.write('{"id": 999}\n')
+    spark.range(0, 5).selectExpr("id", "id AS v").write.format("jsonl_py").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert os.path.exists(foreign)  # other job's staging untouched
+    own_parts = [n for n in os.listdir(path) if n.startswith("part-")]
+    rows = sum(1 for p in own_parts for _ in open(os.path.join(path, p)))
+    assert rows == 5
+
+
+def test_jsonl_stream_commit_single_epoch_marker(tmp_path):
+    """ADVICE_r07 (low x2): streaming commit keeps ONE _LATEST_EPOCH
+    marker (atomic replace) instead of accumulating per-batch _epoch_N
+    files, and a retried epoch leaves one unambiguous record."""
+    import os
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        JsonLinesStreamWriter,
+        _JsonlCommit,
+    )
+
+    path = str(tmp_path / "stream_sink")
+    os.makedirs(path)
+    w = JsonLinesStreamWriter(path, ["id"])
+
+    def stage(rows):
+        name = f"_tmp_{w.job_token}_{stage.n}.jsonl"
+        stage.n += 1
+        with open(os.path.join(path, name), "w") as f:
+            for r in rows:
+                f.write('{"id": %d}\n' % r)
+        return _JsonlCommit(tmp_name=name, n_rows=len(rows))
+
+    stage.n = 0
+    w.commit([stage([1, 2])], batchId=0)
+    w.commit([stage([3])], batchId=1)
+    w.commit([stage([3])], batchId=1)  # retried epoch: replaces, not doubles
+    names = sorted(os.listdir(path))
+    assert not any(n.startswith("_epoch_") for n in names)
+    assert names.count("_LATEST_EPOCH") == 1
+    assert open(os.path.join(path, "_LATEST_EPOCH")).read() == "1:1"
+    assert [n for n in names if n.startswith("part-")] == [
+        "part-000000000-00000.jsonl",
+        "part-000000001-00000.jsonl",
+    ]

@@ -329,18 +329,37 @@ class JsonLinesDataSource(DataSource):
     (the piece ``RestDataSource`` doesn't cover — reference S5 is a plain
     driver-side JSON dump, ``fetch_movies.py:285-286``):
 
-    - each task streams its partition to ``_tmp_<taskAttemptId>.jsonl``
-      (attempt-unique name, so speculative / retried attempts never
-      collide) and returns the temp name + row count as its commit message;
+    - each task streams its partition to
+      ``_tmp_<jobToken>_<taskAttemptId>.jsonl`` (the job token is drawn
+      once on the DRIVER when the writer is built and travels to executors
+      inside the pickled writer, so every task of one job shares it;
+      the attempt id keeps speculative / retried attempts from colliding)
+      and returns the temp name + row count as its commit message;
     - the DRIVER's ``commit`` renames exactly the reported temp files to
       final ``part-N.jsonl`` names and drops a ``_SUCCESS`` marker —
       temp files from failed or speculative attempts are never renamed, so
-      readers (which ignore ``_tmp_*``) see an all-or-nothing result;
+      readers (which ignore ``_tmp_*``) see an all-or-nothing result; the
+      stale-staging sweep is scoped to THIS job's token, so a concurrent
+      writer (or a zombie speculative attempt of another job) targeting
+      the same directory never has its staging deleted mid-write;
+    - in append mode final part numbering CONTINUES past the highest
+      existing ``part-N`` (a second commit never clobbers the first's
+      files) and ``_SUCCESS`` carries the cumulative row count;
     - ``abort`` deletes whatever staged files the failed job reported.
 
     Options: ``path`` (required). Overwrite mode clears previous committed
     output at commit time (write-first: the old data survives any failure
     before the final rename step, the ``write_bucketed_table`` discipline).
+
+    Deployment constraint (shared by the streaming twin): tasks stage into
+    ``path`` on the EXECUTOR's filesystem and the DRIVER renames in
+    ``commit`` — correct on local[...] and on any shared POSIX filesystem
+    (NFS, Lustre), which is this sink's declared scope. On a multi-node
+    cluster over independent local disks or an object store, commit would
+    find nothing to rename; there, use Spark's native committer-backed
+    sinks (``spark.write.json``) — this class exists to demonstrate the
+    Python commit protocol, not to replace them (same adjudication as the
+    marker-file connectors in ``sources/io.py``).
     """
 
     @classmethod
@@ -360,47 +379,90 @@ class JsonLinesDataSource(DataSource):
         return JsonLinesStreamWriter(path, [f.name for f in schema.fields])
 
 
+def _staged_jsonl(path: str, field_names: list, token: str, iterator) -> _JsonlCommit:
+    """Executor side of both JSONL writers: stream one partition to a
+    staging file named by (job token, task attempt id) — unique per job AND
+    per attempt, so the commit-time sweep can target exactly one job's
+    leftovers and retried/speculative attempts never share a file."""
+    import os
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+    os.makedirs(path, exist_ok=True)
+    tmp_name = f"_tmp_{token}_{attempt}.jsonl"
+    n = 0
+    with open(os.path.join(path, tmp_name), "w") as f:
+        for row in iterator:
+            f.write(json.dumps(dict(zip(field_names, row)), default=str))
+            f.write("\n")
+            n += 1
+    return _JsonlCommit(tmp_name=tmp_name, n_rows=n)
+
+
+def _sweep_staging(path: str, token: str) -> None:
+    """Delete leftover staging files belonging to ONE job token (failed or
+    speculative attempts whose messages never reached commit). Staging from
+    any other writer targeting the same directory is left alone."""
+    import os
+
+    prefix = f"_tmp_{token}_"
+    for name in os.listdir(path):
+        if name.startswith(prefix):
+            os.remove(os.path.join(path, name))
+
+
+def _max_part_index(path: str) -> int:
+    """Highest committed part-N index in the directory, -1 if none —
+    append-mode commits continue numbering from here."""
+    import os
+
+    best = -1
+    for name in os.listdir(path):
+        if name.startswith("part-") and name.endswith(".jsonl"):
+            digits = name[len("part-") : -len(".jsonl")]
+            if digits.isdigit():
+                best = max(best, int(digits))
+    return best
+
+
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, path: str, field_names: list, overwrite: bool):
+        import uuid
+
         self.path = path
         self.field_names = field_names
         self.overwrite = overwrite
+        # drawn once on the driver; pickled out to every task of this job
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
-        import os
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
-        os.makedirs(self.path, exist_ok=True)
-        tmp_name = f"_tmp_{attempt}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, tmp_name), "w") as f:
-            for row in iterator:
-                f.write(json.dumps(dict(zip(self.field_names, row)), default=str))
-                f.write("\n")
-                n += 1
-        return _JsonlCommit(tmp_name=tmp_name, n_rows=n)
+        return _staged_jsonl(self.path, self.field_names, self.job_token, iterator)
 
     def commit(self, messages) -> None:
         import os
 
+        total = 0
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
-        total = 0
+            start = 0
+        else:
+            # append: continue past existing parts, accumulate _SUCCESS
+            start = _max_part_index(self.path) + 1
+            marker = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    total = int(f.read().strip() or 0)
         for i, m in enumerate(m for m in messages if m is not None):
             os.replace(
                 os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(self.path, f"part-{start + i:05d}.jsonl"),
             )
             total += m.n_rows
-        # stale temp files (failed/speculative attempts, earlier crashes)
-        for name in os.listdir(self.path):
-            if name.startswith("_tmp_"):
-                os.remove(os.path.join(self.path, name))
+        _sweep_staging(self.path, self.job_token)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
 
@@ -408,10 +470,12 @@ class JsonLinesWriter(DataSourceWriter):
         import contextlib
         import os
 
-        for m in messages:
-            if m is not None:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.path, m.tmp_name))
+        # Sweep THIS job's whole token prefix, not just reported messages:
+        # a task that died mid-write never produced a commit message, but
+        # its staging file still carries our token. Other jobs' staging is
+        # untouched (their tokens differ).
+        with contextlib.suppress(OSError):
+            _sweep_staging(self.path, self.job_token)
 
 
 def register_jsonl_writer(spark) -> None:
@@ -428,28 +492,26 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     REPLACES any files a previous attempt of the SAME batch already
     renamed (epoch-idempotent), so replays never duplicate rows — the
     ``foreachBatch`` dynamic-partition-overwrite discipline of
-    ``streaming/sinks.py``, expressed through the DataSource API."""
+    ``streaming/sinks.py``, expressed through the DataSource API.
+
+    Staging is token-scoped like the batch writer (one token per query
+    run, drawn on the driver), so a second query writing the same path
+    never has its in-flight staging swept. Epoch bookkeeping is a SINGLE
+    ``_LATEST_EPOCH`` marker (``<batchId>:<rows>``, replaced atomically via
+    temp + ``os.replace``) rather than one ``_epoch_N`` file per
+    micro-batch — a long-running query no longer accumulates unbounded
+    marker files, and a retried epoch leaves exactly one unambiguous
+    record. Same shared-filesystem scope as ``JsonLinesDataSource``."""
 
     def __init__(self, path: str, field_names: list):
+        import uuid
+
         self.path = path
         self.field_names = field_names
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
-        import os
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
-        os.makedirs(self.path, exist_ok=True)
-        tmp_name = f"_tmp_{attempt}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, tmp_name), "w") as f:
-            for row in iterator:
-                f.write(json.dumps(dict(zip(self.field_names, row)), default=str))
-                f.write("\n")
-                n += 1
-        return _JsonlCommit(tmp_name=tmp_name, n_rows=n)
+        return _staged_jsonl(self.path, self.field_names, self.job_token, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         import os
@@ -466,17 +528,16 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, f"{prefix}{i:05d}.jsonl"),
             )
             total += m.n_rows
-        for name in os.listdir(self.path):
-            if name.startswith("_tmp_"):
-                os.remove(os.path.join(self.path, name))
-        with open(os.path.join(self.path, f"_epoch_{batchId:09d}"), "w") as f:
-            f.write(str(total))
+        _sweep_staging(self.path, self.job_token)
+        marker_tmp = os.path.join(self.path, f"_tmp_{self.job_token}_marker")
+        with open(marker_tmp, "w") as f:
+            f.write(f"{batchId}:{total}")
+        os.replace(marker_tmp, os.path.join(self.path, "_LATEST_EPOCH"))
 
     def abort(self, messages, batchId: int) -> None:
         import contextlib
-        import os
 
-        for m in messages:
-            if m is not None:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.path, m.tmp_name))
+        # token-scoped like the batch abort: cleans even mid-write deaths
+        # of this query's tasks, never a concurrent query's staging
+        with contextlib.suppress(OSError):
+            _sweep_staging(self.path, self.job_token)
