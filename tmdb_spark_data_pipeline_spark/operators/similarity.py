@@ -816,16 +816,11 @@ def mutual_reachability_clusters(
     that evaluates the same expression shape.
 
     All-pairs distances are the declared exactness baseline (bounded
-    subset, the ``dbscan_cosine`` contract); the 100 TB path feeds the
-    same core-distance window + edge filter from LSH/IVF candidate pairs
-    (core_k then needs k neighbors per point among candidates — standard
-    HDBSCAN-on-ANN practice). Downstream of the pair list everything is
-    one window + key-partitioned joins + the CC loop on a tiny edge set.
+    subset, the ``dbscan_cosine`` contract); the 100 TB path is
+    ``mutual_reachability_clusters_ann`` — the SAME core-distance window +
+    edge filter + CC tail (``_mutual_reach_tail``) fed from IVF candidate
+    pairs instead of the cross join.
     """
-    from pyspark.sql import Window
-
-    from . import dedup
-
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -848,6 +843,21 @@ def mutual_reachability_clusters(
         # the pair list once; ContextCleaner frees localCheckpoint blocks
         .localCheckpoint()
     )
+    return _mutual_reach_tail(base, dist, k=k, eps=eps)
+
+
+def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) -> DataFrame:
+    """Shared HDBSCAN* tail: (symmetric pair-distance list) → per-point
+    core distance (k-th nearest by (d asc, id asc)) → mutual-reachability
+    eps-edges → connected components → min-id labels. ``base`` supplies
+    the full id universe (``__id``); a point with fewer than ``k``
+    neighbors IN THE PAIR LIST has no core distance and is labeled noise
+    (−1, core_dist NULL) — with an all-pairs feed that never happens, with
+    a candidate feed it is the standard HDBSCAN-on-ANN behavior."""
+    from pyspark.sql import Window
+
+    from . import dedup
+
     wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
     core = (
         dist.withColumn("__rn", F.row_number().over(wk))
@@ -873,3 +883,84 @@ def mutual_reachability_clusters(
             F.round(F.col("__cd"), 6).alias("core_dist"),
         )
     )
+
+
+def mutual_reachability_clusters_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    eps: float = 0.75,
+    centroid_filter: Column | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The 100 TB path for ``mutual_reachability_clusters``: identical
+    HDBSCAN* semantics (same ``_mutual_reach_tail``), but the pair list
+    comes from IVF CANDIDATES instead of an all-pairs cross join — each
+    point multiprobes its ``nprobe`` nearest cells (deterministic
+    centroids via ``centroid_filter``, the ``cosine_topk_ivf`` contract:
+    e.g. ``vec_id % 25 == 0`` so an external oracle replays the exact
+    assignment) and candidate pairs are points sharing a probed cell.
+    Core distances are then the k-th nearest AMONG CANDIDATES — ≥ the
+    exact core distance, so every surviving edge would also survive the
+    exact run: the ANN edge set is a SUBSET of the exact edge set
+    (precision 1 structurally; recall is what the audit query measures).
+
+    Scale shape: centroids broadcast (√N-ish cells), probe assignment is
+    one pass over the corpus with a per-point top-nprobe window keyed on
+    the point id, the candidate self-join shuffles on cell_id with bucket
+    sizes ~nprobe·N/cells, and the tail is key-partitioned joins + the CC
+    loop on the (sparse) eps-edge list. No stage touches |N|² pairs.
+    """
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 25 == 0
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    c = df.filter(centroid_filter).select(
+        F.col(id_col).alias("__cent_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    probe_w = Window.partitionBy("__id").orderBy(
+        F.col("__pcos").desc_nulls_last(), F.col("__cent_id").asc()
+    )
+    probes = (
+        base.join(F.broadcast(c), F.lit(True))
+        .select(
+            "__id",
+            "__cent_id",
+            (dot("__v", "__cv") / (F.col("__n") * F.col("__cn"))).alias("__pcos"),
+        )
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__id", F.col("__cent_id").alias("__cell"))
+    )
+    pa = probes.select(F.col("__id").alias("qa"), "__cell")
+    pb = probes.select(F.col("__id").alias("qb"), "__cell")
+    cand = (
+        pa.join(pb, "__cell")
+        .filter(F.col("qa") != F.col("qb"))
+        .select("qa", "qb")
+        .distinct()
+    )
+    a = base.select(
+        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    dist = (
+        cand.join(a, "qa")
+        .join(b, "qb")
+        .select(
+            "qa",
+            "qb",
+            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
+        )
+        .localCheckpoint()
+    )
+    return _mutual_reach_tail(base, dist, k=k, eps=eps)

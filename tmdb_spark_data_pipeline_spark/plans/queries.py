@@ -9298,6 +9298,138 @@ def embedding_mutual_reach_clusters(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "embedding_mutual_reach_ann",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    nrm AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    dist AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                    1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                          / (a.nf * b.nf) AS d
+             FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    core AS (SELECT qa AS id, d AS cd FROM dist
+             QUALIFY row_number() OVER (PARTITION BY qa
+                                        ORDER BY d ASC, qb ASC) = 4),
+    e AS (SELECT d.qa, d.qb
+          FROM dist d JOIN core ca ON ca.id = d.qa
+                      JOIN core cb ON cb.id = d.qb
+          WHERE d.qa < d.qb AND greatest(d.d, ca.cd, cb.cd) <= 0.70),
+    edges AS (SELECT qa AS s, qb AS t FROM e UNION SELECT qb, qa FROM e),
+    reach AS (SELECT s, t FROM edges
+              UNION SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+    labels AS (SELECT s AS id, least(s, min(t)) AS comp FROM reach GROUP BY s),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nf AS cnf
+             FROM nrm WHERE vec_id % 25 = 0),
+    probes AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY pcos DESC, cent_id ASC) AS rn
+        FROM (
+          SELECT n.vec_id, cent.cent_id,
+                 list_sum(list_transform(list_zip(n.embedding, cent.cvec),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (n.nf * cent.cnf) AS pcos
+          FROM nrm n CROSS JOIN cent)
+      ) WHERE rn <= 4),
+    cand AS (SELECT DISTINCT pa.vec_id AS qa, pb.vec_id AS qb
+             FROM probes pa JOIN probes pb ON pa.cell = pb.cell
+             WHERE pa.vec_id <> pb.vec_id),
+    dist_a AS (SELECT d.qa, d.qb, d.d
+               FROM dist d JOIN cand c ON c.qa = d.qa AND c.qb = d.qb),
+    core_a AS (SELECT qa AS id, d AS cd FROM dist_a
+               QUALIFY row_number() OVER (PARTITION BY qa
+                                          ORDER BY d ASC, qb ASC) = 4),
+    ea AS (SELECT d.qa, d.qb
+           FROM dist_a d JOIN core_a ca ON ca.id = d.qa
+                         JOIN core_a cb ON cb.id = d.qb
+           WHERE d.qa < d.qb AND greatest(d.d, ca.cd, cb.cd) <= 0.70),
+    edges_a AS (SELECT qa AS s, qb AS t FROM ea UNION SELECT qb, qa FROM ea),
+    reach_a AS (SELECT s, t FROM edges_a
+                UNION SELECT r.s, e2.t
+                FROM reach_a r JOIN edges_a e2 ON r.t = e2.s),
+    labels_a AS (SELECT s AS id, least(s, min(t)) AS comp
+                 FROM reach_a GROUP BY s),
+    per AS (
+      SELECT s.vec_id AS id,
+             CAST(coalesce(l.comp, -1) AS BIGINT) AS ce,
+             round(c.cd, 6) AS cde,
+             CAST(coalesce(la.comp, -1) AS BIGINT) AS ca,
+             round(cca.cd, 6) AS cda
+      FROM sub s LEFT JOIN labels l ON l.id = s.vec_id
+                 LEFT JOIN core c ON c.id = s.vec_id
+                 LEFT JOIN labels_a la ON la.id = s.vec_id
+                 LEFT JOIN core_a cca ON cca.id = s.vec_id)
+    SELECT count(*) AS n_points,
+           count(CASE WHEN ca = ce THEN 1 END) AS label_matches,
+           round(CAST(count(CASE WHEN ca = ce THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS label_agreement,
+           count(CASE WHEN cda = cde THEN 1 END) AS core_dist_matches,
+           round(CAST(count(CASE WHEN cda = cde THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS core_dist_recall,
+           count(DISTINCT ce) FILTER (WHERE ce <> -1) AS clusters_exact,
+           count(DISTINCT ca) FILTER (WHERE ca <> -1) AS clusters_ann
+    FROM per
+    """,
+)
+def embedding_mutual_reach_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the ANN-fed HDBSCAN* path (VERDICT_r07 #2):
+    ``similarity.mutual_reachability_clusters_ann`` runs the SAME
+    mutual-reachability tail as the exact twin
+    (``embedding_mutual_reach_clusters``) but feeds it IVF candidate
+    pairs — deterministic centroids (``vec_id % 25 == 0``), each point
+    multiprobing its 4 nearest cells, candidates = co-members of a probed
+    cell — and this query gates the approximation against the exact
+    all-pairs run on the bounded subset (the ``er_blocking_quality``
+    pattern): per-point core-distance recall (the k-th-nearest-among-
+    candidates equals the true k-th exactly iff the candidate set covers
+    the true top-k) and end-to-end label agreement, plus cluster counts
+    both sides. Candidate core distances can only inflate, so the ANN
+    edge set is structurally a SUBSET of the exact one (components
+    refine; pinned in tests/unit/test_similarity.py). At 100 TB only the
+    ANN leg survives (no |N|² stage anywhere in it); the exact leg is the
+    declared bounded-audit baseline, same adjudication as
+    ``er_blocking_quality``'s truth stratum."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    exact = similarity.mutual_reachability_clusters(emb, k=4, eps=0.70).select(
+        "id", F.col("cluster").alias("ce"), F.col("core_dist").alias("cde")
+    )
+    ann = similarity.mutual_reachability_clusters_ann(
+        emb, k=4, eps=0.70, nprobe=4
+    ).select("id", F.col("cluster").alias("ca"), F.col("core_dist").alias("cda"))
+    per = exact.join(ann, "id")
+    return per.agg(
+        F.count("*").alias("n_points"),
+        F.count(F.when(F.col("ca") == F.col("ce"), 1)).alias("label_matches"),
+        F.round(
+            F.count(F.when(F.col("ca") == F.col("ce"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("label_agreement"),
+        F.count(F.when(F.col("cda") == F.col("cde"), 1)).alias("core_dist_matches"),
+        F.round(
+            F.count(F.when(F.col("cda") == F.col("cde"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("core_dist_recall"),
+        F.count_distinct(F.when(F.col("ce") != -1, F.col("ce"))).alias(
+            "clusters_exact"
+        ),
+        F.count_distinct(F.when(F.col("ca") != -1, F.col("ca"))).alias(
+            "clusters_ann"
+        ),
+    )
+
+
+@query(
     "dsir_importance_selection",
     oracle=r"""
     WITH tok AS (
