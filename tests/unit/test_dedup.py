@@ -439,3 +439,44 @@ def test_max_df_cap_bounds_hot_shingle_buckets(spark):
     )
     cont_pairs = {(r.contained_id, r.container_id) for r in cont.collect()}
     assert all(a >= 100 or b >= 100 for a, b in cont_pairs) or cont_pairs == set()
+
+
+def test_minhash_band_pairs_portable_collisions(spark):
+    """The portable banding instrument (minhash_blocking_quality's
+    measurement arm): exact duplicates share every band (always a
+    candidate), disjoint-vocabulary docs share no minhash (never a
+    candidate), and the pair list is distinct with id_a < id_b."""
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, other)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_band_pairs_portable(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_minhash_band_pairs_portable_matches_duckdb_hash(spark):
+    """The md5-60 base hash mod p is bit-identical to the DuckDB
+    expression the oracle interpolates (the portable-hash discipline) —
+    pin one shingle's value cross-engine."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators.dedup import (
+        _MERSENNE31,
+        _token_hash,
+    )
+
+    s = "alpha beta gamma"
+    got = (
+        spark.range(1)
+        .select(F.pmod(_token_hash(F.lit(s), "md5_60"), F.lit(_MERSENNE31)))
+        .collect()[0][0]
+    )
+    want = duckdb.sql(
+        f"SELECT CAST('0x' || substr(md5('{s}'), 1, 15) AS BIGINT) % {_MERSENNE31}"
+    ).fetchone()[0]
+    assert got == want

@@ -539,6 +539,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "copurchase_weighted_pagerank",  # 1-row node-count broadcast per round
         "dsir_importance_selection",    # scalar LM-totals broadcast
         "embedding_source_calibration",  # 1-row global-centroid broadcast
+        "minhash_blocking_quality",     # 1-row cand-count/precision broadcast
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {
@@ -560,6 +561,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_dbscan_clusters",   # all-pairs eps-graph on the bounded subset
         "er_blocking_quality",         # all-pairs TRUTH leg on the declared %10 stratum
         "embedding_mutual_reach_clusters",  # all-pairs mr-graph on the bounded subset
+        "embedding_mutual_reach_ann",  # exact-twin audit leg on the bounded subset
         "hard_negative_mining",        # broadcast bounded probe side (declared)
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (

@@ -1178,6 +1178,141 @@ def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_bq_oracle() -> str:
+    """DuckDB replay of the PORTABLE MinHash banding (md5-60 base hash,
+    tuple band keys) plus the exact-Jaccard truth set — the permutation
+    constants are interpolated from the SAME ``_permutation_params(32, 7)``
+    the Spark side folds, so both engines band identical signatures."""
+    from ..operators.dedup import _MERSENNE31 as P
+    from ..operators.dedup import _permutation_params
+
+    params = _permutation_params(32, 7)
+    mh = ",\n             ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    band_joins = "\n        UNION ALL\n        ".join(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.mh_{band * 4 + j} = b.mh_{band * 4 + j}" for j in range(4))
+        + " AND a.doc_id < b.doc_id"
+        for band in range(8)
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      -- double division + double *10 exactly mirrors the Spark shape so
+      -- decile edges bucket identically (no DECIMAL intermediate)
+      SELECT id_a, id_b,
+             CAST(floor((CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared))
+                        * 10) AS INT) AS jac_decile
+      FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.1),
+    hs AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P}) AS h
+      FROM sh),
+    sig AS (SELECT doc_id, {mh}
+            FROM hs GROUP BY doc_id),
+    cand AS (SELECT DISTINCT id_a, id_b FROM (
+        {band_joins})),
+    caught AS (SELECT t.id_a, t.id_b, t.jac_decile
+               FROM truth t JOIN cand USING (id_a, id_b)),
+    g AS (SELECT (SELECT count(*) FROM cand) AS cand_pairs,
+                 (SELECT count(*) FROM caught WHERE jac_decile >= 5)
+                   AS good_cands)
+    SELECT t.jac_decile,
+           count(*) AS truth_pairs,
+           count(c.id_a) AS caught_pairs,
+           round(CAST(count(c.id_a) AS DOUBLE) / count(*), 6) AS recall,
+           any_value(g.cand_pairs) AS cand_pairs,
+           round(CAST(any_value(g.good_cands) AS DOUBLE)
+                 / nullif(any_value(g.cand_pairs), 0), 6) AS cand_precision
+    FROM truth t
+    LEFT JOIN caught c USING (id_a, id_b)
+    CROSS JOIN g
+    GROUP BY t.jac_decile
+    """
+
+
+@query("minhash_blocking_quality", oracle=_minhash_bq_oracle())
+def minhash_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall certificate for the MinHash-LSH production path
+    (VERDICT_r07 #5, the ``er_blocking_quality`` pattern applied to
+    ``minhash_lsh_pairs``), measured as the DETECTION S-CURVE: exact
+    Jaccard pairs down to 0.1 are the truth set, bucketed by Jaccard
+    decile, and each decile reports how much of it the UNVERIFIED banding
+    candidate set catches. Instrument: ``dedup.minhash_band_pairs_portable``
+    — the same banding structure as production (word 3-shingles, k = 32
+    affine permutations from the same ``_permutation_params``, bands ×
+    rows = 8 × 4) with the md5-60 portable base hash and tuple band keys,
+    so DuckDB replays the candidate set exactly (xxhash64, the production
+    base hash, has no DuckDB twin — the certified property, banding
+    recall over random permutations, does not depend on which uniform
+    base hash feeds them). Theory at r=4, b=8 is 1−(1−j⁴)⁸: ≈0.0008 at
+    j=0.1, ≈0.40 at 0.5, ≈0.98 at 0.8 — and the measurement shows exactly
+    that rolloff on this corpus's bimodal pair distribution: the j≈0.1
+    accidental-overlap pairs are (correctly) missed, the ≥0.8 near-dups
+    all caught. ``cand_precision`` (constant across rows) states the
+    verify bill: the share of admitted candidates that are real ≥0.5
+    near-dups. The whole documents table is the declared bounded stratum
+    (exact truth leg is shingle-blocked, the ``ngram_jaccard_neardups``
+    cost envelope)."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("jaccard") * 10).cast("int").alias("jac_decile"),
+        )
+        .localCheckpoint()
+    )
+    cand = dedup.minhash_band_pairs_portable(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8
+    ).localCheckpoint()
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi").localCheckpoint()
+    glob = (
+        cand.agg(F.count("*").alias("cand_pairs"))
+        .crossJoin(
+            caught.filter(F.col("jac_decile") >= 5).agg(
+                F.count("*").alias("good_cands")
+            )
+        )
+        .select(
+            "cand_pairs",
+            F.round(F.try_divide(F.col("good_cands"), F.col("cand_pairs")), 6).alias(
+                "cand_precision"
+            ),
+        )
+    )
+    per_t = truth.groupBy("jac_decile").agg(F.count("*").alias("truth_pairs"))
+    per_c = caught.groupBy("jac_decile").agg(F.count("*").alias("caught_pairs"))
+    return (
+        per_t.join(per_c, "jac_decile", "left")
+        .select(
+            "jac_decile",
+            "truth_pairs",
+            F.coalesce("caught_pairs", F.lit(0)).alias("caught_pairs"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("caught_pairs").cast("double") / F.col("truth_pairs"), 6),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+
+
 _SIMHASH_FP_CTE = r"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
@@ -12021,69 +12156,22 @@ def stream_batch_twins() -> dict[str, QueryFn]:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-7 rotation (VERDICT_r06 "Next round" #1): hll_mergeable_rollup
-    # leads — it is the ONLY query of 238 without a green driver
-    # CORRECTNESS row (its sole row is r3 `no_oracle`, predating its exact
-    # oracle; verified green locally via tools/driver_mimic.py in r6 and
-    # r7). After it: new round-7 queries (no driver row yet), then strict
-    # staleness order by last GREEN driver round across the full
-    # CORRECTNESS_r01-r06 union (r1 -> r2 -> r3 -> r4 -> r5 -> r6; within
-    # a tier, prior front order). The driver caps each sweep at ~50 names,
-    # so the prefix (hll + new r7 + the r1/r2 tiers) is what gets
-    # re-checked in round 7.
-    # --- new in round 7 (no driver row yet) ---
-    "er_blocking_quality",
-    "copurchase_weighted_pagerank",
-    "kcore_incremental_maintenance",
-    "winnow_match_clusters",
-    "embedding_mutual_reach_clusters",
-    "dsir_importance_selection",
-    "hard_negative_mining",
-    "embedding_source_calibration",
-    "tokenizer_fertility_by_lang",
-    "distinct_ngram_diversity",
-    "copurchase_score",
-    "pyds_jsonl_roundtrip",
-    "stream_pyds_jsonl_totals",
-    "hll_mergeable_rollup",
-    # --- last verified r1 ---
-    "doc_quality_scores",
+    # round-8 rotation (VERDICT_r07 "Next round" #1): new round-8
+    # queries first (no driver row yet), then the three queries whose
+    # implementation changed AFTER their last green row (graph.py's r7
+    # join-reduction/peel rewrite landed after their r6 green), then
+    # strict staleness tiers by last GREEN driver round across the
+    # CORRECTNESS_r01-r07 union (r2 -> r3 -> r4 -> r5 -> r6 -> r7;
+    # within a tier, prior front order). The driver caps each sweep at
+    # ~50 names, so the r8 prefix = new + changed + r2 + most of r3.
+    # --- new in round 8 (no driver row yet) ---
+    "embedding_mutual_reach_ann",
+    "minhash_blocking_quality",
+    # --- changed since last green (r7 graph.py rewrite; last green r6) ---
+    "copurchase_pagerank",
+    "brand_parts_ppr",
+    "copurchase_kcore",
     # --- last verified r2 ---
-    "similarity_topk_multiprobe",
-    "cosine_neardups_blocked",
-    "embedding_stats",
-    "multimodal_payload_stats",
-    "multimodal_features",
-    "json_roundtrip",
-    "partitioned_roundtrip",
-    "hash_split_counts",
-    "stratified_sample_docs",
-    "source_quota_rebalance",
-    "sequence_packing",
-    "pii_redaction",
-    "neardup_components",
-    "profile_documents",
-    "salted_fact_join",
-    "small_quantity_revenue",
-    "repetition_scores",
-    "boilerplate_exposure",
-    "benchmark_contamination",
-    "csv_roundtrip",
-    "quality_deciles",
-    "disjunctive_part_revenue",
-    "idle_customer_balances",
-    "asia_market_share_by_year",
-    "tfidf_top_terms",
-    "order_price_histogram",
-    "chunk_sliding_windows",
-    "bigram_merge_candidates",
-    "order_priority_exists",
-    "volume_shipping",
-    "product_type_profit",
-    "returned_items_report",
-    "large_volume_customers",
-    "waiting_supplier_orders",
-    "similarity_topk_ivf",
     "embedding_quantization",
     "vocab_coverage_oov",
     # --- last verified r3 ---
@@ -12240,11 +12328,8 @@ _SWEEP_FRONT = (
     "neardup_dedup_apply",
     # --- last verified r6 ---
     "embedding_knn_label_spread",
-    "copurchase_kcore",
-    "copurchase_pagerank",
     "k_anonymity_audit",
     "l_diversity_audit",
-    "brand_parts_ppr",
     "embedding_dbscan_clusters",
     "cm_sketch_token_counts",
     "bloom_prejoin_audit",
@@ -12289,6 +12374,57 @@ _SWEEP_FRONT = (
     "text_stats",
     "doc_fingerprints",
     "lang_stopword_stats",
+    # --- last verified r7 ---
+    "er_blocking_quality",
+    "copurchase_weighted_pagerank",
+    "kcore_incremental_maintenance",
+    "winnow_match_clusters",
+    "embedding_mutual_reach_clusters",
+    "dsir_importance_selection",
+    "hard_negative_mining",
+    "embedding_source_calibration",
+    "tokenizer_fertility_by_lang",
+    "distinct_ngram_diversity",
+    "copurchase_score",
+    "pyds_jsonl_roundtrip",
+    "stream_pyds_jsonl_totals",
+    "hll_mergeable_rollup",
+    "doc_quality_scores",
+    "similarity_topk_multiprobe",
+    "cosine_neardups_blocked",
+    "embedding_stats",
+    "multimodal_payload_stats",
+    "multimodal_features",
+    "json_roundtrip",
+    "partitioned_roundtrip",
+    "hash_split_counts",
+    "stratified_sample_docs",
+    "source_quota_rebalance",
+    "sequence_packing",
+    "pii_redaction",
+    "neardup_components",
+    "profile_documents",
+    "salted_fact_join",
+    "small_quantity_revenue",
+    "repetition_scores",
+    "boilerplate_exposure",
+    "benchmark_contamination",
+    "csv_roundtrip",
+    "quality_deciles",
+    "disjunctive_part_revenue",
+    "idle_customer_balances",
+    "asia_market_share_by_year",
+    "tfidf_top_terms",
+    "order_price_histogram",
+    "chunk_sliding_windows",
+    "bigram_merge_candidates",
+    "order_priority_exists",
+    "volume_shipping",
+    "product_type_profit",
+    "returned_items_report",
+    "large_volume_customers",
+    "waiting_supplier_orders",
+    "similarity_topk_ivf",
 )
 
 
