@@ -149,10 +149,12 @@ def _run_sharded(names: list[str], shards: int, sf_val, subset: bool) -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"# merged shard timings -> {full_path}", file=sys.stderr)
-    _print_headline(timings, total, sf_val, full["host_steal_pct"], full["canary_ms"])
+    _print_headline(
+        timings, total, sf_val, full["host_steal_pct"], full["canary_ms"], full_path
+    )
 
 
-def _print_headline(timings, total, sf_val, steal_pct, canary_ms) -> None:
+def _print_headline(timings, total, sf_val, steal_pct, canary_ms, full_path=None) -> None:
     """The ONE stdout JSON line, byte-budgeted to survive the driver's
     ~2000-char stdout tail: heaviest queries first, as many as fit."""
     budget = int(os.environ.get("BENCH_LINE_BYTES", "1800"))
@@ -162,7 +164,7 @@ def _print_headline(timings, total, sf_val, steal_pct, canary_ms) -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
+        "full": os.path.basename(full_path) if full_path else "BENCH_FULL.json",
         "host_steal_pct": steal_pct,
         "canary_ms": canary_ms,
     }
@@ -317,7 +319,7 @@ def main() -> None:
     if os.environ.get("BENCH_SHARD_CHILD"):
         return  # parent merges and prints the headline line
 
-    _print_headline(timings, total, sf_val, steal_pct, [canary0, canary1])
+    _print_headline(timings, total, sf_val, steal_pct, [canary0, canary1], full_path)
 
 
 if __name__ == "__main__":

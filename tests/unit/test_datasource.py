@@ -241,10 +241,12 @@ def test_jsonl_writer_append_continues_numbering(spark, tmp_path):
     assert open(os.path.join(path, "_SUCCESS")).read() == "20"
 
 
-def test_jsonl_commit_sweep_is_token_scoped(spark, tmp_path):
-    """ADVICE_r07 (low): the stale-staging sweep must only touch THIS
-    job's token — a concurrent writer's in-flight staging file in the same
-    directory survives the commit."""
+def test_jsonl_commit_sweep_scoping(spark, tmp_path):
+    """ADVICE_r07 (low): in APPEND mode (the concurrent-coexistence mode)
+    the stale-staging sweep only touches THIS job's token — another
+    writer's in-flight staging survives the commit. In OVERWRITE mode the
+    directory is exclusively owned (Spark's insert-overwrite contract),
+    so a subsequent overwrite reclaims any abandoned staging."""
     import os
 
     from tmdb_spark_data_pipeline_spark.sources.datasource import (
@@ -259,11 +261,17 @@ def test_jsonl_commit_sweep_is_token_scoped(spark, tmp_path):
         f.write('{"id": 999}\n')
     spark.range(0, 5).selectExpr("id", "id AS v").write.format("jsonl_py").option(
         "path", path
-    ).mode("overwrite").save()
-    assert os.path.exists(foreign)  # other job's staging untouched
+    ).mode("append").save()
+    assert os.path.exists(foreign)  # concurrent appender's staging untouched
     own_parts = [n for n in os.listdir(path) if n.startswith("part-")]
     rows = sum(1 for p in own_parts for _ in open(os.path.join(path, p)))
     assert rows == 5
+    # overwrite asserts exclusive ownership: abandoned staging reclaimed
+    spark.range(0, 2).selectExpr("id", "id AS v").write.format("jsonl_py").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert not os.path.exists(foreign)
+    assert not any(n.startswith("_tmp_") for n in os.listdir(path))
 
 
 def test_jsonl_stream_commit_single_epoch_marker(tmp_path):

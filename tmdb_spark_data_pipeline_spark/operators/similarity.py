@@ -885,6 +885,106 @@ def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) 
     )
 
 
+def mutual_reach_hierarchy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    eps_levels: tuple = (0.62, 0.66, 0.70, 0.74),
+) -> DataFrame:
+    """Fixed-λ condensed-tree SLICES of the HDBSCAN* hierarchy (the
+    density-level view ``mutual_reachability_clusters`` flattens to one
+    eps): the mutual-reachability distance is computed ONCE (one all-pairs
+    pass on the bounded audit subset + one core-distance window), then
+    each ``eps_levels`` threshold slices its own eps-graph out of the same
+    pair list. Components across ALL levels are labeled by a SINGLE
+    connected-components loop — nodes are composite-encoded
+    ``level·2³² + id`` so the L level-graphs stay disjoint inside one
+    union (one CC loop for L slices instead of L loops; rounds are
+    bounded by the largest level's diameter, which the union does not
+    increase). Output: one row per (id, eps) with the min-member-id
+    cluster at that density (−1 = not clustered at that level) — reading
+    a point's rows bottom-up shows where it joins the hierarchy, exactly
+    the information HDBSCAN's condensed tree encodes at these λ values
+    (stability selection over a fixed grid; the continuous tree needs a
+    per-merge dendrogram, which no bounded-SQL oracle can replay).
+
+    Scale shape: identical to the flat operator — the distance pass is
+    the declared bounded baseline; at 100 TB the SAME slicing tail runs
+    off ANN candidate pairs (``mutual_reachability_clusters_ann``'s feed)
+    and the one CC loop stays on the sparse union of eps-edges.
+    """
+    from . import dedup
+
+    enc = F.lit(1 << 32).cast("long")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = base.select(
+        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    dist = (
+        a.join(b, F.col("qa") != F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
+        )
+        .localCheckpoint()
+    )
+    wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
+    core = (
+        dist.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == k)
+        .select(F.col("qa").alias("__id"), F.col("__d").alias("__cd"))
+    )
+    ca = core.select(F.col("__id").alias("qa"), F.col("__cd").alias("__ca"))
+    cb = core.select(F.col("__id").alias("qb"), F.col("__cd").alias("__cb"))
+    mr = (
+        dist.filter(F.col("qa") < F.col("qb"))
+        .join(ca, "qa")
+        .join(cb, "qb")
+        .select("qa", "qb", F.greatest("__d", "__ca", "__cb").alias("__mr"))
+        # L slice consumers + the CC loop read this — materialize once
+        .localCheckpoint()
+    )
+    levels = [(i, float(eps)) for i, eps in enumerate(eps_levels)]
+    lvl_edges = None
+    for i, eps in levels:
+        e = mr.filter(F.col("__mr") <= eps).select(
+            (F.lit(i) * enc + F.col("qa")).alias("id_a"),
+            (F.lit(i) * enc + F.col("qb")).alias("id_b"),
+        )
+        lvl_edges = e if lvl_edges is None else lvl_edges.unionByName(e)
+    comp = dedup.connected_components(lvl_edges)
+    lvl_df = df.sparkSession.createDataFrame(levels, ["__lvl", "eps"])
+    universe = base.select(F.col("__id").alias("id")).crossJoin(
+        F.broadcast(lvl_df)
+    )
+    return (
+        universe.join(
+            comp.select(
+                (F.col("id") % enc).alias("id"),
+                (F.col("id") / enc).cast("long").alias("__lvl"),
+                (F.col("comp") % enc).alias("__cluster"),
+            ),
+            ["id", "__lvl"],
+            "left",
+        )
+        .select(
+            "id",
+            "eps",
+            F.coalesce("__cluster", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
+
+
 def mutual_reachability_clusters_ann(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -338,10 +338,13 @@ class JsonLinesDataSource(DataSource):
     - the DRIVER's ``commit`` renames exactly the reported temp files to
       final ``part-N.jsonl`` names and drops a ``_SUCCESS`` marker —
       temp files from failed or speculative attempts are never renamed, so
-      readers (which ignore ``_tmp_*``) see an all-or-nothing result; the
-      stale-staging sweep is scoped to THIS job's token, so a concurrent
-      writer (or a zombie speculative attempt of another job) targeting
-      the same directory never has its staging deleted mid-write;
+      readers (which ignore ``_tmp_*``) see an all-or-nothing result; in
+      APPEND mode the stale-staging sweep is scoped to THIS job's token,
+      so a concurrent appender targeting the same directory never has its
+      staging deleted mid-write, while OVERWRITE mode asserts exclusive
+      directory ownership (Spark's insert-overwrite contract) and sweeps
+      ALL staging — reclaiming zombies an aborted job's cancelled tasks
+      created after abort's own token sweep ran;
     - in append mode final part numbering CONTINUES past the highest
       existing ``part-N`` (a second commit never clobbers the first's
       files) and ``_SUCCESS`` carries the cumulative row count;
@@ -462,7 +465,20 @@ class JsonLinesWriter(DataSourceWriter):
                 os.path.join(self.path, f"part-{start + i:05d}.jsonl"),
             )
             total += m.n_rows
-        _sweep_staging(self.path, self.job_token)
+        if self.overwrite:
+            # Overwrite asserts EXCLUSIVE directory ownership (the same
+            # contract as Spark's native insert-overwrite — concurrent
+            # writers to one overwritten path are undefined), so sweep ALL
+            # staging: this is what reclaims zombie files a cancelled task
+            # of an aborted job managed to create after its abort() sweep
+            # ran (the abort-vs-task-teardown race).
+            for name in os.listdir(self.path):
+                if name.startswith("_tmp_"):
+                    os.remove(os.path.join(self.path, name))
+        else:
+            # Append mode coexists with concurrent appenders — only this
+            # job's token is safe to sweep.
+            _sweep_staging(self.path, self.job_token)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
 
