@@ -821,6 +821,19 @@ def mutual_reachability_clusters(
     edge filter + CC tail (``_mutual_reach_tail``) fed from IVF candidate
     pairs instead of the cross join.
     """
+    base, dist = _all_pairs_cosine_dist(df, id_col, vec_col)
+    return _mutual_reach_tail(base, dist, k=k, eps=eps)
+
+
+def _all_pairs_cosine_dist(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple:
+    """(base, dist): the normalized id universe and the materialized
+    all-pairs cosine-distance list (qa, qb, __d) — the shared front end of
+    the exact mutual-reachability family. localCheckpointed: every caller
+    has ≥2 consumers (core-distance window + edge join), and the audit
+    query reuses ONE pair list for both its exact and ANN legs.
+    ContextCleaner frees the blocks on GC."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -839,24 +852,18 @@ def mutual_reachability_clusters(
             "qb",
             (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
         )
-        # two consumers (core-distance window, mr-edge join) — materialize
-        # the pair list once; ContextCleaner frees localCheckpoint blocks
         .localCheckpoint()
     )
-    return _mutual_reach_tail(base, dist, k=k, eps=eps)
+    return base, dist
 
 
-def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) -> DataFrame:
-    """Shared HDBSCAN* tail: (symmetric pair-distance list) → per-point
-    core distance (k-th nearest by (d asc, id asc)) → mutual-reachability
-    eps-edges → connected components → min-id labels. ``base`` supplies
-    the full id universe (``__id``); a point with fewer than ``k``
-    neighbors IN THE PAIR LIST has no core distance and is labeled noise
-    (−1, core_dist NULL) — with an all-pairs feed that never happens, with
-    a candidate feed it is the standard HDBSCAN-on-ANN behavior."""
+def _mutual_reach_parts(dist: DataFrame, *, k: int, eps: float) -> tuple:
+    """(core, edges) of the HDBSCAN* graph: per-point core distance (k-th
+    nearest by (d asc, id asc) in the pair list) and the mutual-reachability
+    eps-edges (id_a < id_b). Exposed separately so the recall-audit query
+    can union two legs' edge sets into ONE connected-components loop
+    (level-composite encoding) instead of paying the iterative loop twice."""
     from pyspark.sql import Window
-
-    from . import dedup
 
     wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
     core = (
@@ -873,7 +880,13 @@ def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) 
         .filter(F.greatest("__d", "__ca", "__cb") <= eps)
         .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"))
     )
-    comp = dedup.connected_components(edges)
+    return core, edges
+
+
+def _mutual_reach_label(base: DataFrame, core: DataFrame, comp: DataFrame) -> DataFrame:
+    """Final labeling: id universe LEFT JOIN component labels (−1 = not
+    clustered) LEFT JOIN core distances (NULL = fewer than k neighbors in
+    the pair feed — impossible all-pairs, standard under an ANN feed)."""
     labeled = base.select(F.col("__id").alias("id")).join(comp, "id", "left")
     return (
         labeled.join(core.select(F.col("__id").alias("id"), "__cd"), "id", "left")
@@ -883,6 +896,21 @@ def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) 
             F.round(F.col("__cd"), 6).alias("core_dist"),
         )
     )
+
+
+def _mutual_reach_tail(base: DataFrame, dist: DataFrame, *, k: int, eps: float) -> DataFrame:
+    """Shared HDBSCAN* tail: (symmetric pair-distance list) → per-point
+    core distance (k-th nearest by (d asc, id asc)) → mutual-reachability
+    eps-edges → connected components → min-id labels. ``base`` supplies
+    the full id universe (``__id``); a point with fewer than ``k``
+    neighbors IN THE PAIR LIST has no core distance and is labeled noise
+    (−1, core_dist NULL) — with an all-pairs feed that never happens, with
+    a candidate feed it is the standard HDBSCAN-on-ANN behavior."""
+    from . import dedup
+
+    core, edges = _mutual_reach_parts(dist, k=k, eps=eps)
+    comp = dedup.connected_components(edges)
+    return _mutual_reach_label(base, core, comp)
 
 
 def mutual_reach_hierarchy(
@@ -985,34 +1013,20 @@ def mutual_reach_hierarchy(
     )
 
 
-def mutual_reachability_clusters_ann(
+def _ivf_candidate_pairs(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
     *,
-    k: int = 4,
-    eps: float = 0.75,
     centroid_filter: Column | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
-    """The 100 TB path for ``mutual_reachability_clusters``: identical
-    HDBSCAN* semantics (same ``_mutual_reach_tail``), but the pair list
-    comes from IVF CANDIDATES instead of an all-pairs cross join — each
-    point multiprobes its ``nprobe`` nearest cells (deterministic
-    centroids via ``centroid_filter``, the ``cosine_topk_ivf`` contract:
-    e.g. ``vec_id % 25 == 0`` so an external oracle replays the exact
-    assignment) and candidate pairs are points sharing a probed cell.
-    Core distances are then the k-th nearest AMONG CANDIDATES — ≥ the
-    exact core distance, so every surviving edge would also survive the
-    exact run: the ANN edge set is a SUBSET of the exact edge set
-    (precision 1 structurally; recall is what the audit query measures).
-
-    Scale shape: centroids broadcast (√N-ish cells), probe assignment is
-    one pass over the corpus with a per-point top-nprobe window keyed on
-    the point id, the candidate self-join shuffles on cell_id with bucket
-    sizes ~nprobe·N/cells, and the tail is key-partitioned joins + the CC
-    loop on the (sparse) eps-edge list. No stage touches |N|² pairs.
-    """
+    """Symmetric IVF candidate pairs (qa, qb), qa ≠ qb, distinct: each
+    point multiprobes its ``nprobe`` nearest deterministic cells
+    (``centroid_filter`` picks centroids from the corpus itself, default
+    ``id % 25 == 0`` — the ``cosine_topk_ivf`` contract) and candidates
+    are co-members of a probed cell. Centroids broadcast; the self-join
+    shuffles on cell id with bucket sizes ~nprobe·N/cells."""
     if centroid_filter is None:
         centroid_filter = F.col(id_col) % 25 == 0
     base = df.select(
@@ -1041,26 +1055,83 @@ def mutual_reachability_clusters_ann(
     )
     pa = probes.select(F.col("__id").alias("qa"), "__cell")
     pb = probes.select(F.col("__id").alias("qb"), "__cell")
-    cand = (
+    return (
         pa.join(pb, "__cell")
         .filter(F.col("qa") != F.col("qb"))
         .select("qa", "qb")
         .distinct()
     )
-    a = base.select(
-        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+
+
+def mutual_reachability_clusters_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    eps: float = 0.75,
+    centroid_filter: Column | None = None,
+    nprobe: int = 2,
+    precomputed_dist: DataFrame | None = None,
+) -> DataFrame:
+    """The 100 TB path for ``mutual_reachability_clusters``: identical
+    HDBSCAN* semantics (same ``_mutual_reach_tail``), but the pair list
+    comes from IVF CANDIDATES instead of an all-pairs cross join — each
+    point multiprobes its ``nprobe`` nearest cells (deterministic
+    centroids via ``centroid_filter``, the ``cosine_topk_ivf`` contract:
+    e.g. ``vec_id % 25 == 0`` so an external oracle replays the exact
+    assignment) and candidate pairs are points sharing a probed cell.
+    Core distances are then the k-th nearest AMONG CANDIDATES — ≥ the
+    exact core distance, so every surviving edge would also survive the
+    exact run: the ANN edge set is a SUBSET of the exact edge set
+    (precision 1 structurally; recall is what the audit query measures).
+
+    Scale shape: centroids broadcast (√N-ish cells), probe assignment is
+    one pass over the corpus with a per-point top-nprobe window keyed on
+    the point id, the candidate self-join shuffles on cell_id with bucket
+    sizes ~nprobe·N/cells, and the tail is key-partitioned joins + the CC
+    loop on the (sparse) eps-edge list. No stage touches |N|² pairs.
+
+    ``precomputed_dist`` is an AUDIT-ONLY convenience: the recall-audit
+    query (``embedding_mutual_reach_ann``) already materialized the exact
+    all-pairs (qa, qb, __d) list for its exact leg, so the ANN leg pulls
+    candidate distances out of it (identical doubles — same expression,
+    same vectors) instead of recomputing the dot products. The production
+    entry point leaves it None; passing an all-pairs table obviously
+    forfeits the no-|N|²-stage property, which the audit's exact leg
+    forfeited already.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
     )
-    b = base.select(
-        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    cand = _ivf_candidate_pairs(
+        df, id_col, vec_col, centroid_filter=centroid_filter, nprobe=nprobe
     )
-    dist = (
-        cand.join(a, "qa")
-        .join(b, "qb")
-        .select(
-            "qa",
-            "qb",
-            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
+    if precomputed_dist is not None:
+        dist = cand.join(precomputed_dist, ["qa", "qb"])
+    else:
+        a = base.select(
+            F.col("__id").alias("qa"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
         )
-        .localCheckpoint()
-    )
+        b = base.select(
+            F.col("__id").alias("qb"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        dist = (
+            cand.join(a, "qa")
+            .join(b, "qb")
+            .select(
+                "qa",
+                "qb",
+                (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
+                    "__d"
+                ),
+            )
+            .localCheckpoint()
+        )
     return _mutual_reach_tail(base, dist, k=k, eps=eps)

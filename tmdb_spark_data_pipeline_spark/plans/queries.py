@@ -1270,7 +1270,12 @@ def minhash_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost envelope)."""
     docs = _t(spark, sf_dir, "documents")
     truth = (
-        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+        # persist_shingles: the audit materializes the pair list right away
+        # (localCheckpoint below), so the bounded shingle table's three
+        # consumers (sizes + both self-join sides) should share one explode
+        dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, min_jaccard=0.1, persist_shingles=True
+        )
         .select(
             "id_a",
             "id_b",
@@ -9534,12 +9539,33 @@ def embedding_mutual_reach_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 300)
         .select("vec_id", "embedding")
     )
-    exact = similarity.mutual_reachability_clusters(emb, k=4, eps=0.70).select(
+    # ONE all-pairs distance pass feeds both legs (the ANN leg pulls its
+    # candidate distances out of it — identical doubles, the audit measures
+    # candidate coverage, not arithmetic), and ONE connected-components
+    # loop labels both graphs (level-composite encoding, the
+    # mutual_reach_hierarchy trick: exact edges at level 0, ANN edges at
+    # level 1) instead of paying the iterative loop twice.
+    enc = F.lit(1 << 32).cast("long")
+    base, dist = similarity._all_pairs_cosine_dist(emb, "vec_id", "embedding")
+    core_e, edges_e = similarity._mutual_reach_parts(dist, k=4, eps=0.70)
+    cand = similarity._ivf_candidate_pairs(emb, "vec_id", "embedding", nprobe=4)
+    core_a, edges_a = similarity._mutual_reach_parts(
+        cand.join(dist, ["qa", "qb"]), k=4, eps=0.70
+    )
+    union = edges_e.unionByName(
+        edges_a.select((enc + F.col("id_a")).alias("id_a"), (enc + F.col("id_b")).alias("id_b"))
+    )
+    comp = dedup.connected_components(union)
+    comp_e = comp.filter(F.col("id") < (1 << 32))
+    comp_a = comp.filter(F.col("id") >= (1 << 32)).select(
+        (F.col("id") - enc).alias("id"), (F.col("comp") - enc).alias("comp")
+    )
+    exact = similarity._mutual_reach_label(base, core_e, comp_e).select(
         "id", F.col("cluster").alias("ce"), F.col("core_dist").alias("cde")
     )
-    ann = similarity.mutual_reachability_clusters_ann(
-        emb, k=4, eps=0.70, nprobe=4
-    ).select("id", F.col("cluster").alias("ca"), F.col("core_dist").alias("cda"))
+    ann = similarity._mutual_reach_label(base, core_a, comp_a).select(
+        "id", F.col("cluster").alias("ca"), F.col("core_dist").alias("cda")
+    )
     per = exact.join(ann, "id")
     return per.agg(
         F.count("*").alias("n_points"),
