@@ -731,3 +731,65 @@ def test_dsir_matches_python_lm_model(spark, docs):
         for r in T.dsir_importance_stats(df, "text", "doc_id", "is_target").collect()
     }
     assert got == expect
+
+
+word_st = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+docs_strategy = st.lists(
+    st.lists(word_st, min_size=3, max_size=12).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(texts=docs_strategy)
+def test_portable_banding_matches_python_model(spark, texts):
+    """The portable MinHash banding (minhash_blocking_quality's
+    measurement instrument) replayed in pure Python: same distinct 3-word
+    shingles, same md5-60 base hash (hashlib replicates the engine's
+    conv(substr(md5)) exactly), same affine permutations, same band
+    grouping — the candidate pair set must be identical. This is the
+    same guarantee the DuckDB oracle checks, but over adversarial random
+    corpora instead of the fixture tables."""
+    import hashlib
+
+    from tmdb_spark_data_pipeline_spark.operators import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_band_pairs_portable(
+            df, "text", "doc_id", n=3, num_hashes=16, bands=4
+        ).collect()
+    }
+
+    p = dd._MERSENNE31
+    params = dd._permutation_params(16, 7)
+
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    def signature(t):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % p
+            for s in shingles(t)
+        ]
+        return [min((a * h + b) % p for h in hs) for a, b in params] if hs else None
+
+    sigs = {i: signature(t) for i, t in rows}
+    expect = set()
+    for band in range(4):
+        buckets = {}
+        for i, sig in sigs.items():
+            if sig is None:
+                continue
+            key = tuple(sig[band * 4 : band * 4 + 4])
+            buckets.setdefault(key, []).append(i)
+        for members in buckets.values():
+            for x in members:
+                for y in members:
+                    if x < y:
+                        expect.add((x, y))
+    assert got == expect
