@@ -518,3 +518,49 @@ def test_mutual_reach_hierarchy_slices_match_flat_runs(spark):
             for j in ids:
                 if hier[(i, fine)] != -1 and hier[(i, fine)] == hier[(j, fine)]:
                     assert hier[(i, coarse)] == hier[(j, coarse)]
+
+
+def test_ivf_artifact_roundtrip_and_incremental_append(spark, tmp_path):
+    """The persisted IVF index answers queries bit-identically to the
+    direct in-memory assignment, and mode="append" (new vector batches
+    against FROZEN centroids) equals a full rebuild over the union — the
+    incremental-maintenance contract of write_ivf_artifact."""
+    import random as rnd
+
+    rng = rnd.Random(3)
+    all_rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    first, second = all_rows[:40], all_rows[40:]
+    df_all = spark.createDataFrame(all_rows, ["vec_id", "embedding"])
+    df_first = spark.createDataFrame(first, ["vec_id", "embedding"])
+    df_second = spark.createDataFrame(second, ["vec_id", "embedding"])
+    q = df_all.filter(F.col("vec_id") < 5)
+    cf = F.col("vec_id") % 10 == 0
+
+    def key(df):
+        return {
+            (r.query_id, r.neighbor_id, round(r.cos, 9)) for r in df.collect()
+        }
+
+    direct = key(
+        similarity.cosine_topk_ivf(q, df_all, k=4, nprobe=2, centroid_filter=cf)
+    )
+    path = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_artifact(df_all, path, centroid_filter=cf)
+    assert key(
+        similarity.cosine_topk_ivf_from_artifact(spark, path, q, k=4, nprobe=2)
+    ) == direct
+
+    # incremental: build from the first batch's ASSIGNMENTS but with the
+    # full centroid set frozen up front, then append the second batch
+    path2 = str(tmp_path / "ivf_idx_inc")
+    cents = df_all.filter(cf).select("vec_id", "embedding")
+    similarity.assign_ivf_cells(df_first, cents).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path2}/cells")
+    cents.write.mode("overwrite").parquet(f"{path2}/centroids")
+    similarity.assign_ivf_cells(df_second, cents).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(f"{path2}/cells")
+    assert key(
+        similarity.cosine_topk_ivf_from_artifact(spark, path2, q, k=4, nprobe=2)
+    ) == direct

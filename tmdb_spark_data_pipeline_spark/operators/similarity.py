@@ -366,7 +366,35 @@ def cosine_topk_ivf(
         centroid_filter = F.col(id_col) % 25 == 0
     cents = corpus.filter(centroid_filter).select(id_col, vec_col)
     assigned = assign_ivf_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    return _ivf_probe_topk(
+        assigned,
+        cents,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+        include_self=include_self,
+    )
 
+
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    include_self: bool,
+) -> DataFrame:
+    """The IVF SEARCH side, decoupled from the build side so it runs
+    identically over a freshly-assigned corpus (``cosine_topk_ivf``) or a
+    PERSISTED cell-partitioned artifact (``cosine_topk_ivf_from_artifact``):
+    broadcast centroids → per-query top-``nprobe`` probe cells → join the
+    (cell-keyed) corpus on ``cell_id`` → exact cosine within probed cells →
+    per-query top-k window."""
     c = cents.select(
         F.col(id_col).alias("__cent_id"),
         F.col(vec_col).alias("__cv"),
@@ -408,6 +436,64 @@ def cosine_topk_ivf(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def write_ivf_artifact(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: Column | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index as a parquet ARTIFACT — the vector-side
+    counterpart of ``write_minhash_artifact``: assign every corpus vector
+    to its cell ONCE, land the corpus ``partitionBy("cell_id")`` (so a
+    probe's cell join prunes FILES, not just rows) plus the centroid table,
+    and serve every later query from the artifact without re-assigning.
+    ``mode="append"`` is the incremental path for new vector batches —
+    assignment is a pure function of (vector, centroids), so appends never
+    invalidate existing cells (centroids must stay frozen, the standard
+    IVF contract; re-training centroids is a rebuild)."""
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 25 == 0
+    cents = corpus.filter(centroid_filter).select(id_col, vec_col)
+    assigned = assign_ivf_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode(mode).partitionBy("cell_id").parquet(f"{path}/cells")
+    cents.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def cosine_topk_ivf_from_artifact(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    include_self: bool = False,
+) -> DataFrame:
+    """Answer top-k queries from a persisted ``write_ivf_artifact`` index:
+    same search tail as ``cosine_topk_ivf`` (bit-identical results — the
+    candidate set is a pure function of the frozen assignment), but the
+    corpus scan starts from the cell-partitioned artifact, so the probe
+    join touches only the probed cells' files. This is the 100 TB serving
+    shape: the O(N·cells) assignment is paid once at build, every query
+    afterwards costs O(nprobe·N/cells) reads."""
+    assigned = spark.read.parquet(f"{path}/cells")
+    cents = spark.read.parquet(f"{path}/centroids")
+    return _ivf_probe_topk(
+        assigned,
+        cents,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+        include_self=include_self,
     )
 
 

@@ -3451,6 +3451,34 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
+@query("ivf_artifact_roundtrip", oracle=_ivf_oracle())
+def ivf_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTENCE lifecycle (``similarity.write_ivf_artifact`` /
+    ``cosine_topk_ivf_from_artifact`` — the vector-side counterpart of
+    ``minhash_artifact_roundtrip``): the corpus is assigned to its
+    deterministic cells once and landed ``partitionBy("cell_id")`` next to
+    the centroid table; queries are then answered FROM THE ARTIFACT — the
+    probe join touches only the probed cells' partition directories, which
+    is the 100 TB serving shape (build cost paid once, per-query cost
+    O(nprobe·N/cells) file reads). Sharing ``similarity_topk_ivf``'s
+    oracle is the parity proof: results from the persisted index must be
+    bit-identical to the direct in-memory assignment."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.write_ivf_artifact(emb.select("vec_id", "embedding"), path)
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_ivf_from_artifact(spark, path, q, k=10, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos")
+    )
+
+
 @query(
     "embedding_quantization",
     oracle="""
@@ -12260,6 +12288,7 @@ _SWEEP_FRONT = (
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
+    "ivf_artifact_roundtrip",
     # --- changed since last green (r7 graph.py rewrite; last green r6) ---
     "copurchase_pagerank",
     "brand_parts_ppr",
