@@ -72,6 +72,28 @@ def test_lsh_probe_uses_dynamic_partition_pruning(spark, sf_smoke):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_ivf_artifact_probe_uses_dynamic_partition_pruning(spark, sf_smoke):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.operators import similarity
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_dpp_test")
+    similarity.write_ivf_artifact(emb, path)
+    out = similarity.cosine_topk_ivf_from_artifact(
+        spark, path, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2
+    )
+    plan = _plan(out)
+    # the persisted-index serving path: the cell-partitioned corpus scan is
+    # gated by a runtime pruning predicate on cell_id — only probed cells'
+    # partition directories are read (the O(nprobe·N/cells) claim)
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_blocked_neardup_is_equi_join_not_nested_loop(spark, sf_smoke):
     plan = _plan(queries.cosine_neardups_blocked(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" not in plan  # the unblocked baseline's shape
