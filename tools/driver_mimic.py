@@ -20,8 +20,10 @@ rows = df.collect()
 print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema]}, {time.time()-t0:.1f}s")
 assert len(rows) > 0
 
+import os
+
 import duckdb
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("MIMIC_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
