@@ -352,6 +352,82 @@ def test_duplicate_chunk_stats_occurrence_threshold(spark):
     assert out == {1: 1, 2: 1, 3: 1}  # doubled span within tolerance
 
 
+def test_duplicated_span_extents_merges_overlapping_windows(spark):
+    # 12-token prefix shared verbatim by docs 1 and 2 -> windows at starts
+    # 0,1,2 are duplicated and must merge into ONE maximal [0,11] span.
+    prefix = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [
+            (1, prefix + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, prefix + " lambda mu nu xi omicron pi rho sigma"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+            (4, "short doc only"),  # n < window -> zero spans, ratio 0.0
+            (5, ""),  # empty -> n_tokens 0, ratio NULL
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_extents(
+            df, "text", "doc_id", window_tokens=10
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d].n_tokens == 20
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_tokens == 12  # token-resolution extent, not chunk grid
+        assert out[d].max_span_tokens == 12
+        assert out[d].dup_ratio == 0.6
+    assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
+    assert out[4].n_dup_spans == 0 and out[4].dup_ratio == 0.0
+    assert out[5].n_tokens == 0 and out[5].dup_ratio is None
+
+
+def test_duplicated_span_extents_disjoint_spans_and_threshold(spark):
+    a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    df = spark.createDataFrame(
+        [
+            (1, a + " u1 u2 u3 u4 u5 " + b),  # two disjoint duplicated regions
+            (2, a),
+            (3, b),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_extents(
+            df, "text", "doc_id", window_tokens=10
+        ).collect()
+    }
+    assert out[1].n_tokens == 25
+    assert out[1].n_dup_spans == 2  # the unique gap is NOT bridged
+    assert out[1].dup_tokens == 20 and out[1].max_span_tokens == 10
+    assert out[1].dup_ratio == 0.8
+    assert out[2].dup_ratio == 1.0 and out[3].dup_ratio == 1.0
+    # max_occurrences=2 tolerates the doubled window
+    tol = {
+        r.doc_id: r.n_dup_spans
+        for r in dedup.duplicated_span_extents(
+            df, "text", "doc_id", window_tokens=10, max_occurrences=2
+        ).collect()
+    }
+    assert tol == {1: 0, 2: 0, 3: 0}
+
+
+def test_duplicated_span_extents_self_repeat_adjacent_merge(spark):
+    # a doc that repeats its own 10-token phrase back-to-back: spans [0,9]
+    # and [10,19] are adjacent -> one contiguous maximal extent
+    x = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    df = spark.createDataFrame([(1, x + " " + x)], ["doc_id", "text"])
+    r = dedup.duplicated_span_extents(
+        df, "text", "doc_id", window_tokens=10
+    ).collect()[0]
+    assert r.n_dup_spans == 1
+    assert r.dup_tokens == 20 and r.max_span_tokens == 20
+    assert r.dup_ratio == 1.0
+
+
 def test_artifact_pairs_match_direct_lsh(corpus, tmp_path):
     path = str(tmp_path / "mh_artifact")
     dedup.write_minhash_artifact(

@@ -568,6 +568,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "cosine_neardups",          # exact all-pairs correctness baseline
         "similarity_topk",          # brute-force exactness baseline
         "similarity_topk_ivf",      # broadcast-centroid assign
+        "ivf_artifact_roundtrip",   # same broadcast-centroid assign, served from the artifact
         "kmeans_cluster_profile",   # broadcast-centroid assign
         "semantic_dedup_pairs",     # broadcast-centroid assign
         "embedding_truncation_fidelity",  # broadcast probe-pairs (declared)

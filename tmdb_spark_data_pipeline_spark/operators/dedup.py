@@ -983,6 +983,109 @@ def duplicate_chunk_stats(
     )
 
 
+def duplicated_span_extents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window_tokens: int = 10,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Exact substring-span dedup audit (the suffix-array "duplicated
+    50-token span" rule of Lee et al. 2022, *Deduplicating Training Data
+    Makes Language Models Better*, at a stride-1 token-window granularity):
+    every OVERLAPPING ``window_tokens``-token window is counted corpus-wide;
+    windows occurring more than ``max_occurrences`` times are "duplicated",
+    and per document the duplicated windows are merged (gaps-and-islands)
+    into MAXIMAL duplicated spans → ``(id, n_tokens, n_dup_spans,
+    dup_tokens, max_span_tokens, dup_ratio)``.
+
+    ``duplicate_chunk_stats`` partitions the token stream into disjoint
+    windows, so a duplicated span straddling a chunk boundary is invisible
+    and span extents are quantized to the chunk grid; stride-1 windows see
+    every duplicated region at token resolution — this is the audit that
+    tells you *how much* of each document is copied text and how long the
+    longest verbatim run is, which is what the Lee et al. suffix-array pass
+    actually removes.
+
+    Spark-first shape: the suffix array is replaced by a rolling L-gram
+    digest — tokenize once, build all window digests doc-side with a HOF
+    (``transform`` over a start-index ``sequence``, ``sha2`` of the joined
+    slice — pure Catalyst, no Python), ``posexplode`` to (id, start,
+    digest), ONE corpus-wide occurrence count via ``count() OVER
+    (PARTITION BY digest)`` (the shuffle carries 32-B digests + two longs,
+    never text), then the classic island merge per doc: running
+    ``max(end)`` over preceding rows → new-island flag → cumulative sum →
+    per-island min/max. At 100 TB the digest shuffle is ~|corpus tokens|
+    rows — the same asymptotic cost as the suffix-array build, but a plain
+    AQE-sizeable hash shuffle; the per-doc island windows touch only each
+    document's own duplicated windows (bounded by doc length).
+    """
+    if window_tokens < 2:
+        raise ValueError(f"need window_tokens >= 2, got {window_tokens}")
+    from pyspark.sql import Window
+
+    L = window_tokens
+    t = F.trim(_col(text_col))
+    tok = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = df.select(F.col(id_col).alias("__id"), tok.alias("__tok")).select(
+        "__id", F.size("__tok").alias("__n"), "__tok"
+    )
+    meta = base.select("__id", "__n")
+    # all stride-1 window digests, built doc-side (digest crosses the
+    # shuffle, the window text never does)
+    grams = (
+        base.filter(F.col("__n") >= L)
+        .select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - L),
+                    lambda i: F.sha2(
+                        F.concat_ws(" ", F.slice("__tok", i + 1, L)), 256
+                    ),
+                )
+            ).alias("__s", "__dig"),
+        )
+    )
+    occ = grams.withColumn(
+        "__occ", F.count("*").over(Window.partitionBy("__dig"))
+    )
+    dup = occ.filter(F.col("__occ") > max_occurrences).select(
+        "__id", "__s", (F.col("__s") + (L - 1)).alias("__e")
+    )
+    # gaps-and-islands: merge overlapping/adjacent duplicated windows
+    w = Window.partitionBy("__id").orderBy("__s")
+    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    spans = flagged.groupBy("__id", "__isl").agg(
+        F.min("__s").alias("__ss"), F.max("__e").alias("__se")
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("__se") - F.col("__ss") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("__se") - F.col("__ss") + 1).cast("long").alias("max_span_tokens"),
+    )
+    return meta.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias("max_span_tokens"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("__n"), 6
+            ),
+        ).alias("dup_ratio"),
+    )
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -4748,6 +4748,69 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicated_span_extents",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS t
+      FROM documents),
+    meta AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    w AS (SELECT doc_id, t, n,
+                 CAST(unnest(generate_series(0, n - 10)) AS INTEGER) AS s
+          FROM meta WHERE n >= 10),
+    g AS (SELECT doc_id, s,
+                 array_to_string(list_slice(t, s + 1, s + 10), ' ') AS gram
+          FROM w),
+    occ AS (SELECT doc_id, s, s + 9 AS e,
+                   count(*) OVER (PARTITION BY gram) AS n_occ
+            FROM g),
+    dup AS (SELECT doc_id, s, e FROM occ WHERE n_occ > 1),
+    isl AS (SELECT doc_id, s, e,
+                   CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1 THEN 1 ELSE 0 END AS nf
+            FROM dup),
+    isl2 AS (SELECT doc_id, s, e,
+                    sum(nf) OVER (PARTITION BY doc_id ORDER BY s) AS isle
+             FROM isl),
+    spans AS (SELECT doc_id, isle, min(s) AS ss, max(e) AS se
+              FROM isl2 GROUP BY doc_id, isle),
+    per AS (SELECT doc_id,
+                   count(*) AS n_dup_spans,
+                   sum(se - ss + 1) AS dup_tokens,
+                   max(se - ss + 1) AS max_span_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT m.doc_id,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(per.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+           CASE WHEN m.n > 0
+                THEN round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / m.n, 6)
+           END AS dup_ratio
+    FROM meta m LEFT JOIN per ON m.doc_id = per.doc_id
+    """,
+)
+def duplicated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-SPAN dedup audit (``dedup.duplicated_span_extents``):
+    the Lee-et-al suffix-array "duplicated span" rule re-expressed as
+    stride-1 rolling 10-token-window digests → corpus-wide occurrence count
+    → per-document gaps-and-islands merge into maximal duplicated spans.
+    Complements ``chunk_dedup_stats`` (disjoint windows, boundary-blind):
+    this reports token-resolution extents — how much of each doc is verbatim
+    copy and the longest verbatim run. Digest-only shuffle (32 B + 2 longs
+    per window ≈ per corpus token); island merge is per-doc bounded. The
+    oracle replays the identical window/occurrence/island pipeline on gram
+    text instead of digests (equal unless sha2 collides)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_extents(
+        docs, "text", "doc_id", window_tokens=10, max_occurrences=1
+    )
+
+
+@query(
     "pmi_collocations_top20",
     oracle=r"""
     WITH tok AS (
@@ -11432,6 +11495,104 @@ def user_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_value_ks_drift",
+    oracle="""
+    WITH sided AS (
+      SELECT value AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    per_v AS (SELECT v, CAST(sum(is_ref) AS BIGINT) AS nr,
+                     CAST(sum(1 - is_ref) AS BIGINT) AS nc
+              FROM sided GROUP BY v),
+    cum AS (SELECT v,
+                   sum(nr) OVER (ORDER BY v) AS cr,
+                   sum(nc) OVER (ORDER BY v) AS cc,
+                   sum(nr) OVER () AS tr,
+                   sum(nc) OVER () AS tc
+            FROM per_v),
+    x AS (SELECT v, tr, tc, abs(cr * tc - cc * tr) AS num FROM cum),
+    mx AS (SELECT max(num) AS mxn FROM x),
+    a AS (SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+                 CAST(max(tc) AS BIGINT) AS n_cur,
+                 round(CAST(max(num) AS DOUBLE) / (max(tr) * max(tc)), 6)
+                   AS ks_stat,
+                 round(min(CASE WHEN num = (SELECT mxn FROM mx) THEN v END), 6)
+                   AS ks_at,
+                 round(1.358 * sqrt(CAST(max(tr) + max(tc) AS DOUBLE)
+                                    / (max(tr) * max(tc))), 6) AS crit_05
+          FROM x)
+    SELECT n_ref, n_cur, ks_stat, ks_at, crit_05,
+           ks_stat > crit_05 AS drift
+    FROM a
+    """,
+)
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift gate on event values: first half
+    of the month (ts < Jan 16) as reference vs second half as current.
+    D = max |ECDF_ref − ECDF_cur| computed from EXACT integer cumulative
+    counts (|cr·n_cur − cc·n_ref| — no float accumulation, the division and
+    rounding happen once on the final scalar), plus the value at which the
+    max gap occurs (min-value tie-break) and the α=0.05 critical value
+    1.358·√((n₁+n₂)/(n₁n₂)); ``drift`` compares the two ROUNDED doubles so
+    both engines flip identically. Complements ``order_price_psi`` (binned,
+    distribution-free-ish) with the exact distribution-free test.
+
+    The exact KS needs the globally ordered ECDF — here one unpartitioned
+    window over |distinct values| rows (the fact table is pre-aggregated to
+    value granularity before any sort). At 100 TB the documented bounded
+    twin is the binned ECDF against broadcast quantile cutoffs (the PSI
+    shape), traded away here so the oracle can pin exact KS semantics."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sided = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
+    )
+    per_v = sided.groupBy("v").agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    x = per_v.select(
+        "v",
+        F.sum("nr").over(wall).alias("tr"),
+        F.sum("nc").over(wall).alias("tc"),
+        F.abs(
+            F.sum("nr").over(wcum) * F.sum("nc").over(wall)
+            - F.sum("nc").over(wcum) * F.sum("nr").over(wall)
+        ).alias("num"),
+    )
+    a = x.agg(
+        F.max("tr").cast("long").alias("n_ref"),
+        F.max("tc").cast("long").alias("n_cur"),
+        F.max("num").alias("mxn"),
+        F.min(
+            F.struct((-F.col("num")).alias("negn"), F.col("v").alias("v"))
+        ).alias("best"),
+    ).select(
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.col("mxn").cast("double") / (F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("ks_stat"),
+        F.round(F.col("best.v"), 6).alias("ks_at"),
+        F.round(
+            1.358
+            * F.sqrt(
+                (F.col("n_ref") + F.col("n_cur")).cast("double")
+                / (F.col("n_ref") * F.col("n_cur"))
+            ),
+            6,
+        ).alias("crit_05"),
+    )
+    return a.select(
+        "*", (F.col("ks_stat") > F.col("crit_05")).alias("drift")
+    )
+
+
+@query(
     "ab_test_welch",
     oracle="""
     WITH g AS (
@@ -11503,6 +11664,97 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (va * va / (na - 1.0) + vb * vb / (nb - 1.0)),
             2,
         ).alias("welch_df"),
+    )
+
+
+@query(
+    "ab_test_mannwhitney",
+    oracle="""
+    WITH g AS (
+      SELECT value AS v, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type = 'purchase'),
+    per_v AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(a) AS BIGINT) AS cnt_a
+              FROM g GROUP BY v),
+    cum AS (SELECT v, cnt, cnt_a,
+                   CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+            FROM per_v),
+    s AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                 CAST(sum(cnt - cnt_a) AS BIGINT) AS nb,
+                 CAST(sum(cnt_a * (2 * c - cnt + 1)) AS BIGINT) AS two_ra,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+          FROM cum),
+    m AS (SELECT na, nb,
+                 (two_ra - na * (na + 1)) / 2.0 AS ua,
+                 na * nb / 2.0 AS mu,
+                 na * nb / 12.0
+                   * ((na + nb + 1)
+                      - CAST(tie3 AS DOUBLE)
+                        / ((na + nb) * (na + nb - 1.0))) AS var
+          FROM s)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ua, 1) AS u_a,
+           round((ua - mu) / sqrt(var), 6) AS mw_z
+    FROM m
+    """,
+)
+def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation, rank-based: Mann–Whitney U between the same two
+    hash-split arms as ``ab_test_welch``, from EXACT integer rank algebra —
+    per distinct value the doubled midrank is ``2·cum − cnt + 1`` (always
+    integer), so the doubled rank-sum ``Σ cnt_a·(2c − cnt + 1)`` and the
+    tie-correction ``Σ(t³ − t)`` accumulate as BIGINTs; floats appear only
+    in the final U / z scalars both engines compute from identical
+    integers. The distribution-free complement to Welch's t (robust to the
+    heavy-tailed purchase values); normal approximation with tie-corrected
+    variance. Pooled ranking = one unpartitioned window over |distinct
+    values| rows after value-granularity pre-aggregation (the
+    ``event_value_ks_drift`` posture — the bounded twin at warehouse scale
+    is binned midranks from broadcast quantile cutoffs)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("a"),
+    )
+    per_v = g.groupBy("v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("a").cast("long").alias("cnt_a"),
+    )
+    cum = per_v.withColumn(
+        "c",
+        F.sum("cnt")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    s = cum.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("nb"),
+        F.sum(F.col("cnt_a") * (2 * F.col("c") - F.col("cnt") + 1))
+        .cast("long")
+        .alias("two_ra"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ua = (F.col("two_ra") - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na
+        * nb
+        / 12.0
+        * (
+            (na + nb + 1)
+            - F.col("tie3").cast("double") / ((na + nb) * (na + nb - 1.0))
+        )
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ua, 1).alias("u_a"),
+        F.round((ua - mu) / F.sqrt(var), 6).alias("mw_z"),
     )
 
 
@@ -12285,6 +12537,9 @@ _SWEEP_FRONT = (
     # within a tier, prior front order). The driver caps each sweep at
     # ~50 names, so the r8 prefix = new + changed + r2 + most of r3.
     # --- new in round 8 (no driver row yet) ---
+    "duplicated_span_extents",
+    "event_value_ks_drift",
+    "ab_test_mannwhitney",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
