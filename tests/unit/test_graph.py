@@ -35,6 +35,39 @@ def test_triangle_plus_pendant(spark):
     assert (r.n_triangles, r.n_wedges) == (1, 5)
 
 
+def test_local_clustering_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: nodes 1,2 have d=2, T=1 -> cc=1.0;
+    # node 3 has d=3, T=1 -> cc = 2/(3*2) = 1/3; node 4 (d=1) excluded
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    out = {r.node: r for r in graph.local_clustering(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].local_cc == 1.0 and out[1].triangles == 1
+    assert out[2].local_cc == 1.0
+    assert out[3].degree == 3 and out[3].triangles == 1
+    assert out[3].local_cc == 0.333333
+
+
+def test_local_clustering_hub_star_all_zero(spark):
+    # star hub: every pair of leaves is an open wedge -> hub cc 0; leaves
+    # have degree 1 and are excluded entirely
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+    rows = graph.local_clustering(star).collect()
+    assert len(rows) == 1
+    assert rows[0].node == 0 and rows[0].triangles == 0 and rows[0].local_cc == 0.0
+
+
+def test_local_clustering_sums_to_three_times_triangles(spark):
+    # K4 plus a bridge to a second triangle: per-node triangle credits must
+    # total 3x the global triangle count (each triangle has 3 corners)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    per_node = graph.local_clustering(df).collect()
+    global_t = graph.triangle_stats(df).collect()[0].n_triangles
+    assert sum(r.triangles for r in per_node) == 3 * global_t == 15
+
+
 def test_label_propagation_majority_tiebreak_and_rounds(spark):
     #   1(A)   2(A)   3(B)        7(no labeled neighbor until round 2)
     #     \     |     /

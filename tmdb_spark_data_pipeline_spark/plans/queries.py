@@ -6700,6 +6700,130 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_orderdate),
+    dev AS (
+      SELECT d,
+             rev - CAST(sum(CAST(rev AS DECIMAL(38,4))) OVER () AS DOUBLE)
+                   / count(*) OVER () AS dev,
+             count(*) OVER () AS n
+      FROM daily),
+    lagged AS (
+      SELECT n, CAST(g.k AS INTEGER) AS k,
+             round(dev * lag(dev, CAST(g.k AS INTEGER))
+                         OVER (PARTITION BY g.k ORDER BY d), 6) AS prod
+      FROM dev CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS k) g),
+    per_k AS (
+      SELECT k, CAST(max(n) AS BIGINT) AS n,
+             sum(CAST(prod AS DECIMAL(38,6))) AS s
+      FROM lagged WHERE prod IS NOT NULL GROUP BY k),
+    withd AS (
+      SELECT k, n, s,
+             max(CASE WHEN k = 0 THEN s END) OVER () AS denom
+      FROM per_k),
+    acfs AS (
+      SELECT k, n,
+             round(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS acf
+      FROM withd WHERE k >= 1),
+    lb AS (
+      SELECT k, n, acf,
+             sum(CAST(round(acf * acf / (n - k), 12) AS DECIMAL(38,12)))
+               OVER (ORDER BY k) AS qsum
+      FROM acfs)
+    SELECT k AS lag, acf,
+           round(CAST(n AS DOUBLE) * (n + 2) * CAST(qsum AS DOUBLE), 6)
+             AS lb_q
+    FROM lb
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags 1–14
+    plus the cumulative Ljung–Box portmanteau Q — the stationarity /
+    white-noise diagnostic run before trusting ``ewma_daily_revenue`` or
+    ``forecast_revenue_change``. Determinism discipline: daily revenues are
+    exact 4-dp decimals, deviations come off one shared exact mean, every
+    cross-product rounds at 6 dp BEFORE the decimal sum (partial-agg order
+    can't move a digit — the ``order_price_psi`` pattern), and Q is a
+    decimal cumulative sum of 12-dp contributions computed from the
+    already-rounded ACF values both engines share. The fact table
+    pre-aggregates to |days| rows before the only unpartitioned window
+    (15 lag columns in ONE WindowExec); at warehouse scale the day-grain
+    series is tiny — the window never sees the fact table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        _dsum(F.col("o_totalprice")).alias("rev")
+    )
+    w0 = Window.partitionBy()
+    dev_df = daily.select(
+        "d",
+        (
+            F.col("rev")
+            - F.sum(F.col("rev").cast("decimal(38,4)")).over(w0).cast("double")
+            / F.count("*").over(w0)
+        ).alias("dev"),
+        F.count("*").over(w0).alias("n"),
+    )
+    wd = Window.orderBy("d")
+    arr = dev_df.select(
+        "n",
+        F.array(
+            *[
+                F.round(F.col("dev") * F.lag("dev", k).over(wd), 6)
+                for k in range(15)
+            ]
+        ).alias("prods"),
+    )
+    lagged = arr.select("n", F.posexplode("prods").alias("k", "prod")).filter(
+        F.col("prod").isNotNull()
+    )
+    per_k = lagged.groupBy("k").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("prod").cast("decimal(38,6)")).alias("s"),
+    )
+    withd = per_k.select(
+        "k",
+        "n",
+        "s",
+        F.max(F.when(F.col("k") == 0, F.col("s"))).over(w0).alias("denom"),
+    )
+    acfs = withd.filter(F.col("k") >= 1).select(
+        "k",
+        "n",
+        F.round(
+            F.col("s").cast("double") / F.col("denom").cast("double"), 6
+        ).alias("acf"),
+    )
+    wq = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    lb = acfs.select(
+        "k",
+        "n",
+        "acf",
+        F.sum(
+            F.round(F.col("acf") * F.col("acf") / (F.col("n") - F.col("k")), 12)
+            .cast("decimal(38,12)")
+        )
+        .over(wq)
+        .alias("qsum"),
+    )
+    return lb.select(
+        F.col("k").alias("lag"),
+        "acf",
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n") + 2)
+            * F.col("qsum").cast("double"),
+            6,
+        ).alias("lb_q"),
+    )
+
+
+@query(
     "daily_revenue_decomposition",
     oracle="""
     WITH daily AS (
@@ -8828,6 +8952,58 @@ _LPA_EDGES_SQL = """
     seeds AS (SELECT p_partkey AS id, p_brand AS label FROM part
               WHERE p_partkey % 3 = 0)
 """
+
+
+@query(
+    "copurchase_local_clustering",
+    oracle="WITH " + _LPA_EDGES_SQL + """,
+    deg AS (SELECT n, count(*) AS d FROM (
+              SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY 1),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (SELECT unnest([a, b, c]) AS n FROM tri),
+    tcnt AS (SELECT n, count(*) AS t FROM corners GROUP BY n)
+    SELECT deg.n AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tcnt.t, 0) AS BIGINT) AS triangles,
+           round(CAST(2 * coalesce(tcnt.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1)), 6) AS local_cc
+    FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+    WHERE deg.d >= 2
+    ORDER BY local_cc DESC, degree DESC, node ASC LIMIT 20
+    """,
+)
+def copurchase_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficients over the co-purchase graph
+    (``graph.local_clustering``) — top-20 most-clustered parts by
+    ``2·T(v)/(d(v)(d(v)−1))`` with a full (coeff desc, degree desc, id asc)
+    total order. The global coefficient (``copurchase_triangle_stats``)
+    says how clique-ish the graph is overall; the per-node view is what
+    ego-network community detection and recommendation diversity audits
+    actually consume. Spark side reuses the degree-oriented m^1.5 wedge
+    enumeration and credits each triangle's three corners with one explode
+    + hash rollup; the oracle states the naive a<b<c definition, which must
+    agree exactly because the per-corner credit is orientation-invariant."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    cc = graph.local_clustering(edges)
+    return cc.orderBy(
+        F.col("local_cc").desc(), F.col("degree").desc(), F.col("node").asc()
+    ).limit(20)
 
 
 @query(
@@ -12540,6 +12716,8 @@ _SWEEP_FRONT = (
     "duplicated_span_extents",
     "event_value_ks_drift",
     "ab_test_mannwhitney",
+    "daily_revenue_acf",
+    "copurchase_local_clustering",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
