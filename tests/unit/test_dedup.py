@@ -415,6 +415,45 @@ def test_duplicated_span_extents_disjoint_spans_and_threshold(spark):
     assert tol == {1: 0, 2: 0, 3: 0}
 
 
+def test_remove_duplicated_spans_matches_extents_accounting(spark):
+    a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    df = spark.createDataFrame(
+        [(1, a + " u1 u2 u3 u4 u5 " + b), (2, a), (3, b), (4, "tiny doc"), (5, "")],
+        ["doc_id", "text"],
+    )
+    applied = {
+        r.doc_id: r
+        for r in dedup.remove_duplicated_spans(
+            df, "text", "doc_id", window_tokens=10
+        ).collect()
+    }
+    # the kept middle survives verbatim; duplicated flanks are gone
+    assert applied[1].cleaned_text == "u1 u2 u3 u4 u5"
+    assert applied[2].cleaned_text == "" and applied[2].kept_tokens == 0
+    assert applied[4].cleaned_text == "tiny doc"
+    assert applied[5].kept_tokens == 0 and applied[5].n_tokens == 0
+    # apply accounting == audit accounting: kept = n_tokens - dup_tokens
+    extents = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_extents(
+            df, "text", "doc_id", window_tokens=10
+        ).collect()
+    }
+    for d in applied:
+        assert applied[d].kept_tokens == extents[d].n_tokens - extents[d].dup_tokens
+    # idempotence of the drop-all policy: re-running on cleaned text is a no-op
+    cleaned = dedup.remove_duplicated_spans(
+        spark.createDataFrame(
+            [(d, applied[d].cleaned_text) for d in applied], ["doc_id", "text"]
+        ),
+        "text",
+        "doc_id",
+        window_tokens=10,
+    ).collect()
+    assert all(r.kept_tokens == r.n_tokens for r in cleaned)
+
+
 def test_duplicated_span_extents_self_repeat_adjacent_merge(spark):
     # a doc that repeats its own 10-token phrase back-to-back: spans [0,9]
     # and [10,19] are adjacent -> one contiguous maximal extent

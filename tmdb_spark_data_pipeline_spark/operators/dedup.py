@@ -983,6 +983,73 @@ def duplicate_chunk_stats(
     )
 
 
+def _span_tokens(text_col: str) -> Column:
+    """The repo-wide tokenization convention (trim, empty → [], else split
+    on runs of whitespace) — shared by the span-dedup audit and apply."""
+    t = F.trim(_col(text_col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _duplicated_token_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window_tokens: int,
+    max_occurrences: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the span-dedup family: stride-1 rolling
+    ``window_tokens``-token window digests → corpus-wide occurrence count →
+    per-doc gaps-and-islands merge. Returns ``(meta, spans)`` where meta is
+    ``(__id, __n)`` for every document and spans is the MAXIMAL merged
+    duplicated extents ``(__id, __ss, __se)`` (0-based inclusive token
+    positions). See ``duplicated_span_extents`` for the scale analysis."""
+    if window_tokens < 2:
+        raise ValueError(f"need window_tokens >= 2, got {window_tokens}")
+    from pyspark.sql import Window
+
+    L = window_tokens
+    base = df.select(
+        F.col(id_col).alias("__id"), _span_tokens(text_col).alias("__tok")
+    ).select("__id", F.size("__tok").alias("__n"), "__tok")
+    meta = base.select("__id", "__n")
+    # all stride-1 window digests, built doc-side (digest crosses the
+    # shuffle, the window text never does)
+    grams = (
+        base.filter(F.col("__n") >= L)
+        .select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - L),
+                    lambda i: F.sha2(
+                        F.concat_ws(" ", F.slice("__tok", i + 1, L)), 256
+                    ),
+                )
+            ).alias("__s", "__dig"),
+        )
+    )
+    occ = grams.withColumn(
+        "__occ", F.count("*").over(Window.partitionBy("__dig"))
+    )
+    dup = occ.filter(F.col("__occ") > max_occurrences).select(
+        "__id", "__s", (F.col("__s") + (L - 1)).alias("__e")
+    )
+    # gaps-and-islands: merge overlapping/adjacent duplicated windows
+    w = Window.partitionBy("__id").orderBy("__s")
+    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    spans = flagged.groupBy("__id", "__isl").agg(
+        F.min("__s").alias("__ss"), F.max("__e").alias("__se")
+    )
+    return meta, spans.select("__id", "__ss", "__se")
+
+
 def duplicated_span_extents(
     df: DataFrame,
     text_col: str,
@@ -1021,50 +1088,9 @@ def duplicated_span_extents(
     AQE-sizeable hash shuffle; the per-doc island windows touch only each
     document's own duplicated windows (bounded by doc length).
     """
-    if window_tokens < 2:
-        raise ValueError(f"need window_tokens >= 2, got {window_tokens}")
-    from pyspark.sql import Window
-
-    L = window_tokens
-    t = F.trim(_col(text_col))
-    tok = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
-    base = df.select(F.col(id_col).alias("__id"), tok.alias("__tok")).select(
-        "__id", F.size("__tok").alias("__n"), "__tok"
-    )
-    meta = base.select("__id", "__n")
-    # all stride-1 window digests, built doc-side (digest crosses the
-    # shuffle, the window text never does)
-    grams = (
-        base.filter(F.col("__n") >= L)
-        .select(
-            "__id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__n") - L),
-                    lambda i: F.sha2(
-                        F.concat_ws(" ", F.slice("__tok", i + 1, L)), 256
-                    ),
-                )
-            ).alias("__s", "__dig"),
-        )
-    )
-    occ = grams.withColumn(
-        "__occ", F.count("*").over(Window.partitionBy("__dig"))
-    )
-    dup = occ.filter(F.col("__occ") > max_occurrences).select(
-        "__id", "__s", (F.col("__s") + (L - 1)).alias("__e")
-    )
-    # gaps-and-islands: merge overlapping/adjacent duplicated windows
-    w = Window.partitionBy("__id").orderBy("__s")
-    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = dup.withColumn(
-        "__new",
-        F.when(F.col("__s") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0),
-    ).withColumn("__isl", F.sum("__new").over(w))
-    spans = flagged.groupBy("__id", "__isl").agg(
-        F.min("__s").alias("__ss"), F.max("__e").alias("__se")
+    meta, spans = _duplicated_token_spans(
+        df, text_col, id_col,
+        window_tokens=window_tokens, max_occurrences=max_occurrences,
     )
     per_doc = spans.groupBy("__id").agg(
         F.count("*").cast("long").alias("n_dup_spans"),
@@ -1083,6 +1109,59 @@ def duplicated_span_extents(
                 F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("__n"), 6
             ),
         ).alias("dup_ratio"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window_tokens: int = 10,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Span-dedup APPLY: drop every token covered by a corpus-duplicated
+    extent (the transform whose audit twin is ``duplicated_span_extents``)
+    → ``(id, n_tokens, kept_tokens, cleaned_text)``. Declared policy is
+    DROP-ALL — every occurrence of a duplicated span goes, the stricter
+    variant of Lee et al.'s keep-one (keep-one needs a global occurrence
+    ordering; drop-all is order-free and what boilerplate scrubbing
+    actually wants).
+
+    The extents join back per doc as a collected interval list (bounded by
+    doc length), and a single nested HOF pass — ``filter`` with the index
+    lambda over the token array, ``exists`` over the interval list — keeps
+    exactly the uncovered tokens; the document body never shuffles (the
+    digest pipeline shuffles digests, the apply join moves only
+    ``(id, ss, se)`` intervals to the data)."""
+    meta_spans = _duplicated_token_spans(
+        df, text_col, id_col,
+        window_tokens=window_tokens, max_occurrences=max_occurrences,
+    )[1]
+    cover = meta_spans.groupBy("__id").agg(
+        F.collect_list(F.struct("__ss", "__se")).alias("__cover")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), _span_tokens(text_col).alias("__tok")
+    )
+    joined = base.join(cover, "__id", "left").select(
+        "__id",
+        "__tok",
+        F.coalesce(
+            "__cover", F.array().cast("array<struct<__ss:int,__se:int>>")
+        ).alias("__cover"),
+    )
+    kept = F.filter(
+        "__tok",
+        lambda tok, i: ~F.exists(
+            "__cover", lambda s: (i >= s["__ss"]) & (i <= s["__se"])
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.size("__tok").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 

@@ -4811,6 +4811,65 @@ def duplicated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup_apply",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS t
+      FROM documents),
+    meta AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    w AS (SELECT doc_id, t, n,
+                 CAST(unnest(generate_series(0, n - 10)) AS INTEGER) AS s
+          FROM meta WHERE n >= 10),
+    g AS (SELECT doc_id, s,
+                 array_to_string(list_slice(t, s + 1, s + 10), ' ') AS gram
+          FROM w),
+    occ AS (SELECT doc_id, s, s + 9 AS e,
+                   count(*) OVER (PARTITION BY gram) AS n_occ
+            FROM g),
+    dup AS (SELECT doc_id, s, e FROM occ WHERE n_occ > 1),
+    cov AS (SELECT DISTINCT doc_id,
+                   CAST(unnest(generate_series(s, e)) AS INTEGER) AS p
+            FROM dup),
+    pos AS (SELECT doc_id, t,
+                   CAST(unnest(generate_series(1, n)) AS INTEGER) AS i
+            FROM meta WHERE n > 0),
+    keptt AS (
+      SELECT pos.doc_id, pos.i, pos.t[pos.i] AS tk
+      FROM pos LEFT JOIN cov
+        ON cov.doc_id = pos.doc_id AND cov.p = pos.i - 1
+      WHERE cov.p IS NULL),
+    agg AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS kept_tokens,
+                   string_agg(tk, ' ' ORDER BY i) AS cleaned_text
+            FROM keptt GROUP BY doc_id)
+    SELECT m.doc_id,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           coalesce(agg.kept_tokens, 0) AS kept_tokens,
+           coalesce(agg.cleaned_text, '') AS cleaned_text
+    FROM meta m LEFT JOIN agg ON m.doc_id = agg.doc_id
+    """,
+)
+def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup APPLY (``dedup.remove_duplicated_spans``): the transform
+    whose audit twin is ``duplicated_span_extents`` — every token covered
+    by a corpus-duplicated 10-token window is dropped (declared DROP-ALL
+    policy: order-free where Lee et al.'s keep-one needs a global
+    occurrence ordering) and the surviving tokens are re-joined into
+    the cleaned text. The corpus body never shuffles: digests shuffle for
+    the occurrence count, then only (id, ss, se) intervals move back to the
+    data and a single filter-with-index/exists HOF pass keeps the uncovered
+    tokens. The oracle replays coverage as an unnested position anti-join +
+    ordered string_agg (note merged-vs-unmerged spans cover identical
+    position sets, so the oracle can skip the island merge)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(
+        docs, "text", "doc_id", window_tokens=10, max_occurrences=1
+    )
+
+
+@query(
     "pmi_collocations_top20",
     oracle=r"""
     WITH tok AS (
@@ -12718,6 +12777,7 @@ _SWEEP_FRONT = (
     "ab_test_mannwhitney",
     "daily_revenue_acf",
     "copurchase_local_clustering",
+    "span_dedup_apply",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
