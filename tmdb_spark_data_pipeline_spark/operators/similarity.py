@@ -439,6 +439,119 @@ def _ivf_probe_topk(
     )
 
 
+def ivf_recall_curve(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_nprobe: int = 3,
+    centroid_filter: Column | None = None,
+) -> DataFrame:
+    """IVF recall CERTIFICATE — the vector-side analogue of the MinHash
+    banding S-curve (``dedup.minhash_band_pairs_portable`` →
+    ``minhash_blocking_quality``): for every nprobe in 1..``max_nprobe``,
+    measure recall@k of the IVF search against the exact brute-force top-k
+    on the same (bounded, declared) query set, alongside the candidate
+    workload that nprobe buys it. Output one row per nprobe:
+    ``(nprobe, n_queries, hits, recall_at_k, avg_candidates)`` — the
+    cost-vs-recall curve an operator tunes nprobe with BEFORE trusting the
+    ANN path at scale.
+
+    The candidate set is scored ONCE at ``max_nprobe`` with each
+    candidate's probe rank kept; level replication is an
+    ``explode(sequence(rank, max))`` — no per-nprobe re-search, no join
+    (a candidate found via the r-th probe cell is, by probe-rank
+    monotonicity, in every nprobe ≥ r candidate set). The exact leg is the
+    declared bounded all-pairs baseline (``cosine_topk_bruteforce``), same
+    adjudication as ``similarity_topk``; at 100 TB the audit runs on a
+    sampled query stratum while production serves from the artifact."""
+    if centroid_filter is None:
+        centroid_filter = F.col(id_col) % 25 == 0
+    cents = corpus.filter(centroid_filter).select(id_col, vec_col)
+    assigned = assign_ivf_cells(
+        corpus.select(id_col, vec_col), cents, id_col=id_col, vec_col=vec_col
+    )
+    c = cents.select(
+        F.col(id_col).alias("__cent_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__pcos").desc_nulls_last(), F.col("__cent_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(c), F.lit(True))
+        .withColumn("__pcos", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= max_nprobe)
+        .select("query_id", "__qv", "__qn", F.col("__cent_id").alias("cell_id"), "__pr")
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvv"),
+            l2_norm(vec_col).alias("__cnn"),
+            "cell_id",
+        )
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__pr",
+        (dot("__qv", "__cvv") / (F.col("__qn") * F.col("__cnn"))).alias("cos"),
+    )
+    lev = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.explode(F.sequence(F.col("__pr"), F.lit(max_nprobe))).alias("nprobe"),
+    )
+    cand_per = lev.groupBy("nprobe").agg(F.count("*").alias("__n_cand"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        lev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = cosine_topk_bruteforce(
+        queries, corpus, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    hits_per = (
+        topk.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("hits"))
+    )
+    nq = queries.agg(F.countDistinct(id_col).alias("n_queries"))
+    return (
+        cand_per.join(hits_per, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / (F.lit(k) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("__n_cand").cast("double") / F.col("n_queries"), 2
+            ).alias("avg_candidates"),
+        )
+    )
+
+
 def write_ivf_artifact(
     corpus: DataFrame,
     path: str,

@@ -3451,6 +3451,101 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", (F.round("cos", 5) + F.lit(0.0)).alias("cos"))
 
 
+def _ivf_recall_oracle() -> str:
+    def _dotd(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({x}, {y}),"
+            " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+             FROM b WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY acos DESC, cell_id ASC) AS rn
+        FROM (
+          SELECT b.vec_id, cent.cent_id AS cell_id,
+                 {_dotd('b.embedding', 'cent.cvec')} / (b.nrm * cent.cnrm) AS acos
+          FROM b CROSS JOIN cent)
+      ) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell_id, rn AS pr FROM (
+        SELECT query_id, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, cell_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, cent.cent_id AS cell_id,
+                 {_dotd('q.embedding', 'cent.cvec')} / (q.nrm * cent.cnrm) AS pcos
+          FROM (SELECT * FROM b WHERE vec_id < 20) q CROSS JOIN cent)
+      ) WHERE rn <= 3),
+    sc AS (
+      SELECT c.query_id, c.neighbor_id, c.pr,
+             {_dotd('qb.embedding', 'nb.embedding')} / (qb.nrm * nb.nrm) AS cos
+      FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.pr
+        FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+        WHERE a.vec_id <> p.query_id) c
+      JOIN b qb ON qb.vec_id = c.query_id
+      JOIN b nb ON nb.vec_id = c.neighbor_id),
+    lev AS (SELECT query_id, neighbor_id, cos,
+                   CAST(unnest(generate_series(pr, 3)) AS INTEGER) AS nprobe
+            FROM sc),
+    cand_per AS (SELECT nprobe, count(*) AS n_cand FROM lev GROUP BY 1),
+    topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM lev) WHERE rn <= 10),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                 {_dotd('q.embedding', 'nb.embedding')} / (q.nrm * nb.nrm) AS cos
+          FROM (SELECT * FROM b WHERE vec_id < 20) q CROSS JOIN b nb
+          WHERE nb.vec_id <> q.vec_id)
+      ) WHERE rn <= 10),
+    hits_per AS (SELECT t.nprobe, count(*) AS hits
+                 FROM topk t JOIN exact e
+                   ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+                 GROUP BY 1),
+    nq AS (SELECT count(DISTINCT vec_id) AS n_queries FROM b WHERE vec_id < 20)
+    SELECT cp.nprobe,
+           CAST(nq.n_queries AS BIGINT) AS n_queries,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(h.hits, 0) AS DOUBLE) / (10 * nq.n_queries), 6)
+             AS recall_at_k,
+           round(CAST(cp.n_cand AS DOUBLE) / nq.n_queries, 2) AS avg_candidates
+    FROM cand_per cp LEFT JOIN hits_per h ON h.nprobe = cp.nprobe CROSS JOIN nq
+    """
+
+
+@query("ivf_recall_audit", oracle=_ivf_recall_oracle())
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cost-vs-recall certificate (``similarity.ivf_recall_curve``):
+    recall@10 of the IVF search vs the exact brute-force twin for nprobe
+    1→3 on the declared bounded query set, with the candidate workload each
+    nprobe buys — the vector-side analogue of the MinHash banding S-curve
+    (``minhash_blocking_quality``) and the number an operator reads before
+    trusting ``similarity_topk_ivf`` / the persisted artifact path at
+    scale. Candidates are scored ONCE at nprobe=3 and replicated to lower
+    levels by probe rank (monotone candidate sets — no re-search); the
+    exact leg is the declared all-pairs baseline on the bounded probe set,
+    the same adjudication as ``similarity_topk``."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_recall_curve(q, emb, k=10, max_nprobe=3).orderBy("nprobe")
+
+
 @query("ivf_artifact_roundtrip", oracle=_ivf_oracle())
 def ivf_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index PERSISTENCE lifecycle (``similarity.write_ivf_artifact`` /
@@ -12778,6 +12873,7 @@ _SWEEP_FRONT = (
     "daily_revenue_acf",
     "copurchase_local_clustering",
     "span_dedup_apply",
+    "ivf_recall_audit",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
