@@ -562,6 +562,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "dsir_importance_selection",    # scalar LM-totals broadcast
         "embedding_source_calibration",  # 1-row global-centroid broadcast
         "minhash_blocking_quality",     # 1-row cand-count/precision broadcast
+        "ab_test_cuped",                # 1-row pooled theta/mean broadcast
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {

@@ -11998,6 +11998,177 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ab_test_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END)
+                  AS DOUBLE) AS pre,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END)
+                  AS DOUBLE) AS post
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(pre  AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(post AS DECIMAL(38,6))) AS DOUBLE) AS so,
+             CAST(sum(CAST(pre * pre  AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(pre * post AS DECIMAL(38,6))) AS DOUBLE) AS spo
+      FROM per_user),
+    th AS (SELECT n, sp / n AS mp,
+                  (spo - sp * so / n) / (spp - sp * sp / n) AS theta
+           FROM g),
+    s AS (
+      SELECT arm, count(*) AS n,
+             CAST(sum(CAST(pre  AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(post AS DECIMAL(38,6))) AS DOUBLE) AS so,
+             CAST(sum(CAST(pre * pre   AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(post * post AS DECIMAL(38,6))) AS DOUBLE) AS soo,
+             CAST(sum(CAST(pre * post  AS DECIMAL(38,6))) AS DOUBLE) AS spo
+      FROM per_user GROUP BY arm),
+    w AS (SELECT
+            max(CASE WHEN arm = 'A' THEN n END) AS na,
+            max(CASE WHEN arm = 'B' THEN n END) AS nb,
+            max(CASE WHEN arm = 'A' THEN sp END) AS spa,
+            max(CASE WHEN arm = 'B' THEN sp END) AS spb,
+            max(CASE WHEN arm = 'A' THEN so END) AS soa,
+            max(CASE WHEN arm = 'B' THEN so END) AS sob,
+            max(CASE WHEN arm = 'A' THEN spp END) AS sppa,
+            max(CASE WHEN arm = 'B' THEN spp END) AS sppb,
+            max(CASE WHEN arm = 'A' THEN soo END) AS sooa,
+            max(CASE WHEN arm = 'B' THEN soo END) AS soob,
+            max(CASE WHEN arm = 'A' THEN spo END) AS spoa,
+            max(CASE WHEN arm = 'B' THEN spo END) AS spob
+          FROM s),
+    m AS (
+      SELECT na, nb, theta,
+             (soa - theta * (spa - na * mp)) / na AS ma,
+             (sob - theta * (spb - nb * mp)) / nb AS mb,
+             (sooa - soa * soa / na) / (na - 1.0) AS vra,
+             (soob - sob * sob / nb) / (nb - 1.0) AS vrb,
+             ((sooa - 2 * theta * (spoa - mp * soa)
+               + theta * theta * (sppa - 2 * mp * spa + na * mp * mp))
+              - na * pow((soa - theta * (spa - na * mp)) / na, 2))
+               / (na - 1.0) AS vaa,
+             ((soob - 2 * theta * (spob - mp * sob)
+               + theta * theta * (sppb - 2 * mp * spb + nb * mp * mp))
+              - nb * pow((sob - theta * (spb - nb * mp)) / nb, 2))
+               / (nb - 1.0) AS vab,
+             soa / na AS mra, sob / nb AS mrb
+      FROM w CROSS JOIN th)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(theta, 6) AS theta,
+           round(ma, 6) AS mean_adj_a, round(mb, 6) AS mean_adj_b,
+           round((mra - mrb) / sqrt(vra / na + vrb / nb), 6) AS welch_t_raw,
+           round((ma - mb) / sqrt(vaa / na + vab / nb), 6) AS welch_t_adj,
+           round(100 * (1 - (vaa / na + vab / nb) / (vra / na + vrb / nb)), 2)
+             AS var_reduction_pct
+    FROM m
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, *Improving the
+    Sensitivity of Online Controlled Experiments*): per-user PRE-period
+    purchase spend (first half of the month) as the covariate for the
+    POST-period metric, pooled θ = cov(pre,post)/var(pre), adjusted metric
+    ``post − θ(pre − mean_pre)``, then Welch's t on raw vs adjusted plus
+    the achieved variance-reduction percentage — the standard lever that
+    makes the same experiment detect smaller effects. EVERYTHING derives
+    from seven exact decimal power sums per arm plus three pooled ones —
+    the adjusted mean/variance expand algebraically (Σadj, Σadj² in terms
+    of Σpre, Σpost, Σpre², Σpost², Σpre·post, θ, m̄) so no second pass and
+    no per-user float accumulation; both engines evaluate the identical
+    closed-form scalar tree. One fact scan → per-user rollup → 2-arm power
+    sums; at any scale this is a groupBy(user) and a 2-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    is_purch = F.col("event_type") == "purchase"
+    pre_c = F.when(
+        is_purch & (F.col("ts") < "2024-01-16"), F.col("value").cast("decimal(38,6)")
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    post_c = F.when(
+        is_purch & (F.col("ts") >= "2024-01-16"), F.col("value").cast("decimal(38,6)")
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(pre_c).cast("double").alias("pre"),
+        F.sum(post_c).cast("double").alias("post"),
+    )
+    per_user = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "pre",
+        "post",
+    )
+
+    def _ps(col_expr) -> F.Column:
+        return F.sum(col_expr.cast("decimal(38,6)")).cast("double")
+
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        _ps(F.col("pre")).alias("sp"),
+        _ps(F.col("post")).alias("so"),
+        _ps(F.col("pre") * F.col("pre")).alias("spp"),
+        _ps(F.col("pre") * F.col("post")).alias("spo"),
+    )
+    th = g.select(
+        (F.col("sp") / F.col("n")).alias("mp"),
+        (
+            (F.col("spo") - F.col("sp") * F.col("so") / F.col("n"))
+            / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("n"))
+        ).alias("theta"),
+    )
+    s = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        _ps(F.col("pre")).alias("sp"),
+        _ps(F.col("post")).alias("so"),
+        _ps(F.col("pre") * F.col("pre")).alias("spp"),
+        _ps(F.col("post") * F.col("post")).alias("soo"),
+        _ps(F.col("pre") * F.col("post")).alias("spo"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}{arm.lower()}")
+            for arm in ("A", "B")
+            for c in ("n", "sp", "so", "spp", "soo", "spo")
+        ]
+    )
+    x = w.crossJoin(F.broadcast(th))
+    na, nb, theta, mp = F.col("na"), F.col("nb"), F.col("theta"), F.col("mp")
+    adj_sum_a = F.col("soa") - theta * (F.col("spa") - na * mp)
+    adj_sum_b = F.col("sob") - theta * (F.col("spb") - nb * mp)
+    ma, mb = adj_sum_a / na, adj_sum_b / nb
+    adj_sq_a = (
+        F.col("sooa")
+        - 2 * theta * (F.col("spoa") - mp * F.col("soa"))
+        + theta * theta * (F.col("sppa") - 2 * mp * F.col("spa") + na * mp * mp)
+    )
+    adj_sq_b = (
+        F.col("soob")
+        - 2 * theta * (F.col("spob") - mp * F.col("sob"))
+        + theta * theta * (F.col("sppb") - 2 * mp * F.col("spb") + nb * mp * mp)
+    )
+    vaa = (adj_sq_a - na * F.pow(ma, 2)) / (na - 1.0)
+    vab = (adj_sq_b - nb * F.pow(mb, 2)) / (nb - 1.0)
+    vra = (F.col("sooa") - F.col("soa") * F.col("soa") / na) / (na - 1.0)
+    vrb = (F.col("soob") - F.col("sob") * F.col("sob") / nb) / (nb - 1.0)
+    mra, mrb = F.col("soa") / na, F.col("sob") / nb
+    return x.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(ma, 6).alias("mean_adj_a"),
+        F.round(mb, 6).alias("mean_adj_b"),
+        F.round((mra - mrb) / F.sqrt(vra / na + vrb / nb), 6).alias("welch_t_raw"),
+        F.round((ma - mb) / F.sqrt(vaa / na + vab / nb), 6).alias("welch_t_adj"),
+        F.round(
+            100 * (1 - (vaa / na + vab / nb) / (vra / na + vrb / nb)), 2
+        ).alias("var_reduction_pct"),
+    )
+
+
+@query(
     "ab_test_mannwhitney",
     oracle="""
     WITH g AS (
@@ -12874,6 +13045,7 @@ _SWEEP_FRONT = (
     "copurchase_local_clustering",
     "span_dedup_apply",
     "ivf_recall_audit",
+    "ab_test_cuped",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
