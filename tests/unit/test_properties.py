@@ -793,3 +793,71 @@ def test_portable_banding_matches_python_model(spark, texts):
                     if x < y:
                         expect.add((x, y))
     assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=9),
+        min_size=1,
+        max_size=8,
+    ),
+    max_occ=st.sampled_from([1, 2]),
+)
+def test_span_extents_and_apply_match_python_model(spark, docs, max_occ):
+    """The span-dedup family vs a plain position-set model: corpus-wide
+    window counts → covered-position union → contiguous runs. Pins (a) the
+    gaps-and-islands merge equals the union of window intervals, (b) the
+    audit's accounting, and (c) apply keeps exactly the uncovered tokens in
+    order — on a 2-letter alphabet where overlapping/adjacent/self-repeat
+    collisions are dense."""
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+
+    L = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from collections import Counter
+
+    wins: Counter = Counter()
+    for toks in docs:
+        for s in range(len(toks) - L + 1):
+            wins[tuple(toks[s : s + L])] += 1
+    expect = {}
+    for i, toks in enumerate(docs):
+        covered: set[int] = set()
+        for s in range(len(toks) - L + 1):
+            if wins[tuple(toks[s : s + L])] > max_occ:
+                covered.update(range(s, s + L))
+        spans: list[list[int]] = []
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans.append([p, p])
+            else:
+                spans[-1][1] = p
+            prev = p
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        expect[i] = (
+            len(toks),
+            len(spans),
+            len(covered),
+            max((b - a + 1 for a, b in spans), default=0),
+            " ".join(kept),
+        )
+
+    ext = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.max_span_tokens)
+        for r in dedup.duplicated_span_extents(
+            df, "text", "doc_id", window_tokens=L, max_occurrences=max_occ
+        ).collect()
+    }
+    app = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.cleaned_text)
+        for r in dedup.remove_duplicated_spans(
+            df, "text", "doc_id", window_tokens=L, max_occurrences=max_occ
+        ).collect()
+    }
+    for i, (n, n_spans, n_cov, mx, cleaned) in expect.items():
+        assert ext[i] == (n, n_spans, n_cov, mx)
+        assert app[i] == (n, n - n_cov, cleaned)
