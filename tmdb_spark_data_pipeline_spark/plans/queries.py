@@ -3964,6 +3964,112 @@ def _build_static_enrich(stream: DataFrame, cust: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "stream_psi_drift",
+    oracle="""
+    WITH f AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    c AS (SELECT bin,
+                 CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+          FROM f GROUP BY 1),
+    b AS (SELECT unnest(range(0, 10)) AS bin),
+    fl AS (SELECT b.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+           FROM b LEFT JOIN c ON b.bin = c.bin),
+    t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM fl),
+    x AS (SELECT fl.*, (n_ref + 1) * 1.0 / (tr + 10) AS p,
+                       (n_cur + 1) * 1.0 / (tc + 10) AS q
+          FROM fl CROSS JOIN t)
+    SELECT bin, n_ref, n_cur,
+           round((p - q) * ln(p / q), 12) AS contrib,
+           round(CAST(sum(CAST(round((p - q) * ln(p / q), 12) AS DECIMAL(30,12)))
+                      OVER () AS DOUBLE), 6) AS psi
+    FROM x
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: the live half of the month arrives as a
+    real stream whose per-bin value histogram aggregates micro-batch by
+    micro-batch (complete mode — the running current-side counts), then
+    joins the STATIC reference histogram (first half of the month, batch
+    scan) for the PSI readout — the model-monitoring shape where the
+    reference is frozen at training time and production traffic drifts
+    against it. Same fixed-bin + Laplace-smoothing + rounded-contrib
+    discipline as ``order_price_psi``; green iff the replayed-stream
+    current counts make the PSI bit-equal to the all-batch oracle."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming import replay_events
+
+    cur = replay_events(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        _build_stream_psi_current,
+        query_name="stream_psi_mem",
+    )
+    ref = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-16")
+        .groupBy(
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count("*").alias("n_ref"))
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    fl = (
+        bins.join(ref, "bin", "left")
+        .join(cur, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    t = fl.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    x = fl.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1) / (F.col("tr") + 10)).alias("p"),
+        ((F.col("n_cur") + 1) / (F.col("tc") + 10)).alias("q"),
+    )
+    contrib = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12)
+    return x.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        contrib.alias("contrib"),
+        F.round(
+            F.sum(contrib.cast("decimal(30,12)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("psi"),
+    )
+
+
+def _build_stream_psi_current(stream: DataFrame) -> DataFrame:
+    """stream_psi_drift's streaming transformation (hoisted for the
+    batch-twin plan probe): current-period filter + fixed-bin histogram —
+    a non-windowed running aggregate the complete-mode sink keeps
+    up to date each micro-batch."""
+    return (
+        stream.filter(F.col("ts") >= "2024-01-16")
+        .groupBy(
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count("*").alias("n_cur"))
+    )
+
+
 def _zorder_oracle() -> str:
     # same unrolled Morton interleave as operators/layout.zorder_key
     terms = " | ".join(
@@ -13018,6 +13124,7 @@ def stream_batch_twins() -> dict[str, QueryFn]:
             _ev(s, d), _cust(s, d)
         ),
         "stream_hourly_users": lambda s, d: _build_hourly_users(_ev(s, d)),
+        "stream_psi_drift": lambda s, d: _build_stream_psi_current(_ev(s, d)),
     }
 
 
@@ -13046,6 +13153,7 @@ _SWEEP_FRONT = (
     "span_dedup_apply",
     "ivf_recall_audit",
     "ab_test_cuped",
+    "stream_psi_drift",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
