@@ -564,3 +564,42 @@ def test_ivf_artifact_roundtrip_and_incremental_append(spark, tmp_path):
     assert key(
         similarity.cosine_topk_ivf_from_artifact(spark, path2, q, k=4, nprobe=2)
     ) == direct
+
+
+def test_ivf_recall_curve_aligned_blobs_and_monotonicity(spark):
+    """Crafted two-blob corpus with one centroid per blob: every query's
+    exact top-k lives in its own cell, so recall@k is 1.0 already at
+    nprobe=1; recall and candidate workload must both be non-decreasing in
+    nprobe (the explode-by-probe-rank level replication)."""
+    import random
+
+    rng = random.Random(3)
+
+    def blob(base, n, start_id):
+        rows = []
+        for j in range(n):
+            v = [b + rng.uniform(-0.02, 0.02) for b in base]
+            rows.append((start_id + j, v))
+        return rows
+
+    rows = blob([1.0, 0.0, 0.0, 0.0], 6, 0) + blob([0.0, 1.0, 0.0, 0.0], 6, 25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(1, 26))
+    out = {
+        r.nprobe: r
+        for r in similarity.ivf_recall_curve(
+            q,
+            df,
+            k=2,
+            max_nprobe=2,
+            centroid_filter=F.col("vec_id").isin(0, 25),
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].n_queries == 2 and out[1].recall_at_k == 1.0
+    assert out[2].recall_at_k >= out[1].recall_at_k
+    assert out[2].avg_candidates >= out[1].avg_candidates
+    # nprobe=1 candidates = own cell minus self = 5 per query
+    assert out[1].avg_candidates == 5.0
+    # nprobe=2 probes both cells: all 11 non-self vectors are candidates
+    assert out[2].avg_candidates == 11.0
