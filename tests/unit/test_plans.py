@@ -563,6 +563,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_source_calibration",  # 1-row global-centroid broadcast
         "minhash_blocking_quality",     # 1-row cand-count/precision broadcast
         "ab_test_cuped",                # 1-row pooled theta/mean broadcast
+        "customer_spend_theil",         # 1-row global N/mean broadcast
     }
     # Declared all-pairs / declared-small broadcast shapes (docstrings).
     ALL_PAIRS_NL_OK = {

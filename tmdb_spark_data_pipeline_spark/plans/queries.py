@@ -1835,6 +1835,74 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dim_profile",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(i - 1 AS INTEGER) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    s AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+             min(x) AS mn, max(x) AS mx,
+             CAST(sum(CASE WHEN abs(x) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small
+      FROM x GROUP BY dim)
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           round(s1 / n, 6) AS mean,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6) AS std,
+           round(mn, 6) AS min_x, round(mx, 6) AS max_x,
+           round(CAST(n_small AS DOUBLE) / n, 6) AS frac_near_zero
+    FROM s
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health profile: mean / sample std / min /
+    max / near-zero fraction for every coordinate — the dead-dimension and
+    scale-imbalance check run before trusting cosine distances, truncation
+    (``embedding_truncation_fidelity``) or int8 quantization
+    (``embedding_quantization``) on a new embedding source. One
+    ``posexplode`` → per-dim decimal power sums (the ``embedding_stats``
+    float→decimal(38,10) discipline, r1-green) → closed-form moments; the
+    shuffle carries (dim, x) pairs keyed on 64 dims, trivially balanced at
+    any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    s = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,10)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum(F.when(F.abs("x") < 0.001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small"),
+    )
+    return s.select(
+        "dim",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1.0)
+            ),
+            6,
+        ).alias("std"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+        F.round(F.col("n_small").cast("double") / F.col("n"), 6).alias(
+            "frac_near_zero"
+        ),
+    )
+
+
+@query(
     "multimodal_payload_stats",
     oracle="""
     SELECT 'image' AS media_type, count(*) AS n_assets,
@@ -10876,6 +10944,94 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_metric_correlations",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS sqd,
+             CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS spd
+      FROM lineitem)
+    SELECT 'quantity~extendedprice' AS pair, CAST(n AS BIGINT) AS n,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS pearson_r
+    FROM s
+    UNION ALL
+    SELECT 'quantity~discount', CAST(n AS BIGINT),
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'extendedprice~discount', CAST(n AS BIGINT),
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+    FROM s
+    """,
+)
+def lineitem_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount) — the feature-redundancy screen a
+    modeling pass runs before fitting (``ridge_value_model``'s univariate
+    cousin). ONE scan computes all nine exact decimal power sums (the
+    source columns are 2-dp decimals, so every sum is exact); the three
+    correlations are closed-form scalars, emitted as rows by exploding a
+    literal struct array over the single aggregate row — no joins, no
+    second pass, identical double expression trees in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def _ds(c, scale: int = 4) -> F.Column:
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        _ds(q).alias("sq"),
+        _ds(p).alias("sp"),
+        _ds(d).alias("sd"),
+        _ds(q * q).alias("sqq"),
+        _ds(p * p).alias("spp"),
+        _ds(d * d, 6).alias("sdd"),
+        _ds(q * p).alias("sqp"),
+        _ds(q * d).alias("sqd"),
+        _ds(p * d).alias("spd"),
+    )
+    n = F.col("n")
+
+    def _r(sxy, sx, sy, sxx, syy) -> F.Column:
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    sq, sp, sd = F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    pairs = F.array(
+        F.struct(
+            F.lit("quantity~extendedprice").alias("pair"),
+            _r(F.col("sqp"), sq, sp, sqq, spp).alias("pearson_r"),
+        ),
+        F.struct(
+            F.lit("quantity~discount").alias("pair"),
+            _r(F.col("sqd"), sq, sd, sqq, sdd).alias("pearson_r"),
+        ),
+        F.struct(
+            F.lit("extendedprice~discount").alias("pair"),
+            _r(F.col("spd"), sp, sd, spp, sdd).alias("pearson_r"),
+        ),
+    )
+    return s.select(n.cast("long").alias("n"), F.explode(pairs).alias("pr")).select(
+        F.col("pr.pair").alias("pair"), "n", F.col("pr.pearson_r").alias("pearson_r")
+    )
+
+
+@query(
     "order_price_moments",
     oracle="""
     WITH s AS (
@@ -11927,6 +12083,145 @@ def user_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(s > 0, "up").when(s < 0, "down").otherwise("flat").alias(
             "direction"
         ),
+    )
+
+
+@query(
+    "customer_spend_theil",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS x
+      FROM orders GROUP BY o_custkey),
+    cn AS (
+      SELECT n.n_name, s.x
+      FROM spend s
+      JOIN customer c ON c.c_custkey = s.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    g AS (
+      SELECT n_name, count(*) AS ng,
+             CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sg
+      FROM cn GROUP BY n_name),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(sum(CAST(sg AS DECIMAL(38,4))) AS DOUBLE) AS s
+            FROM g),
+    tg AS (
+      SELECT cn.n_name,
+             CAST(sum(CAST(round((cn.x / (g.sg / g.ng))
+                                 * ln(cn.x / (g.sg / g.ng)), 12)
+                           AS DECIMAL(30,12))) AS DOUBLE) AS tsum
+      FROM cn JOIN g ON g.n_name = cn.n_name
+      GROUP BY cn.n_name),
+    rows_ AS (
+      SELECT g.n_name,
+             CAST(g.ng AS BIGINT) AS n_customers,
+             g.sg / g.ng AS mu_g,
+             tg.tsum / g.ng AS theil_g,
+             (g.ng * 1.0 / tot.n) * ((g.sg / g.ng) / (tot.s / tot.n))
+               AS w_g,
+             (g.ng * 1.0 / tot.n) * ((g.sg / g.ng) / (tot.s / tot.n))
+               * ln((g.sg / g.ng) / (tot.s / tot.n)) AS between_c
+      FROM g JOIN tg ON tg.n_name = g.n_name CROSS JOIN tot)
+    SELECT n_name, n_customers,
+           round(mu_g, 2) AS mean_spend,
+           round(theil_g, 6) AS theil_group,
+           round(between_c, 12) AS between_contrib,
+           round(CAST(sum(CAST(round(between_c, 12) AS DECIMAL(30,12)))
+                      OVER () AS DOUBLE), 6) AS theil_between,
+           round(CAST(sum(CAST(round(w_g * theil_g, 12) AS DECIMAL(30,12)))
+                      OVER () AS DOUBLE), 6) AS theil_within
+    FROM rows_
+    """,
+)
+def customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend, DECOMPOSED by nation —
+    unlike the Gini (``gini_customer_spend``) the Theil index splits
+    exactly into between-group + within-group parts, which is what a
+    concentration audit wants when asking "is spend inequality a
+    geography story or an individuals story". Per nation: group mean,
+    group Theil, and its between-contribution; the headline
+    ``theil_between`` / ``theil_within`` ride along as unpartitioned-
+    window decimal sums of contributions rounded at 12 dp (the
+    ``order_price_psi`` order-independence pattern). Per-customer terms
+    need only the (25-row, broadcast) group-mean table; every x > 0 by
+    construction (customers WITH orders), so the logs are total."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("x")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "x")
+    )
+    g = cn.groupBy("n_name").agg(
+        F.count("*").alias("ng"),
+        F.sum(F.col("x").cast("decimal(38,4)")).cast("double").alias("sg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("sg").cast("decimal(38,4)")).cast("double").alias("s"),
+    )
+    mu_g = F.col("sg") / F.col("ng")
+    tg = (
+        cn.join(F.broadcast(g), "n_name")
+        .select(
+            "n_name",
+            F.round((F.col("x") / mu_g) * F.log(F.col("x") / mu_g), 12).alias(
+                "term"
+            ),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("term").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("tsum")
+        )
+    )
+    mu = F.col("s") / F.col("n")
+    rows = (
+        g.join(tg, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("ng").cast("long").alias("n_customers"),
+            mu_g.alias("mu_g"),
+            (F.col("tsum") / F.col("ng")).alias("theil_g"),
+            ((F.col("ng") * 1.0 / F.col("n")) * (mu_g / mu)).alias("w_g"),
+            (
+                (F.col("ng") * 1.0 / F.col("n"))
+                * (mu_g / mu)
+                * F.log(mu_g / mu)
+            ).alias("between_c"),
+        )
+    )
+    w0 = Window.partitionBy()
+    return rows.select(
+        "n_name",
+        "n_customers",
+        F.round("mu_g", 2).alias("mean_spend"),
+        F.round("theil_g", 6).alias("theil_group"),
+        F.round("between_c", 12).alias("between_contrib"),
+        F.round(
+            F.sum(F.round("between_c", 12).cast("decimal(30,12)"))
+            .over(w0)
+            .cast("double"),
+            6,
+        ).alias("theil_between"),
+        F.round(
+            F.sum(
+                F.round(F.col("w_g") * F.col("theil_g"), 12).cast(
+                    "decimal(30,12)"
+                )
+            )
+            .over(w0)
+            .cast("double"),
+            6,
+        ).alias("theil_within"),
     )
 
 
@@ -13154,6 +13449,9 @@ _SWEEP_FRONT = (
     "ivf_recall_audit",
     "ab_test_cuped",
     "stream_psi_drift",
+    "embedding_dim_profile",
+    "customer_spend_theil",
+    "lineitem_metric_correlations",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
