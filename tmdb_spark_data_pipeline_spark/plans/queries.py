@@ -11032,6 +11032,226 @@ def lineitem_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           round(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS orphan_rate
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'events.user_id->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit: orphan counts and rates for every FK
+    edge of the schema (lineitem→orders/part/supplier, orders→customer,
+    customer→nation, plus the soft events.user_id→customer edge — the only
+    one expected to leak, since the event feed writes users the warehouse
+    hasn't onboarded). The single-table expectations gate
+    (``dq_expectations_orders``) can't see broken JOINS; this is the check
+    a pipeline runs after every load before trusting star-join results.
+    Each edge is one LEFT equi-join (parent keys unique by schema) with a
+    conditional count — map-side pruned to key columns, no distinct, no
+    shuffle beyond the join — and the six 1-row legs UNION into the
+    report (no scalar cross joins)."""
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "part", "supplier", "customer",
+                     "nation", "events")
+    }
+
+    def leg(label: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        j = child.select(F.col(ck).alias("__k")).join(
+            parent.select(F.col(pk).alias("__k"), F.lit(1).alias("__hit")),
+            "__k",
+            "left",
+        )
+        return j.agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("relation"),
+            "n_child",
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+        )
+
+    t = tables
+    legs = [
+        leg("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        leg("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        leg("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        leg("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        leg("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        leg("events.user_id->customer", t["events"], "user_id", t["customer"], "c_custkey"),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionAll(other)
+    return out
+
+
+@query(
+    "lineitem_spearman_correlations",
+    oracle="""
+    WITH li AS (SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d
+                FROM lineitem),
+    rq AS (SELECT q, (2.0 * sum(cnt) OVER (ORDER BY q) - cnt + 1) / 2 AS r
+           FROM (SELECT q, count(*) AS cnt FROM li GROUP BY q)),
+    rp AS (SELECT p, (2.0 * sum(cnt) OVER (ORDER BY p) - cnt + 1) / 2 AS r
+           FROM (SELECT p, count(*) AS cnt FROM li GROUP BY p)),
+    rd AS (SELECT d, (2.0 * sum(cnt) OVER (ORDER BY d) - cnt + 1) / 2 AS r
+           FROM (SELECT d, count(*) AS cnt FROM li GROUP BY d)),
+    j AS (SELECT rq.r AS x, rp.r AS y, rd.r AS z
+          FROM li JOIN rq ON rq.q = li.q
+                  JOIN rp ON rp.p = li.p
+                  JOIN rd ON rd.d = li.d),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(z AS DECIMAL(38,2))) AS DOUBLE) AS sz,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(z * z AS DECIMAL(38,4))) AS DOUBLE) AS szz,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x * z AS DECIMAL(38,4))) AS DOUBLE) AS sxz,
+                 CAST(sum(CAST(y * z AS DECIMAL(38,4))) AS DOUBLE) AS syz
+          FROM j)
+    SELECT 'quantity~extendedprice' AS pair, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    UNION ALL
+    SELECT 'quantity~discount', CAST(n AS BIGINT),
+           round((n * sxz - sx * sz)
+                 / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'extendedprice~discount', CAST(n AS BIGINT),
+           round((n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+    FROM s
+    """,
+)
+def lineitem_spearman_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations over the same three measure pairs as
+    ``lineitem_metric_correlations`` — the monotone-association screen
+    that survives the heavy-tailed price distribution where Pearson
+    saturates on outliers. Tied values get exact MIDRANKS via the doubled
+    form ``(2·cum − cnt + 1)/2`` (the ``ab_test_mannwhitney`` integer
+    trick, so every rank is an exact half-integer and every power sum is
+    an exact .25-grain decimal); then Spearman ρ = Pearson on ranks, one
+    closed-form scalar per pair from a single nine-sum aggregate. Rank
+    maps build on value-granularity pre-aggregates (|distinct values|
+    unpartitioned windows, the declared KS/MW posture) and join back as
+    plain equi-joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_discount").alias("d"),
+    )
+    from pyspark.sql import Window
+
+    def rank_map(col: str) -> DataFrame:
+        per = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            col,
+            (
+                (2.0 * F.sum("cnt").over(w) - F.col("cnt") + 1) / 2
+            ).alias(f"__r_{col}"),
+        )
+
+    j = (
+        li.join(rank_map("q"), "q")
+        .join(rank_map("p"), "p")
+        .join(rank_map("d"), "d")
+        .select(
+            F.col("__r_q").alias("x"),
+            F.col("__r_p").alias("y"),
+            F.col("__r_d").alias("z"),
+        )
+    )
+
+    def _ds(c, scale: int) -> F.Column:
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    s = j.agg(
+        F.count("*").alias("n"),
+        _ds(x, 2).alias("sx"),
+        _ds(y, 2).alias("sy"),
+        _ds(z, 2).alias("sz"),
+        _ds(x * x, 4).alias("sxx"),
+        _ds(y * y, 4).alias("syy"),
+        _ds(z * z, 4).alias("szz"),
+        _ds(x * y, 4).alias("sxy"),
+        _ds(x * z, 4).alias("sxz"),
+        _ds(y * z, 4).alias("syz"),
+    )
+    n = F.col("n")
+
+    def _r(sxy, sx, sy, sxx, syy) -> F.Column:
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = F.array(
+        F.struct(
+            F.lit("quantity~extendedprice").alias("pair"),
+            _r(F.col("sxy"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy")).alias("spearman_rho"),
+        ),
+        F.struct(
+            F.lit("quantity~discount").alias("pair"),
+            _r(F.col("sxz"), F.col("sx"), F.col("sz"), F.col("sxx"), F.col("szz")).alias("spearman_rho"),
+        ),
+        F.struct(
+            F.lit("extendedprice~discount").alias("pair"),
+            _r(F.col("syz"), F.col("sy"), F.col("sz"), F.col("syy"), F.col("szz")).alias("spearman_rho"),
+        ),
+    )
+    return s.select(n.cast("long").alias("n"), F.explode(pairs).alias("pr")).select(
+        F.col("pr.pair").alias("pair"), "n", F.col("pr.spearman_rho").alias("spearman_rho")
+    )
+
+
+@query(
     "order_price_moments",
     oracle="""
     WITH s AS (
@@ -13452,6 +13672,8 @@ _SWEEP_FRONT = (
     "embedding_dim_profile",
     "customer_spend_theil",
     "lineitem_metric_correlations",
+    "lineitem_spearman_correlations",
+    "referential_integrity_audit",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
