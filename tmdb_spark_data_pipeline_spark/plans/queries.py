@@ -2453,6 +2453,94 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders),
+    first AS (SELECT o_custkey, min(o_orderdate) AS d0 FROM o GROUP BY o_custkey),
+    nc AS (SELECT extract(year FROM d0) * 12 + extract(month FROM d0) AS cm,
+                  count(*) AS n_customers
+           FROM first GROUP BY 1),
+    j AS (
+      SELECT extract(year FROM f.d0) * 12 + extract(month FROM f.d0) AS cm,
+             (extract(year FROM o.o_orderdate) * 12
+              + extract(month FROM o.o_orderdate))
+             - (extract(year FROM f.d0) * 12 + extract(month FROM f.d0))
+               AS age_months,
+             o.o_totalprice AS price
+      FROM o JOIN first f ON f.o_custkey = o.o_custkey),
+    g AS (SELECT cm, age_months,
+                 sum(CAST(price AS DECIMAL(30,4))) AS rev
+          FROM j GROUP BY cm, age_months),
+    c AS (SELECT cm, age_months,
+                 sum(rev) OVER (PARTITION BY cm ORDER BY age_months) AS cum
+          FROM g)
+    SELECT concat(CAST((c.cm - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((c.cm - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           CAST(c.age_months AS BIGINT) AS age_months,
+           CAST(nc.n_customers AS BIGINT) AS n_customers,
+           round(CAST(c.cum AS DOUBLE), 2) AS cum_revenue,
+           ((2 * CAST(c.cum * 100 AS BIGINT) + nc.n_customers)
+            // (2 * nc.n_customers)) / 100.0 AS ltv
+    FROM c JOIN nc ON nc.cm = c.cm
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by FIRST-order month, then the
+    cumulative revenue per cohort by account age in months, normalized to
+    LTV per customer — the payback/LTV view a growth team reads next to
+    ``cohort_retention_daily`` (activity says who's alive; LTV says what
+    they're worth). Month index is the pure integer ``year·12 + month``
+    (no months_between float semantics to reconcile across engines);
+    revenue accumulates as decimals under the per-cohort running window;
+    one self-join of orders against the per-customer first-order table
+    (grouped before joining — never orders×orders)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    cm = (F.year("d0") * 12 + F.month("d0")).alias("cm")
+    nc = first.groupBy(cm).agg(F.count("*").alias("n_customers"))
+    j = o.join(first, "o_custkey").select(
+        (F.year("d0") * 12 + F.month("d0")).alias("cm"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("d0") * 12 + F.month("d0"))
+        ).alias("age_months"),
+        F.col("o_totalprice").alias("price"),
+    )
+    g = j.groupBy("cm", "age_months").agg(
+        F.sum(F.col("price").cast("decimal(30,4)")).alias("rev")
+    )
+    w = Window.partitionBy("cm").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select("cm", "age_months", F.sum("rev").over(w).alias("cum"))
+    return c.join(nc, "cm").select(
+        F.concat(
+            ((F.col("cm") - 1) / 12).cast("long").cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("cm") - 1) % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("cum").cast("double"), 2).alias("cum_revenue"),
+        # exact integer-cent HALF_UP: cum is an exact 2-dp decimal (sums of
+        # 2-dp prices), so the mean's .5 ties are REAL and double rounding
+        # diverges across engines — divide in integer cents instead
+        (
+            F.expr(
+                "(2 * CAST(cum * 100 AS BIGINT) + n_customers)"
+                " DIV (2 * n_customers)"
+            )
+            / 100.0
+        ).alias("ltv"),
+    )
+
+
+@query(
     "small_quantity_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
@@ -5013,6 +5101,94 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.duplicate_chunk_stats(
         docs, "text", "doc_id", chunk_tokens=10, max_occurrences=1
+    )
+
+
+@query(
+    "readability_scores",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS t,
+             text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) <> '')) AS n_sentences,
+             CAST(coalesce(list_sum(list_transform(t,
+                    w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+                                  1))), 0) AS BIGINT) AS n_syllables
+      FROM tok)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE)
+                              / greatest(n_sentences, 1))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           END AS flesch
+    FROM m
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate a
+    curation pass runs next to the stopword/length heuristics
+    (``doc_quality_scores``): words by the repo tokenization convention,
+    sentences by non-empty ``[.!?]+`` segments, syllables by the
+    vowel-group heuristic ``max(1, runs of [aeiouy])`` per word — every
+    count a Catalyst regexp expression folded over the token array
+    (``aggregate`` HOF, no explode, no shuffle: the score is embarrassingly
+    per-row). ``greatest(sentences, 1)`` totalizes the ratio for
+    punctuation-free docs; empty docs yield NULL. Both engines share the
+    identical regex dialect subset (literal classes only)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = docs.select("doc_id", F.col("text"), toks.alias("__t"))
+    n_words = F.size("__t")
+    n_sentences = F.size(
+        F.filter(F.split("text", r"[.!?]+"), lambda s: F.trim(s) != "")
+    )
+    n_syll = F.aggregate(
+        "__t",
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.regexp_count(F.lower(w), F.lit("[aeiouy]+")), F.lit(1)
+        ).cast("long"),
+    )
+    m = base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                206.835
+                - 1.015
+                * (
+                    F.col("n_words").cast("double")
+                    / F.greatest(F.col("n_sentences"), F.lit(1))
+                )
+                - 84.6
+                * (F.col("n_syllables").cast("double") / F.col("n_words")),
+                4,
+            ),
+        ).alias("flesch"),
     )
 
 
@@ -13674,6 +13850,8 @@ _SWEEP_FRONT = (
     "lineitem_metric_correlations",
     "lineitem_spearman_correlations",
     "referential_integrity_audit",
+    "cohort_ltv_curve",
+    "readability_scores",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
