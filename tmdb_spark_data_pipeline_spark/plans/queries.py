@@ -11120,6 +11120,72 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "discount_quantity_elasticity",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    s AS (
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      FROM j GROUP BY p_brand)
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of quantity on discount — the pricing team's
+    elasticity screen: does a deeper discount actually move volume for
+    this brand? Slope / intercept / R² per brand in closed form from six
+    exact decimal power sums (both source columns are 2-dp decimals, so
+    every sum is exact and partial-agg order is irrelevant); one fact scan
+    against the broadcast part dim, one grouped aggregate, identical
+    scalar expression trees in both engines. The multivariate big sibling
+    is ``ridge_value_model``; this is the per-segment univariate readout."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_discount").alias("x"), F.col("l_quantity").alias("y")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+    def _ds(c, scale: int) -> F.Column:
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    s = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        _ds(x, 2).alias("sx"),
+        _ds(y, 2).alias("sy"),
+        _ds(x * x, 4).alias("sxx"),
+        _ds(y * y, 4).alias("syy"),
+        _ds(x * y, 4).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "p_brand",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
     "lineitem_metric_correlations",
     oracle="""
     WITH s AS (
@@ -13852,6 +13918,7 @@ _SWEEP_FRONT = (
     "referential_integrity_audit",
     "cohort_ltv_curve",
     "readability_scores",
+    "discount_quantity_elasticity",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
