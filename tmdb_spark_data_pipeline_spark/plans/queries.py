@@ -5105,6 +5105,68 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doclen_lognormal_fit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(string_split_regex(trim(text),'\s+')) END AS n
+      FROM documents),
+    l AS (SELECT source, round(ln(n), 12) AS lx,
+                 round(ln(n) * ln(n), 12) AS lx2
+          FROM tok WHERE n > 0),
+    s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(CAST(lx AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(lx2 AS DECIMAL(30,12))) AS DOUBLE) AS s2
+          FROM l GROUP BY source),
+    m AS (SELECT source, n_docs, s1 / n_docs AS mu,
+                 sqrt((s2 - s1 * s1 / n_docs) / (n_docs - 1.0)) AS sigma
+          FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(mu, 6) AS mu_log,
+           round(sigma, 6) AS sigma_log,
+           round(exp(mu), 2) AS implied_median_tokens,
+           round(exp(mu + sigma * sigma / 2), 2) AS implied_mean_tokens
+    FROM m
+    """,
+)
+def doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log-normal fit of document length (method of moments on
+    ln(token count)): μ, σ, and the implied median / mean token counts —
+    the distributional summary a corpus intake compares across sources
+    before setting chunking and packing budgets (a source whose implied
+    mean ≫ median is long-tail-heavy and packs badly). Per-doc log terms
+    round at 12 dp then decimal-sum (the PSI order-independence pattern);
+    ln/exp evaluate on identical inputs in both engines. Empty docs are
+    excluded from the fit (ln 0); one scan, one grouped aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    l = docs.select(
+        "source",
+        F.round(F.log(n), 12).alias("lx"),
+        F.round(F.log(n) * F.log(n), 12).alias("lx2"),
+        n.alias("__n"),
+    ).filter(F.col("__n") > 0)
+    s = l.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("lx").cast("decimal(30,12)")).cast("double").alias("s1"),
+        F.sum(F.col("lx2").cast("decimal(30,12)")).cast("double").alias("s2"),
+    )
+    nd = F.col("n_docs")
+    mu = F.col("s1") / nd
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - 1.0))
+    return s.select(
+        "source",
+        nd.cast("long").alias("n_docs"),
+        F.round(mu, 6).alias("mu_log"),
+        F.round(sigma, 6).alias("sigma_log"),
+        F.round(F.exp(mu), 2).alias("implied_median_tokens"),
+        F.round(F.exp(mu + sigma * sigma / 2), 2).alias("implied_mean_tokens"),
+    )
+
+
+@query(
     "readability_scores",
     oracle=r"""
     WITH tok AS (
@@ -12688,6 +12750,72 @@ def customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_interarrival_stats",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+    g AS (
+      SELECT event_type,
+             us - lag(us) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS gap
+      FROM u),
+    s AS (
+      SELECT event_type, count(*) AS n_gaps,
+             CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(s1 / n_gaps / 1000000.0, 6) AS mean_gap_s,
+           round(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1.0))
+                 / (s1 / n_gaps), 6) AS cv
+    FROM s
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival statistics per event type: mean gap and coefficient of
+    variation of consecutive-event spacing — the Poisson-ness check behind
+    capacity planning and anomaly thresholds (CV ≈ 1 for a Poisson feed;
+    ≫1 means bursty). Gaps are EXACT integer microseconds (``unix_micros``
+    after the documented TIMESTAMP_NTZ cast == DuckDB ``epoch_us``), so the
+    power sums are exact decimals and only the final mean/CV scalars touch
+    doubles. One per-type ordered window (event-id tiebreak totalizes
+    equal timestamps) + one grouped aggregate; partitions are per type, so
+    the sort distributes."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = u.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).cast("double").alias("s1"),
+        # promote BEFORE the square: a large gap^2 overflows int64 under
+        # the driver's ANSI session (DuckDB auto-promotes to HUGEINT)
+        F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_gaps")
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_gaps"),
+        F.round(F.col("s1") / n / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1.0))
+            / (F.col("s1") / n),
+            6,
+        ).alias("cv"),
+    )
+
+
+@query(
     "event_value_ks_drift",
     oracle="""
     WITH sided AS (
@@ -13919,6 +14047,8 @@ _SWEEP_FRONT = (
     "cohort_ltv_curve",
     "readability_scores",
     "discount_quantity_elasticity",
+    "event_interarrival_stats",
+    "doclen_lognormal_fit",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
