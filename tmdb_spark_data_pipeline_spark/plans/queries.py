@@ -12750,6 +12750,52 @@ def customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_seasonality_heatmap",
+    oracle="""
+    SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+             AS dow,
+           extract(hour FROM ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(*), 4) AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap: traffic, purchase counts and mean value
+    by (day-of-week × hour) — the staffing/capacity grid next to the
+    hour-only outlier gate (``seasonal_hour_outliers``), adding the weekly
+    axis. Day-of-week comes from pure epoch-day arithmetic
+    ``(days_since_epoch + 4) % 7`` (0 = Sunday): Spark's ``dayofweek`` and
+    DuckDB's ``dayofweek`` NUMBER THE WEEK DIFFERENTLY, so neither builtin
+    appears — the shared integer formula is the only portable form. One
+    scan, one 168-key grouped aggregate with exact decimal value sums."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        + 4
+    ) % 7
+    return (
+        ev.groupBy(
+            dow.cast("long").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_value"),
+        )
+    )
+
+
+@query(
     "event_interarrival_stats",
     oracle="""
     WITH u AS (
@@ -14049,6 +14095,7 @@ _SWEEP_FRONT = (
     "discount_quantity_elasticity",
     "event_interarrival_stats",
     "doclen_lognormal_fit",
+    "event_seasonality_heatmap",
     "embedding_mutual_reach_ann",
     "minhash_blocking_quality",
     "embedding_mutual_reach_hierarchy",
