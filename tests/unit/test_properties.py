@@ -861,3 +861,42 @@ def test_span_extents_and_apply_match_python_model(spark, docs, max_occ):
     for i, (n, n_spans, n_cov, mx, cleaned) in expect.items():
         assert ext[i] == (n, n_spans, n_cov, mx)
         assert app[i] == (n, n - n_cov, cleaned)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    )
+)
+def test_local_clustering_matches_python_model(spark, edges):
+    """Per-node triangle credit + local coefficient vs a plain adjacency-set
+    model on random small graphs (self-loops/dupes canonicalized away, the
+    operator's id-canonical contract)."""
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    if not canon:
+        return
+    df = spark.createDataFrame(sorted(canon), "u long, v long")
+    got = {
+        r.node: (r.degree, r.triangles, r.local_cc)
+        for r in graph.local_clustering(df).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and b in adj.get(a, set())
+        )
+        expect[node] = (d, t, round(2 * t / (d * (d - 1)), 6))
+    assert got == expect
