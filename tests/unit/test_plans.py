@@ -572,6 +572,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "similarity_topk_ivf",      # broadcast-centroid assign
         "ivf_artifact_roundtrip",   # same broadcast-centroid assign, served from the artifact
         "ivf_recall_audit",         # broadcast-centroid assign + declared exact-baseline leg
+        "ivf_recall_trained",       # same audit, kmeans-trained cells (broadcast assign x iters)
         "kmeans_cluster_profile",   # broadcast-centroid assign
         "semantic_dedup_pairs",     # broadcast-centroid assign
         "embedding_truncation_fidelity",  # broadcast probe-pairs (declared)
