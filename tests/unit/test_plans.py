@@ -590,6 +590,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_mutual_reach_clusters",  # all-pairs mr-graph on the bounded subset
         "embedding_mutual_reach_ann",  # exact-twin audit leg on the bounded subset
         "embedding_mutual_reach_hierarchy",  # all-pairs mr list on the bounded subset
+        "embedding_mutual_reach_hierarchy_ann",  # exact-leg audit on the bounded subset
         "hard_negative_mining",        # broadcast bounded probe side (declared)
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (

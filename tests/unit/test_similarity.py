@@ -580,6 +580,33 @@ def test_ivf_artifact_roundtrip_and_incremental_append(spark, tmp_path):
         )
 
 
+def test_mutual_reach_hierarchy_ann_audit_full_coverage(spark):
+    """When the IVF candidate feed covers every pair (nprobe = number of
+    cells), the ANN hierarchy is IDENTICAL to the exact one, so the audit
+    must report label_agreement 1.0 and equal cluster counts at every
+    density level."""
+    import random
+
+    rng = random.Random(7)
+
+    def blob(base, n, start_id):
+        return [
+            (start_id + j, [b + rng.uniform(-0.02, 0.02) for b in base])
+            for j in range(n)
+        ]
+
+    rows = blob([1.0, 0.0, 0.0, 0.0], 6, 0) + blob([0.0, 1.0, 0.0, 0.0], 6, 25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mutual_reach_hierarchy_ann_audit(
+        df, k=3, eps_levels=(0.05, 0.5, 1.1), nprobe=2
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_points == 12
+        assert r.label_agreement == 1.0
+        assert r.clusters_ann == r.clusters_exact
+
+
 def test_ivf_trained_centroids_recall_certificate(spark):
     """The VERDICT_r08 item-1 certificate, pinned on the real test corpus:
     kmeans-trained cells (k=25, 2 Lloyd iterations) must serve recall@10

@@ -1113,12 +1113,12 @@ def _all_pairs_cosine_dist(
     return base, dist
 
 
-def _mutual_reach_parts(dist: DataFrame, *, k: int, eps: float) -> tuple:
-    """(core, edges) of the HDBSCAN* graph: per-point core distance (k-th
-    nearest by (d asc, id asc) in the pair list) and the mutual-reachability
-    eps-edges (id_a < id_b). Exposed separately so the recall-audit query
-    can union two legs' edge sets into ONE connected-components loop
-    (level-composite encoding) instead of paying the iterative loop twice."""
+def _mutual_reach_mre(dist: DataFrame, *, k: int) -> tuple:
+    """(core, mre) of the HDBSCAN* graph: per-point core distance (k-th
+    nearest by (d asc, id asc) in the pair list) and the FULL
+    mutual-reachability pair list (qa < qb, ``__mr`` = max(d, core_a,
+    core_b)) — eps-independent, so hierarchy slicers filter L thresholds
+    out of ONE list instead of recomputing the window per level."""
     from pyspark.sql import Window
 
     wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
@@ -1129,12 +1129,23 @@ def _mutual_reach_parts(dist: DataFrame, *, k: int, eps: float) -> tuple:
     )
     ca = core.select(F.col("__id").alias("qa"), F.col("__cd").alias("__ca"))
     cb = core.select(F.col("__id").alias("qb"), F.col("__cd").alias("__cb"))
-    edges = (
+    mre = (
         dist.filter(F.col("qa") < F.col("qb"))
         .join(ca, "qa")
         .join(cb, "qb")
-        .filter(F.greatest("__d", "__ca", "__cb") <= eps)
-        .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"))
+        .select("qa", "qb", F.greatest("__d", "__ca", "__cb").alias("__mr"))
+    )
+    return core, mre
+
+
+def _mutual_reach_parts(dist: DataFrame, *, k: int, eps: float) -> tuple:
+    """(core, edges) of the HDBSCAN* graph at one eps: the flat-clustering
+    slice of ``_mutual_reach_mre``. Exposed separately so the recall-audit
+    query can union two legs' edge sets into ONE connected-components loop
+    (level-composite encoding) instead of paying the iterative loop twice."""
+    core, mre = _mutual_reach_mre(dist, k=k)
+    edges = mre.filter(F.col("__mr") <= eps).select(
+        F.col("qa").alias("id_a"), F.col("qb").alias("id_b")
     )
     return core, edges
 
@@ -1202,42 +1213,10 @@ def mutual_reach_hierarchy(
     from . import dedup
 
     enc = F.lit(1 << 32).cast("long")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        l2_norm(vec_col).alias("__n"),
-    )
-    a = base.select(
-        F.col("__id").alias("qa"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-    )
-    b = base.select(
-        F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-    )
-    dist = (
-        a.join(b, F.col("qa") != F.col("qb"))
-        .select(
-            "qa",
-            "qb",
-            (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
-        )
-        .localCheckpoint()
-    )
-    wk = Window.partitionBy("qa").orderBy(F.col("__d").asc(), F.col("qb").asc())
-    core = (
-        dist.withColumn("__rn", F.row_number().over(wk))
-        .filter(F.col("__rn") == k)
-        .select(F.col("qa").alias("__id"), F.col("__d").alias("__cd"))
-    )
-    ca = core.select(F.col("__id").alias("qa"), F.col("__cd").alias("__ca"))
-    cb = core.select(F.col("__id").alias("qb"), F.col("__cd").alias("__cb"))
-    mr = (
-        dist.filter(F.col("qa") < F.col("qb"))
-        .join(ca, "qa")
-        .join(cb, "qb")
-        .select("qa", "qb", F.greatest("__d", "__ca", "__cb").alias("__mr"))
-        # L slice consumers + the CC loop read this — materialize once
-        .localCheckpoint()
-    )
+    base, dist = _all_pairs_cosine_dist(df, id_col, vec_col)
+    _core, mr = _mutual_reach_mre(dist, k=k)
+    # L slice consumers + the CC loop read this — materialize once
+    mr = mr.localCheckpoint()
     levels = [(i, float(eps)) for i, eps in enumerate(eps_levels)]
     lvl_edges = None
     for i, eps in levels:
@@ -1391,3 +1370,92 @@ def mutual_reachability_clusters_ann(
             .localCheckpoint()
         )
     return _mutual_reach_tail(base, dist, k=k, eps=eps)
+
+
+def mutual_reach_hierarchy_ann_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    eps_levels: tuple = (0.66, 0.70, 0.74, 0.78),
+    nprobe: int = 4,
+) -> DataFrame:
+    """Recall audit of the ANN-FED HIERARCHY (VERDICT_r08 item 5): run the
+    fixed-λ condensed-tree slices (``mutual_reach_hierarchy``) twice — once
+    off the exact all-pairs mutual-reachability list, once off the IVF
+    candidate feed (``_ivf_candidate_pairs``, the
+    ``mutual_reachability_clusters_ann`` contract) — and grade per density
+    level how well the ANN hierarchy reproduces the exact one. Same
+    refinement discipline as the flat audit (``embedding_mutual_reach_ann``):
+    candidate core distances can only inflate, so every ANN edge is also an
+    exact edge at the same eps and the ANN slices REFINE the exact slices
+    level by level.
+
+    Engineering: ONE all-pairs distance pass feeds both legs (the ANN leg
+    pulls candidate distances out of it — identical doubles), both legs'
+    eps-independent mutual-reachability lists are built once
+    (``_mutual_reach_mre``) and sliced L times, and ONE connected-components
+    loop labels all 2·L graphs via composite nodes ``(leg·L + lvl)·2³² +
+    id``. Output: one row per eps with label agreement and cluster counts
+    both sides. At 100 TB only the ANN leg survives (no |N|² stage in it);
+    the exact leg is the declared bounded-audit baseline.
+    """
+    from . import dedup
+
+    L = len(eps_levels)
+    enc = F.lit(1 << 32).cast("long")
+    base, dist = _all_pairs_cosine_dist(df, id_col, vec_col)
+    cand = _ivf_candidate_pairs(df, id_col, vec_col, nprobe=nprobe)
+    _core_e, mre_e = _mutual_reach_mre(dist, k=k)
+    _core_a, mre_a = _mutual_reach_mre(cand.join(dist, ["qa", "qb"]), k=k)
+    mre_e = mre_e.localCheckpoint()
+    mre_a = mre_a.localCheckpoint()
+    levels = [(i, float(eps)) for i, eps in enumerate(eps_levels)]
+    lvl_edges = None
+    for leg, mre in ((0, mre_e), (1, mre_a)):
+        for i, eps in levels:
+            code = leg * L + i
+            e = mre.filter(F.col("__mr") <= eps).select(
+                (F.lit(code) * enc + F.col("qa")).alias("id_a"),
+                (F.lit(code) * enc + F.col("qb")).alias("id_b"),
+            )
+            lvl_edges = e if lvl_edges is None else lvl_edges.unionByName(e)
+    comp = dedup.connected_components(lvl_edges)
+    lvl_df = df.sparkSession.createDataFrame(levels, ["__lvl", "eps"])
+    universe = base.select(F.col("__id").alias("id")).crossJoin(F.broadcast(lvl_df))
+    decoded = comp.select(
+        (F.col("id") % enc).alias("id"),
+        (F.col("id") / enc).cast("long").alias("__code"),
+        (F.col("comp") % enc).alias("__cluster"),
+    )
+    ex = decoded.filter(F.col("__code") < L).select(
+        "id", F.col("__code").alias("__lvl"), F.col("__cluster").alias("__ce")
+    )
+    an = decoded.filter(F.col("__code") >= L).select(
+        "id", (F.col("__code") - L).alias("__lvl"), F.col("__cluster").alias("__ca")
+    )
+    per = (
+        universe.join(ex, ["id", "__lvl"], "left")
+        .join(an, ["id", "__lvl"], "left")
+        .select(
+            "eps",
+            F.coalesce("__ce", F.lit(-1)).cast("long").alias("ce"),
+            F.coalesce("__ca", F.lit(-1)).cast("long").alias("ca"),
+        )
+    )
+    return per.groupBy("eps").agg(
+        F.count("*").alias("n_points"),
+        F.count(F.when(F.col("ca") == F.col("ce"), 1)).alias("label_matches"),
+        F.round(
+            F.count(F.when(F.col("ca") == F.col("ce"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("label_agreement"),
+        F.count_distinct(F.when(F.col("ce") != -1, F.col("ce"))).alias(
+            "clusters_exact"
+        ),
+        F.count_distinct(F.when(F.col("ca") != -1, F.col("ca"))).alias(
+            "clusters_ann"
+        ),
+    )

@@ -10629,6 +10629,110 @@ def embedding_mutual_reach_hierarchy(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "embedding_mutual_reach_hierarchy_ann",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    nrm AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+            FROM sub),
+    dist AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                    1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                          / (a.nf * b.nf) AS d
+             FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    core AS (SELECT qa AS id, d AS cd FROM dist
+             QUALIFY row_number() OVER (PARTITION BY qa
+                                        ORDER BY d ASC, qb ASC) = 4),
+    mre AS (SELECT d.qa, d.qb, greatest(d.d, ca.cd, cb.cd) AS mr
+            FROM dist d JOIN core ca ON ca.id = d.qa
+                        JOIN core cb ON cb.id = d.qb
+            WHERE d.qa < d.qb),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nf AS cnf
+             FROM nrm WHERE vec_id % 25 = 0),
+    probes AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY pcos DESC, cent_id ASC) AS rn
+        FROM (
+          SELECT n.vec_id, cent.cent_id,
+                 list_sum(list_transform(list_zip(n.embedding, cent.cvec),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (n.nf * cent.cnf) AS pcos
+          FROM nrm n CROSS JOIN cent)
+      ) WHERE rn <= 4),
+    cand AS (SELECT DISTINCT pa.vec_id AS qa, pb.vec_id AS qb
+             FROM probes pa JOIN probes pb ON pa.cell = pb.cell
+             WHERE pa.vec_id <> pb.vec_id),
+    dist_a AS (SELECT d.qa, d.qb, d.d
+               FROM dist d JOIN cand c ON c.qa = d.qa AND c.qb = d.qb),
+    core_a AS (SELECT qa AS id, d AS cd FROM dist_a
+               QUALIFY row_number() OVER (PARTITION BY qa
+                                          ORDER BY d ASC, qb ASC) = 4),
+    mre_a AS (SELECT d.qa, d.qb, greatest(d.d, ca.cd, cb.cd) AS mr
+              FROM dist_a d JOIN core_a ca ON ca.id = d.qa
+                            JOIN core_a cb ON cb.id = d.qb
+              WHERE d.qa < d.qb),
+    lv(lvl, eps) AS (VALUES (0, CAST('0.66' AS DOUBLE)),
+                            (1, CAST('0.70' AS DOUBLE)),
+                            (2, CAST('0.74' AS DOUBLE)),
+                            (3, CAST('0.78' AS DOUBLE))),
+    e AS (SELECT l.lvl * 4294967296 + m.qa AS s,
+                 l.lvl * 4294967296 + m.qb AS t
+          FROM mre m JOIN lv l ON m.mr <= l.eps
+          UNION ALL
+          SELECT (4 + l.lvl) * 4294967296 + m.qa,
+                 (4 + l.lvl) * 4294967296 + m.qb
+          FROM mre_a m JOIN lv l ON m.mr <= l.eps),
+    edges AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+    reach AS (SELECT s, t FROM edges
+              UNION SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+    labels AS (SELECT s AS node, least(s, min(t)) AS comp
+               FROM reach GROUP BY s),
+    per AS (
+      SELECT l.eps,
+             CAST(coalesce(le.comp % 4294967296, -1) AS BIGINT) AS ce,
+             CAST(coalesce(la.comp % 4294967296, -1) AS BIGINT) AS ca
+      FROM sub s CROSS JOIN lv l
+      LEFT JOIN labels le ON le.node = l.lvl * 4294967296 + s.vec_id
+      LEFT JOIN labels la ON la.node = (4 + l.lvl) * 4294967296 + s.vec_id)
+    SELECT eps, count(*) AS n_points,
+           count(CASE WHEN ca = ce THEN 1 END) AS label_matches,
+           round(CAST(count(CASE WHEN ca = ce THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS label_agreement,
+           count(DISTINCT ce) FILTER (WHERE ce <> -1) AS clusters_exact,
+           count(DISTINCT ca) FILTER (WHERE ca <> -1) AS clusters_ann
+    FROM per GROUP BY eps
+    """,
+)
+def embedding_mutual_reach_hierarchy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed HIERARCHY recall audit (VERDICT_r08 item 5 —
+    ``similarity.mutual_reach_hierarchy_ann_audit``): the fixed-λ
+    condensed-tree slicer runs off BOTH the exact all-pairs
+    mutual-reachability list and the IVF candidate feed
+    (``_ivf_candidate_pairs``, nprobe 4, the same feed
+    ``embedding_mutual_reach_ann`` grades flat), and each density level is
+    scored for label agreement + cluster counts both sides. One all-pairs
+    pass feeds both legs, both legs' eps-independent mutual-reach lists are
+    built once and sliced four times, and ONE connected-components loop
+    labels all 8 level-graphs via ``(leg·4 + lvl)·2³² + id`` composite
+    nodes. ANN slices structurally REFINE the exact slices (candidate core
+    distances only inflate), so agreement here reads as per-density recall.
+    At 100 TB only the ANN leg runs; the exact leg is the declared bounded
+    audit, same discipline as the flat audit."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    return similarity.mutual_reach_hierarchy_ann_audit(
+        emb, k=4, eps_levels=(0.66, 0.70, 0.74, 0.78), nprobe=4
+    )
+
+
+@query(
     "dsir_importance_selection",
     oracle=r"""
     WITH tok AS (
