@@ -241,6 +241,54 @@ def test_jsonl_writer_append_continues_numbering(spark, tmp_path):
     assert open(os.path.join(path, "_SUCCESS")).read() == "20"
 
 
+def test_jsonl_append_commit_lock(spark, tmp_path):
+    """ADVICE_r08 (low): append-mode commits are serialized behind a
+    directory lock so two concurrent commits can't pick the same part
+    numbers or lose _SUCCESS row-count updates. Pins: the lock helper's
+    acquire / stale-steal / timeout behavior, that a held FRESH lock blocks
+    an appending job, and that commits release the lock (back-to-back
+    appends succeed with no leftover _COMMIT_LOCK)."""
+    import os
+    import time
+
+    from tmdb_spark_data_pipeline_spark.sources.datasource import (
+        _acquire_commit_lock,
+        register_jsonl_writer,
+    )
+
+    d = str(tmp_path / "lockdir")
+    os.makedirs(d)
+    # plain acquire/release
+    lock = _acquire_commit_lock(d)
+    assert os.path.exists(lock)
+    os.remove(lock)
+    # a fresh foreign lock times out rather than deadlocking
+    lock_path = os.path.join(d, "_COMMIT_LOCK")
+    with open(lock_path, "w"):
+        pass
+    t0 = time.monotonic()
+    try:
+        _acquire_commit_lock(d, timeout=0.3, stale=60.0)
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        assert time.monotonic() - t0 >= 0.3
+    # a STALE lock (dead committer) is stolen, not waited on
+    old = time.time() - 120
+    os.utime(lock_path, (old, old))
+    stolen = _acquire_commit_lock(d, timeout=0.3, stale=60.0)
+    os.remove(stolen)
+
+    # end-to-end: consecutive appends release the lock and stay consistent
+    register_jsonl_writer(spark)
+    path = str(tmp_path / "jsonl_locked")
+    for lo, hi in ((0, 3), (10, 14), (20, 25)):
+        spark.range(lo, hi).selectExpr("id", "id AS v").write.format(
+            "jsonl_py"
+        ).option("path", path).mode("append").save()
+    assert not os.path.exists(os.path.join(path, "_COMMIT_LOCK"))
+    assert open(os.path.join(path, "_SUCCESS")).read() == "12"
+
+
 def test_jsonl_commit_sweep_scoping(spark, tmp_path):
     """ADVICE_r07 (low): in APPEND mode (the concurrent-coexistence mode)
     the stale-staging sweep only touches THIS job's token — another

@@ -504,11 +504,12 @@ def minhash_band_pairs_portable(
       instead of ``xxhash64`` mod p — DuckDB lacks xxhash64, and the
       recall being certified is a property of banding k random
       permutations, not of which uniform base hash feeds them;
-    - bucket key: the band's r minhash values compared directly (tuple
-      equality) instead of an xxhash64 fold of them — removes the one
-      remaining engine-specific function, at the price of a wider join
-      key (r longs instead of one), irrelevant at audit scale and
-      value-identical always (the fold is injective-in-practice anyway).
+    - bucket key: the band's r minhash values folded with
+      ``concat_ws('_')`` into one string instead of an xxhash64 fold —
+      removes the one remaining engine-specific function. The string fold
+      is INJECTIVE for these non-negative pmod outputs ('_' cannot occur
+      inside a decimal rendering), so bucket equality is exactly r-tuple
+      equality — the property the oracle replays with the same concat.
 
     Output: distinct candidate pairs (id_a < id_b) — NOT Jaccard-verified;
     feeding them through the exact verifier is precisely what the audit
@@ -541,7 +542,10 @@ def minhash_band_pairs_portable(
     buckets = (
         sig.select("__id", F.explode(F.array(*band_cols)).alias("__b"))
         .select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
-        .persist()  # two join sides; caller owns cache lifetime (cache_scope)
+        # two join sides read this; localCheckpoint (not persist) so the
+        # blocks are ContextCleaner-owned — no CacheManager entry for the
+        # caller to leak (ADVICE_r08: the only caller never unpersisted)
+        .localCheckpoint()
     )
     pa = buckets.select(
         F.col("__id").alias("id_a"), F.col("__band").alias("__band"), "__sig"

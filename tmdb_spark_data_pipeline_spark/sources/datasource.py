@@ -416,6 +416,47 @@ def _sweep_staging(path: str, token: str) -> None:
             os.remove(os.path.join(path, name))
 
 
+def _acquire_commit_lock(path: str, timeout: float = 30.0, stale: float = 60.0) -> str:
+    """Serialize APPEND-mode commits across concurrent writer jobs sharing
+    one directory (ADVICE_r08): without it, two drivers committing at once
+    can both read the same ``_max_part_index``, pick the same start index,
+    and ``os.replace``-clobber each other's part files — and the cumulative
+    ``_SUCCESS`` row count races the same read-modify-write way. Token
+    scoping only protects STAGING names, not final names.
+
+    Classic O_CREAT|O_EXCL lock file. A lock older than ``stale`` seconds is
+    presumed abandoned (a commit crashed between acquire and release — the
+    rename loop it guards takes milliseconds) and stolen; waiting past
+    ``timeout`` raises rather than deadlocking the job. POSIX-local like the
+    rest of this sink (see the module scope note)."""
+    import contextlib
+    import os
+    import time
+
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat — retry now
+            if age > stale:
+                with contextlib.suppress(OSError):
+                    os.remove(lock)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"jsonl append commit: lock {lock} held longer than "
+                    f"{timeout}s by another writer"
+                )
+            time.sleep(0.05)
+
+
 def _max_part_index(path: str) -> int:
     """Highest committed part-N index in the directory, -1 if none —
     append-mode commits continue numbering from here."""
@@ -444,27 +485,41 @@ class JsonLinesWriter(DataSourceWriter):
         return _staged_jsonl(self.path, self.field_names, self.job_token, iterator)
 
     def commit(self, messages) -> None:
+        import contextlib
         import os
 
         total = 0
+        lock = None
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
             start = 0
         else:
-            # append: continue past existing parts, accumulate _SUCCESS
+            # Append coexists with concurrent appenders, so the whole
+            # read-numbering / rename / _SUCCESS-accumulate sequence is
+            # serialized behind a directory lock (ADVICE_r08: without it two
+            # commits can pick the same start index and clobber each other's
+            # part files, and the cumulative row count loses updates).
+            lock = _acquire_commit_lock(self.path)
             start = _max_part_index(self.path) + 1
             marker = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(marker):
                 with open(marker) as f:
                     total = int(f.read().strip() or 0)
-        for i, m in enumerate(m for m in messages if m is not None):
-            os.replace(
-                os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{start + i:05d}.jsonl"),
-            )
-            total += m.n_rows
+        try:
+            for i, m in enumerate(m for m in messages if m is not None):
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, f"part-{start + i:05d}.jsonl"),
+                )
+                total += m.n_rows
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(total))
+        finally:
+            if lock is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(lock)
         if self.overwrite:
             # Overwrite asserts EXCLUSIVE directory ownership (the same
             # contract as Spark's native insert-overwrite — concurrent
@@ -477,10 +532,9 @@ class JsonLinesWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, name))
         else:
             # Append mode coexists with concurrent appenders — only this
-            # job's token is safe to sweep.
+            # job's token is safe to sweep (needs no serialization: staging
+            # names are token-unique, so it runs after lock release).
             _sweep_staging(self.path, self.job_token)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            f.write(str(total))
 
     def abort(self, messages) -> None:
         import contextlib
