@@ -595,3 +595,37 @@ def test_minhash_band_pairs_portable_matches_duckdb_hash(spark):
         f"SELECT CAST('0x' || substr(md5('{s}'), 1, 15) AS BIGINT) % {_MERSENNE31}"
     ).fetchone()[0]
     assert got == want
+
+
+def test_neardup_cluster_delta_all_four_classes(spark):
+    """The corpus queries can't populate 'merged' (generated dup groups are
+    cliques), so the branch is pinned here: a NEW bridge doc overlapping two
+    previously-separate OLD clusters must classify that cluster 'merged',
+    alongside crafted appeared / grown / unchanged clusters."""
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+
+    a = " ".join(f"a{i}" for i in range(1, 13))
+    b = " ".join(f"b{i}" for i in range(1, 13))
+    bridge = " ".join([f"a{i}" for i in range(1, 10)] + [f"b{i}" for i in range(1, 10)])
+    g = " ".join(f"g{i}" for i in range(1, 13))
+    u = " ".join(f"u{i}" for i in range(1, 13))
+    n = " ".join(f"n{i}" for i in range(1, 13))
+    rows = [
+        (1, a), (2, a), (3, b), (4, b), (17, bridge),  # merged (17 is new)
+        (5, g), (6, g), (37, g),                       # grown
+        (8, u), (9, u),                                # unchanged
+        (7, n), (27, n),                               # appeared (both new)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.change_kind: (r.n_clusters, r.n_docs)
+        for r in dedup.neardup_cluster_delta(
+            df, "text", "doc_id", is_new=lambda c: c % 10 == 7, min_jaccard=0.3
+        ).collect()
+    }
+    assert out == {
+        "merged": (1, 5),
+        "grown": (1, 3),
+        "unchanged": (1, 2),
+        "appeared": (1, 2),
+    }

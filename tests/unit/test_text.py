@@ -234,3 +234,25 @@ def test_dsir_importance_stats_hand_case(spark):
     assert out[2] == (2, round(term(2, 2), 6))
     assert out[3] == (2, round(term(0, 2), 6))
     assert out[2][1] > out[3][1]  # in-domain-looking source doc wins
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Three merge rounds on one crafted doc, every rule hand-verified —
+    pins rule selection order (count desc, left asc, right asc), greedy
+    left-to-right non-overlap on self-pair runs ([a,a,a] -> [aa,a]), and
+    that merged tokens re-enter the pair stream for later rounds."""
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a a a b a b")], "doc_id long, text string")
+    rules = {
+        r.step: (r.left, r.right, r.merged, r.n_pairs)
+        for r in T.bpe_train_merges(df, "text", "doc_id", merges=3).collect()
+    }
+    # step 1: (a,a) and (a,b) both occur twice; tie-break right asc -> (a,a)
+    # greedy over [a,a,a,...]: merge positions 1-2 only -> [aa, a, b, a, b]
+    assert rules[1] == ("a", "a", "a a", 2)
+    # step 2: (a,b) now the unique most-frequent pair (2x)
+    assert rules[2] == ("a", "b", "a b", 2)
+    # step 3: stream is ["a a", "a b", "a b"]; ("a a","a b") and
+    # ("a b","a b") tie at count 1 — left asc picks "a a" < "a b"
+    assert rules[3] == ("a a", "a b", "a a a b", 1)

@@ -1307,3 +1307,89 @@ def contamination_overlap(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def neardup_cluster_delta(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    is_new,
+    n: int = 3,
+    min_jaccard: float = 0.7,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-snapshot NEAR-DUP CLUSTER DELTA audit (VERDICT_r08 item 7 —
+    the dedup-side composition of the ``snapshot_diff_counts`` discipline):
+    given one corpus where ``is_new(id)`` marks documents that arrived
+    since the previous snapshot, cluster near-dups in BOTH snapshots and
+    classify every current cluster by what happened to it:
+
+    - ``appeared``  — every member is new (a duplicate group born whole);
+    - ``merged``    — members spanned ≥ 2 distinct old clusters (a new
+      bridge document fused previously-separate groups — the event that
+      invalidates cached per-cluster canonical picks);
+    - ``grown``     — one old cluster plus new members;
+    - ``unchanged`` — one old cluster, no new members.
+
+    Pair Jaccard is a pure pairwise function, so the old snapshot's pair
+    list is exactly the new pair list restricted to old endpoints — ONE
+    blocked exact-Jaccard pass (``ngram_jaccard_pairs``) feeds both legs,
+    and ONE connected-components loop labels both snapshots' graphs via
+    the level-composite encoding (old edges at level 0, current at
+    ``2³² +``). Old-snapshot singletons count as their own cluster
+    (label = doc id) so a cluster absorbing a previously-isolated doc
+    reads ``grown``/``merged`` correctly.
+
+    ``pairs`` overrides the built-in exact pass with a precomputed verified
+    pair list — at 100 TB feed it ``minhash_pairs_from_artifact`` output
+    (the artifact serving path) instead of re-shingling the corpus; the
+    classification tail is unchanged.
+
+    Output: (change_kind, n_clusters, n_docs) — multi-doc clusters only
+    (CC is defined over the pair graph; singletons are not clusters).
+    """
+    enc = F.lit(1 << 32).cast("long")
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, min_jaccard=min_jaccard
+        ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint()  # feeds both legs + the CC loop
+    old_edges = pairs.filter(
+        (~is_new(F.col("id_a"))) & (~is_new(F.col("id_b")))
+    )
+    union = old_edges.unionByName(
+        pairs.select(
+            (enc + F.col("id_a")).alias("id_a"), (enc + F.col("id_b")).alias("id_b")
+        )
+    )
+    comp = connected_components(union)
+    newm = comp.filter(F.col("id") >= (1 << 32)).select(
+        (F.col("id") - enc).alias("id"), (F.col("comp") - enc).alias("__nc")
+    )
+    oldm = comp.filter(F.col("id") < (1 << 32)).select(
+        "id", F.col("comp").alias("__oc")
+    )
+    per = (
+        newm.join(oldm, "id", "left")
+        .groupBy("__nc")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(is_new(F.col("id")), 1).otherwise(0)).alias("__n_new"),
+            F.count_distinct(
+                F.when(
+                    ~is_new(F.col("id")), F.coalesce("__oc", F.col("id"))
+                )
+            ).alias("__n_old_clusters"),
+        )
+    )
+    kind = (
+        F.when(F.col("__n_old_clusters") == 0, "appeared")
+        .when(F.col("__n_old_clusters") >= 2, "merged")
+        .when(F.col("__n_new") > 0, "grown")
+        .otherwise("unchanged")
+    )
+    return per.groupBy(kind.alias("change_kind")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )

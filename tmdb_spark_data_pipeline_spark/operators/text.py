@@ -674,3 +674,128 @@ def dsir_importance_stats(
         ).alias("avg_log_ratio"),
     )
     return per_doc.select(F.col("__id").alias(id_col), "n_tokens", "avg_log_ratio")
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    merges: int = 5,
+) -> DataFrame:
+    """The BPE TOKENIZER-TRAINING LOOP (VERDICT_r08 item 7 — the iterated
+    twin of the single-step ``adjacent_pairs`` / ``bigram_merge_candidates``
+    miner): ``merges`` rounds of (count adjacent pairs → adopt the most
+    frequent pair as a merge rule → re-tokenize the corpus with that rule),
+    over whitespace word tokens. Merged tokens join with a single space, so
+    rules compose ("new york" can later merge with "city").
+
+    Deterministic contract (oracle-replayable): rule selection is
+    (count desc, left asc, right asc) — a total order; the merge pass is
+    greedy LEFT-TO-RIGHT non-overlapping, exactly classic BPE. Overlapping
+    candidates only occur for self-pairs (left = right runs like
+    [a, a, a]); greediness there = keep every second candidate within each
+    maximal run of consecutive candidate positions — expressed as the
+    standard islands trick (grp = pos − row_number over candidates, keep
+    (pos − min(pos) per island) % 2 = 0), which both engines compute
+    identically.
+
+    Scale shape per iteration: pair counting is a per-document ``lead``
+    window + a partial-agg'd (left, right) count shuffle (Zipf heads
+    combine map-side); the winning rule is a ONE-ROW broadcast back (no
+    driver collect); the merge pass is candidate islands (windows keyed by
+    the same doc partitioning) + an anti-join drop of consumed positions.
+    Document text is exploded once up front; afterwards only the (doc,
+    pos, token) stream moves, re-checkpointed per iteration so the plan
+    stays linear in ``merges``, not exponential. At 100 TB this is the
+    standard distributed-BPE round: one aggregate + one broadcast + one
+    window pass per learned rule.
+
+    Returns the learned rule table: (step, left, right, merged, n_pairs).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(tokens(F.lower(_col(text_col)))).alias("__pos", "__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    rules = None
+    for step in range(1, merges + 1):
+        toks = toks.localCheckpoint()
+        # ONE window pass (same partition/order spec, so Catalyst computes
+        # both functions in a single Window node): the dense row_number is
+        # the renumbered position — "consecutive candidates" is then a
+        # rn-difference-of-1 test even though prior merges left __pos gaps —
+        # and lead() pairs each token with its successor.
+        w = Window.partitionBy("__doc").orderBy("__pos")
+        paired = toks.select(
+            "__doc",
+            F.row_number().over(w).alias("__rn"),
+            "__tok",
+            F.lead("__tok").over(w).alias("__nxt"),
+        )
+        top = (
+            paired.filter(F.col("__nxt").isNotNull())
+            .groupBy(
+                F.col("__tok").alias("left"), F.col("__nxt").alias("right")
+            )
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy(
+                F.col("n_pairs").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "left",
+                "right",
+                F.concat_ws(" ", "left", "right").alias("merged"),
+                "n_pairs",
+            )
+        ).localCheckpoint()
+        rules = top if rules is None else rules.unionByName(top)
+        cand = paired.join(
+            F.broadcast(top.select("left", "right")),
+            (paired["__tok"] == F.col("left")) & (paired["__nxt"] == F.col("right")),
+        ).select("__doc", "__rn")
+        wc = Window.partitionBy("__doc").orderBy("__rn")
+        cand = cand.withColumn("__grp", F.col("__rn") - F.row_number().over(wc))
+        wg = Window.partitionBy("__doc", "__grp")
+        sel = (
+            cand.withColumn(
+                "__keep",
+                ((F.col("__rn") - F.min("__rn").over(wg)) % 2) == 0,
+            )
+            .filter("__keep")
+            .select("__doc", "__rn")
+        )
+        # one union-map join instead of separate selected/consumed joins:
+        # __m = 1 marks a merge head (emit left||' '||right), __m = 0 marks
+        # the consumed successor (drop). Keys are unique: parity selection
+        # makes selected rns non-adjacent, so rn+1 never collides.
+        um = sel.select("__doc", "__rn", F.lit(1).alias("__m")).unionByName(
+            sel.select(
+                "__doc", (F.col("__rn") + 1).alias("__rn"), F.lit(0).alias("__m")
+            )
+        )
+        toks = (
+            # um is 2x the selected-candidate count (bounded by the winning
+            # pair's frequency) — broadcast it so the full token stream
+            # keeps its window partitioning instead of re-shuffling for the
+            # join; at 100 TB a hot pair would exceed the broadcast budget
+            # and AQE falls back to the keyed join automatically.
+            paired.join(F.broadcast(um), ["__doc", "__rn"], "left")
+            .filter(F.col("__m").isNull() | (F.col("__m") == 1))
+            .select(
+                "__doc",
+                F.col("__rn").alias("__pos"),
+                F.when(
+                    F.col("__m") == 1, F.concat_ws(" ", "__tok", "__nxt")
+                )
+                .otherwise(F.col("__tok"))
+                .alias("__tok"),
+            )
+        )
+    return rules

@@ -3136,6 +3136,83 @@ def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(merges: int = 5) -> str:
+    """DuckDB replay of the full BPE training loop: one chained CTE block
+    per merge round — pair counts (lead window), the (count desc, left asc,
+    right asc) winning rule, greedy non-overlap selection via the islands
+    parity trick, and the re-tokenized stream for the next round. The same
+    algebra the engine runs, so the learned rule table is hash-gated."""
+    sql = [
+        r"""
+    WITH tok1 AS (
+      SELECT doc, row_number() OVER (PARTITION BY doc ORDER BY ord) AS pos, w AS tok
+      FROM (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS ord
+        FROM documents)
+      WHERE w <> '')"""
+    ]
+    for i in range(1, merges + 1):
+        sql.append(
+            f"""
+    , p{i} AS (
+      SELECT doc, pos, tok,
+             lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+      FROM tok{i})
+    , top{i} AS (
+      SELECT {i} AS step, tok AS l, nxt AS r, count(*) AS c
+      FROM p{i} WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt
+      ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+    , sel{i} AS (
+      SELECT doc, pos FROM (
+        SELECT doc, pos, min(pos) OVER (PARTITION BY doc, grp) AS mn
+        FROM (
+          SELECT c.doc, c.pos,
+                 c.pos - row_number() OVER (PARTITION BY c.doc ORDER BY c.pos) AS grp
+          FROM (SELECT p.doc, p.pos
+                FROM p{i} p JOIN top{i} t ON p.tok = t.l AND p.nxt = t.r) c))
+      WHERE (pos - mn) % 2 = 0)
+    , tok{i + 1} AS (
+      SELECT doc, row_number() OVER (PARTITION BY doc ORDER BY pos) AS pos, tok
+      FROM (
+        SELECT p.doc, p.pos,
+               CASE WHEN s.pos IS NOT NULL THEN p.tok || ' ' || p.nxt
+                    ELSE p.tok END AS tok
+        FROM p{i} p
+        LEFT JOIN sel{i} s ON s.doc = p.doc AND s.pos = p.pos
+        LEFT JOIN (SELECT doc, pos + 1 AS pos FROM sel{i}) x
+               ON x.doc = p.doc AND x.pos = p.pos
+        WHERE x.pos IS NULL))"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM top{i}" for i in range(1, merges + 1)
+    )
+    sql.append(
+        f"""
+    SELECT step, l AS "left", r AS "right", l || ' ' || r AS merged,
+           CAST(c AS BIGINT) AS n_pairs
+    FROM ({union})"""
+    )
+    return "".join(sql)
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterated BPE TOKENIZER-TRAINING loop (``text.bpe_train_merges``,
+    VERDICT_r08 item 7 — the missing twin of the one-step
+    ``bigram_merge_candidates``): five rounds of count-adjacent-pairs →
+    adopt the most frequent pair (count desc, left asc, right asc — a
+    total order) → greedily re-merge the corpus left-to-right, each round
+    a lead-window pair count + ONE-ROW broadcast of the winning rule + an
+    islands-parity merge pass (no driver collect anywhere). The oracle
+    replays all five rounds in chained SQL, so the learned vocabulary is
+    hash-gated, not self-reported."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, "text", "doc_id", merges=5)
+
+
 # ---------------------------------------------------------------------------
 # Classic decision-support shapes, round 2: the remaining TPC-H query
 # structures expressible on this schema (no partsupp table, no
@@ -8741,6 +8818,171 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampling.waterfill_allocations(
         with_budget, "source", "n_tokens", budget_col="__budget"
+    )
+
+
+@query(
+    "curriculum_token_budgets",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tok
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, len(tok) AS nt,
+             round(
+               (CASE WHEN len(tok) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) *
+               (0.5 * least(len(list_filter(tok, x -> list_contains(
+                        ['the','a','of','and','to','in','is','it','that','for'],
+                        lower(x)))) / len(tok) * 5, 1.0)
+                + 0.5 * len(list_distinct(tok)) / len(tok)),
+               6) AS q
+      FROM t),
+    b AS (
+      SELECT lang, nt,
+             ntile(5) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC)
+               AS bucket
+      FROM q),
+    per AS (
+      SELECT lang || '#' || bucket AS cell, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1),
+    sc AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS k FROM per),
+    wb AS (SELECT per.cell, per.n_tokens, sc.k, sc.total // 3 AS budget,
+                  row_number() OVER (ORDER BY n_tokens ASC, cell ASC) AS i,
+                  CAST(sum(n_tokens) OVER (ORDER BY n_tokens ASC, cell ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum
+           FROM per CROSS JOIN sc),
+    f AS (SELECT *, (cum + n_tokens * (k - i)) <= budget AS feasible FROM wb),
+    sel AS (SELECT coalesce(max(CASE WHEN feasible THEN i END), 0) AS istar,
+                   coalesce(max(CASE WHEN feasible THEN cum END), 0) AS cumstar,
+                   max(budget) AS budget, max(k) AS k
+            FROM f),
+    cap AS (SELECT CASE WHEN istar < k THEN
+                     round((budget - cumstar) * 1.0 / (k - istar), 6)
+                   END AS cap FROM sel)
+    SELECT f.cell, f.n_tokens, cap.cap,
+           round(least(f.n_tokens * 1.0, cap.cap), 2) AS allocated,
+           CASE WHEN f.n_tokens > 0 THEN
+             round(round(least(f.n_tokens * 1.0, cap.cap), 2) / f.n_tokens, 6)
+           END AS epochs,
+           coalesce(f.n_tokens * 1.0 > cap.cap, false) AS capped
+    FROM f CROSS JOIN cap
+    """,
+)
+def curriculum_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum token budgeting (VERDICT_r08 item 7 — the
+    classifier-curriculum composition of ``quality_score`` + deterministic
+    ntile tiers + ``waterfill_allocations``): every document is scored with
+    the C4/Gopher-style quality heuristic, bucketed into 5 curriculum tiers
+    PER LANGUAGE (ntile over the total order (quality desc, doc_id) — the
+    partitioned window keeps the ranking scale-safe, unlike a global ntile,
+    and per-language tiers are what a multilingual curriculum schedule
+    actually consumes), then a global token budget (⅓ of the inventory) is
+    water-filled across the lang×tier cells: small cells train fully, big
+    cells clip at the max-min-fair cap. The corpus-sized work is one
+    score+count scan and one partitioned window; everything after runs on
+    the |langs|·5-row cell table (the single-partition waterfill window is
+    over ~15 rows, the documented ``token_budget_waterfill`` stance)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_score("text").alias("__q"),
+        text.token_count("text").cast("long").alias("__nt"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("__q").desc(), F.col("doc_id").asc())
+    cells = (
+        scored.withColumn("__bucket", F.ntile(5).over(w))
+        .groupBy("lang", "__bucket")
+        .agg(F.sum("__nt").alias("n_tokens"))
+        .select(
+            F.concat_ws(
+                "#", F.col("lang"), F.col("__bucket").cast("string")
+            ).alias("cell"),
+            "n_tokens",
+        )
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("__total"))
+    with_budget = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "__budget", F.expr("__total DIV 3")
+    )
+    return sampling.waterfill_allocations(
+        with_budget, "cell", "n_tokens", budget_col="__budget"
+    )
+
+
+@query(
+    "neardup_cluster_delta",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM pr
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.7),
+    e AS (
+      SELECT id_a + 4294967296 AS s, id_b + 4294967296 AS t FROM pairs
+      UNION ALL
+      SELECT id_a, id_b FROM pairs WHERE id_a % 10 <> 7 AND id_b % 10 <> 7),
+    edges AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+    reach AS (SELECT s, t FROM edges
+              UNION SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+    labels AS (SELECT s AS node, least(s, min(t)) AS comp FROM reach GROUP BY s),
+    newm AS (SELECT node - 4294967296 AS id, comp
+             FROM labels WHERE node >= 4294967296),
+    oldm AS (SELECT node AS id, comp FROM labels WHERE node < 4294967296),
+    per AS (
+      SELECT n.comp, count(*) AS n_docs,
+             sum(CASE WHEN n.id % 10 = 7 THEN 1 ELSE 0 END) AS n_new_docs,
+             count(DISTINCT CASE WHEN n.id % 10 <> 7
+                                 THEN coalesce(o.comp, n.id) END)
+               AS n_old_clusters
+      FROM newm n LEFT JOIN oldm o ON o.id = n.id
+      GROUP BY n.comp)
+    SELECT CASE WHEN n_old_clusters = 0 THEN 'appeared'
+                WHEN n_old_clusters >= 2 THEN 'merged'
+                WHEN n_new_docs > 0 THEN 'grown'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1
+    """,
+)
+def neardup_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dup CLUSTER DELTA audit
+    (``dedup.neardup_cluster_delta``, VERDICT_r08 item 7): with the
+    ``minhash_incremental_neardups`` snapshot convention (docs with
+    ``doc_id % 10 = 7`` arrived since the old snapshot), every current
+    near-dup cluster (exact 3-gram Jaccard ≥ 0.7, the family's
+    exact-verified tier) is classified appeared / merged / grown /
+    unchanged against the old snapshot's clustering. ONE blocked Jaccard
+    pass feeds both snapshots (pair similarity is pairwise, so old pairs =
+    current pairs restricted to old endpoints) and ONE CC loop labels both
+    graphs (level-composite encoding). 'merged' is structurally absent in
+    THIS corpus (generated duplicate groups are cliques that new documents
+    never bridge) — the branch is pinned by a crafted unit test instead;
+    the other three classes are populated at every SF. At 100 TB the pair
+    feed swaps to ``minhash_pairs_from_artifact`` via the ``pairs=``
+    parameter; the classification tail is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.neardup_cluster_delta(
+        docs,
+        "text",
+        "doc_id",
+        is_new=lambda c: c % 10 == 7,
+        n=3,
+        min_jaccard=0.7,
     )
 
 
