@@ -14552,47 +14552,60 @@ def stream_batch_twins() -> dict[str, QueryFn]:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-8 rotation (VERDICT_r07 "Next round" #1): new round-8
-    # queries first (no driver row yet), then the three queries whose
-    # implementation changed AFTER their last green row (graph.py's r7
-    # join-reduction/peel rewrite landed after their r6 green), then
-    # strict staleness tiers by last GREEN driver round across the
-    # CORRECTNESS_r01-r07 union (r2 -> r3 -> r4 -> r5 -> r6 -> r7;
-    # within a tier, prior front order). The driver caps each sweep at
-    # ~50 names, so the r8 prefix = new + changed + r2 + most of r3.
-    # --- new in round 8 (no driver row yet) ---
-    "duplicated_span_extents",
-    "event_value_ks_drift",
-    "ab_test_mannwhitney",
-    "daily_revenue_acf",
-    "copurchase_local_clustering",
-    "span_dedup_apply",
+    # round-9 rotation (VERDICT_r08 "Next round" #2): new round-9 queries
+    # first (no driver row yet), then the queries whose implementation
+    # changed in round 9 AFTER their last green row (the similarity.py
+    # trained-IVF/centroids= refactor, the _mutual_reach_mre factoring,
+    # and the minhash bucket localCheckpoint swap), then the ENTIRE
+    # 28-name tier whose latest green driver row is still round 3 (the
+    # stalest tier in the r1-r8 union — VERDICT_r08 flagged it), then the
+    # r4 tier and onward. 5 new + 8 changed + 28 r3 = 41 unique names, so
+    # the whole stale tier fits inside the driver's ~50-row sweep cap.
+    # --- new in round 9 (no driver row yet) ---
+    "ivf_recall_trained",
+    "embedding_mutual_reach_hierarchy_ann",
+    "bpe_train_merges",
+    "curriculum_token_budgets",
+    "neardup_cluster_delta",
+    # --- changed in round 9 since last green ---
+    "similarity_topk_ivf",
     "ivf_recall_audit",
-    "ab_test_cuped",
-    "stream_psi_drift",
-    "embedding_dim_profile",
-    "customer_spend_theil",
-    "lineitem_metric_correlations",
-    "lineitem_spearman_correlations",
-    "referential_integrity_audit",
-    "cohort_ltv_curve",
-    "readability_scores",
-    "discount_quantity_elasticity",
-    "event_interarrival_stats",
-    "doclen_lognormal_fit",
-    "event_seasonality_heatmap",
-    "embedding_mutual_reach_ann",
-    "minhash_blocking_quality",
-    "embedding_mutual_reach_hierarchy",
     "ivf_artifact_roundtrip",
-    # --- changed since last green (r7 graph.py rewrite; last green r6) ---
-    "copurchase_pagerank",
-    "brand_parts_ppr",
-    "copurchase_kcore",
-    # --- last verified r2 ---
-    "embedding_quantization",
-    "vocab_coverage_oov",
-    # --- last verified r3 ---
+    "embedding_mutual_reach_ann",
+    "embedding_mutual_reach_clusters",
+    "embedding_mutual_reach_hierarchy",
+    "minhash_blocking_quality",
+    # --- last verified r3 (the full stale tier, in r8-front order) ---
+    "kmeans_cluster_profile",
+    "asof_purchase_next_click",
+    "bm25_search_top20",
+    "capitalized_entities_top20",
+    "char_entropy_scores",
+    "customer_distribution",
+    "decontaminated_counts",
+    "event_transition_counts",
+    "event_value_percentiles",
+    "forecast_revenue_change",
+    "fuzzy_customer_name_pairs",
+    "grouped_topn_ties",
+    "grouping_sets_revenue",
+    "important_brand_value",
+    "minhash_incremental_neardups",
+    "neardup_method_agreement",
+    "negative_sampling_pairs",
+    "orc_roundtrip",
+    "quality_percentile_calibration",
+    "scd2_event_intervals",
+    "stream_dedup_watermarked",
+    "stream_static_enrich",
+    "textrank_keywords_top20",
+    "token_kl_drift_by_lang",
+    "top_supplier_by_quarter",
+    "unigram_logprob_scores",
+    "user_value_trend",
+    "zorder_key_sample",
+    # --- last verified r4 and later (prior front order; past the cap
+    # this round, rotates forward next round) ---
     "pivot_event_types",
     "range_join_click_context",
     "asof_purchase_last_click",
