@@ -546,6 +546,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "pmi_collocations_top20",       # scalar totals
         "classifier_agreement_kappa",   # scalar contingency-totals broadcast
         "token_budget_waterfill",       # scalar total + cap broadcasts
+        "curriculum_token_budgets",     # same waterfill scalar broadcasts over lang x tier cells
         "order_price_psi",              # scalar period-totals broadcast
         "temporal_split_embargo",       # scalar overlap-count broadcast
         "kfold_balance_audit",          # scalar grand-total broadcast
@@ -571,6 +572,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "similarity_topk",          # brute-force exactness baseline
         "similarity_topk_ivf",      # broadcast-centroid assign
         "ivf_artifact_roundtrip",   # same broadcast-centroid assign, served from the artifact
+        "ivf_artifact_incremental", # same assign shape, built old + appended new vs frozen cells
         "ivf_recall_audit",         # broadcast-centroid assign + declared exact-baseline leg
         "ivf_recall_trained",       # same audit, kmeans-trained cells (broadcast assign x iters)
         "kmeans_cluster_profile",   # broadcast-centroid assign

@@ -713,6 +713,25 @@ def bpe_train_merges(
 
     Returns the learned rule table: (step, left, right, merged, n_pairs).
     """
+    rules, _stream = bpe_train_encode(df, text_col, id_col, merges=merges)
+    return rules
+
+
+def bpe_train_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    merges: int = 5,
+) -> tuple:
+    """(rules, stream): the BPE training loop AND its byproduct — the
+    corpus ENCODED with every learned rule (the loop's final token stream
+    is exactly the greedy application of the rules in training order, so
+    the encode side costs nothing extra). ``rules`` is the
+    ``bpe_train_merges`` table; ``stream`` is (doc, pos, token) after all
+    merges — feed it straight into compression accounting
+    (``bpe_encode_stats``) or downstream packing. See ``bpe_train_merges``
+    for the deterministic contract and the per-round scale shape."""
     from pyspark.sql import Window
 
     toks = (
@@ -798,4 +817,8 @@ def bpe_train_merges(
                 .alias("__tok"),
             )
         )
-    return rules
+    return rules, toks.select(
+        F.col("__doc").alias("doc"),
+        F.col("__pos").alias("pos"),
+        F.col("__tok").alias("token"),
+    )
