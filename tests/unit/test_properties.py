@@ -900,3 +900,62 @@ def test_local_clustering_matches_python_model(spark, edges):
         )
         expect[node] = (d, t, round(2 * t / (d * (d - 1)), 6))
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab"]),
+            min_size=4,
+            max_size=18,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    merges=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_bpe_train_merges_matches_python_model(spark, docs, merges):
+    """The distributed BPE loop vs a plain greedy left-to-right Python
+    model on random small corpora: rule selection (count desc, left asc,
+    right asc) and the non-overlapping merge pass must agree round for
+    round. The tiny alphabet forces heavy ties and self-pair runs — the
+    two places the islands-parity formulation could diverge from the
+    textbook sequential scan."""
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    def model(corpus, n_merges):
+        toks = [list(d) for d in corpus]
+        rules = []
+        for step in range(1, n_merges + 1):
+            counts = {}
+            for d in toks:
+                for a, b in zip(d, d[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rules.append((step, l, r, l + " " + r, c))
+            nxt = []
+            for d in toks:
+                out, i = [], 0
+                while i < len(d):
+                    if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                        out.append(l + " " + r)
+                        i += 2
+                    else:
+                        out.append(d[i])
+                        i += 1
+                nxt.append(out)
+            toks = nxt
+        return rules
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.step, r.left, r.right, r.merged, r.n_pairs)
+        for r in T.bpe_train_merges(df, "text", "doc_id", merges=merges).collect()
+    )
+    assert got == model(docs, merges)
