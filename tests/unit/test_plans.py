@@ -699,3 +699,19 @@ def test_bloom_probe_joins_broadcast_bit_table(spark, sf_smoke):
     plan = _plan(queries.bloom_prejoin_audit(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_rejoin_broadcasts(spark):
+    """The BPE merge pass must rejoin the (tiny) selected-candidate map via
+    BroadcastHashJoin — a sort-merge rejoin re-shuffles the full token
+    stream every round (measured 13.3s -> 4.6s at sf0.1 when this was
+    fixed). The final stream's plan carries the last round's rejoin."""
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a b a b c"), (2, "b a b a a")], "doc_id long, text string"
+    )
+    _rules, stream = T.bpe_train_encode(df, "text", "doc_id", merges=1)
+    plan = stream._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
