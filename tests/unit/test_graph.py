@@ -282,3 +282,21 @@ def test_s_core_raises_on_max_iter_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.s_core(chain, 3, max_iter=2)
+
+
+def test_multi_source_bfs_distances_and_bounds(spark):
+    """Crafted path + disconnected component: exact hop distances from two
+    seeds, max_hops bound -> -1 for beyond-bound and disconnected nodes,
+    out-of-graph seeds ignored (the PPR convention)."""
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    # path 1-2-3-4-5-6-7, triangle 10-11-12 (disconnected), seed 1 and 10
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(1,), (10,), (999,)], "id long")  # 999 not in graph
+    got = {
+        r.id: r.hops
+        for r in graph.multi_source_bfs(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1, 7: -1,
+                   10: 0, 11: 1, 12: 1}

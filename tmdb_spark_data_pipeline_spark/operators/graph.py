@@ -548,3 +548,66 @@ def propagate_labels(
         )
         labels = labels.unionAll(pick)
     return labels
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list: every
+    graph node's minimum hop count to the nearest seed, bounded at
+    ``max_hops`` (unreached within the bound → hops = −1). The proximity
+    primitive next to ``personalized_pagerank_fixed`` (which ranks by
+    stationary mass, not distance) — "how many co-purchase steps from any
+    of this brand's parts" — and the standard iterative-frontier loop.
+
+    Semantics: classic level-synchronous frontier expansion. Seeds outside
+    the graph's node set are ignored (the `personalized_pagerank_fixed`
+    convention — an external oracle can replay the node-set restriction).
+
+    Scale shape: each round is ONE frontier ⋈ edges join (key-partitioned
+    on the frontier node) + a distinct + a left-anti against the settled
+    set — work proportional to the frontier's edge boundary, never the
+    whole graph; the settled table carries (id, hops) only. The loop is a
+    static ``max_hops`` unroll with a ``localCheckpoint`` per round (plan
+    stays linear; a cluster job uses reliable checkpoint). Early-exit on
+    an empty frontier is deliberately NOT driver-checked — at a bounded
+    hop count the empty rounds cost one no-op join each, cheaper than a
+    per-round count() action on a 100 TB graph.
+
+    Returns (id, hops) for ALL graph nodes, hops ∈ {0..max_hops, −1}.
+    """
+    sym = (
+        edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+        .unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+        # every frontier round joins this — materialize once or the edge
+        # DERIVATION (often an order-basket self-join) re-executes per hop
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    settled = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(nodes, "id")
+        .select("id", F.lit(0).alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(settled, "id", "left_anti")
+            .select("id", F.lit(h).alias("hops"))
+        )
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = settled.filter(F.col("hops") == h)
+    return nodes.join(settled, "id", "left").select(
+        "id", F.coalesce("hops", F.lit(-1)).cast("int").alias("hops")
+    )

@@ -10620,6 +10620,64 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, rank AS rank_micro FROM pr WHERE it = 5
     """,
 )
+@query(
+    "brand_parts_hop_distance",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_orders
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM e0 WHERE n_orders >= 2),
+    sym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    sd AS (SELECT n.id FROM nodes n JOIN part p ON p.p_partkey = n.id
+           WHERE p.p_brand = 'Brand#13'),
+    reach(id, hops) AS (
+      SELECT id, 0 FROM sd
+      UNION
+      SELECT s.dst, r.hops + 1 FROM reach r JOIN sym s ON s.src = r.id
+      WHERE r.hops < 4),
+    dist AS (SELECT id, min(hops) AS hops FROM reach GROUP BY id)
+    SELECT CAST(coalesce(d.hops, -1) AS INTEGER) AS hops,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM nodes n LEFT JOIN dist d ON d.id = n.id
+    GROUP BY 1
+    """,
+)
+def brand_parts_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS proximity (``graph.multi_source_bfs``): every part's
+    minimum co-purchase hop count to the nearest Brand#13 part, bounded at
+    4 hops, reported as a reachability histogram (−1 = outside the 4-hop
+    ball). The DISTANCE companion to ``brand_parts_ppr`` (which ranks the
+    same neighborhood by stationary mass): level-synchronous frontier
+    rounds, each one key-partitioned frontier⋈edges join + distinct +
+    anti-join against the settled set — per-round work proportional to the
+    frontier boundary, never the graph. Every hop level 0–4 AND the
+    unreached class are populated at every SF. Oracle = min-hop recursive
+    CTE over the same symmetric edge list (UNION recursion keeps the
+    working set bounded by |nodes|×hops, not walks)."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    seeds = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        F.col("p_partkey").alias("id")
+    )
+    dist = graph.multi_source_bfs(edges, seeds, max_hops=4)
+    return dist.groupBy("hops").agg(F.count("*").alias("n_parts"))
+
+
 def brand_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSONALIZED PageRank (``graph.personalized_pagerank_fixed``):
     teleport mass restarts at one brand's parts instead of uniformly, so
@@ -14678,6 +14736,7 @@ _SWEEP_FRONT = (
     "curriculum_token_budgets",
     "neardup_cluster_delta",
     "ivf_artifact_incremental",
+    "brand_parts_hop_distance",
     # --- changed in round 9 since last green ---
     "similarity_topk_ivf",
     "ivf_recall_audit",
