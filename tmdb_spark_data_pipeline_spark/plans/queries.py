@@ -10620,6 +10620,36 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, rank AS rank_micro FROM pr WHERE it = 5
     """,
 )
+def brand_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (``graph.personalized_pagerank_fixed``):
+    teleport mass restarts at one brand's parts instead of uniformly, so
+    the stationary distribution ranks the whole catalog by co-purchase
+    proximity TO THAT BRAND — the "customers who buy this brand also
+    anchor on…" recommendation seed that global ``copurchase_pagerank``
+    cannot express. Same all-integer micro-unit discipline (the oracle's
+    recursive CTE replays every floor division; out-of-graph seed parts
+    are ignored on both sides), same per-round join+sum shape; the only
+    additions are a broadcast seed semi-join and a LEFT join so
+    zero-mass nodes stay present every round."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    seeds = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        F.col("p_partkey").alias("id")
+    )
+    return graph.personalized_pagerank_fixed(edges, seeds, iters=5)
+
+
 @query(
     "brand_parts_hop_distance",
     oracle="""
@@ -10677,35 +10707,6 @@ def brand_parts_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = graph.multi_source_bfs(edges, seeds, max_hops=4)
     return dist.groupBy("hops").agg(F.count("*").alias("n_parts"))
 
-
-def brand_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSONALIZED PageRank (``graph.personalized_pagerank_fixed``):
-    teleport mass restarts at one brand's parts instead of uniformly, so
-    the stationary distribution ranks the whole catalog by co-purchase
-    proximity TO THAT BRAND — the "customers who buy this brand also
-    anchor on…" recommendation seed that global ``copurchase_pagerank``
-    cannot express. Same all-integer micro-unit discipline (the oracle's
-    recursive CTE replays every floor division; out-of-graph seed parts
-    are ignored on both sides), same per-round join+sum shape; the only
-    additions are a broadcast seed semi-join and a LEFT join so
-    zero-mass nodes stay present every round."""
-    from ..operators import graph
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("u", "v")
-    )
-    seeds = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
-        F.col("p_partkey").alias("id")
-    )
-    return graph.personalized_pagerank_fixed(edges, seeds, iters=5)
 
 
 @query(
