@@ -959,3 +959,45 @@ def test_bpe_train_merges_matches_python_model(spark, docs, merges):
         for r in T.bpe_train_merges(df, "text", "doc_id", merges=merges).collect()
     )
     assert got == model(docs, merges)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    ),
+    seeds=st.lists(st.integers(0, 12), min_size=1, max_size=4),
+    max_hops=st.integers(min_value=1, max_value=4),
+)
+def test_multi_source_bfs_matches_python_model(spark, edges, seeds, max_hops):
+    """Frontier BFS vs a plain queue model on random small graphs:
+    min-hop distances, the max_hops -> -1 bound, self-loops/dupes
+    harmless, seeds outside the graph ignored (ids 10-12 never appear
+    in the edge list)."""
+    from tmdb_spark_data_pipeline_spark.operators import graph
+
+    canon = {(u, v) for u, v in edges if u != v}
+    if not canon:
+        return
+    adj = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = set(adj)
+    dist = {n: 0 for n in set(seeds) & nodes}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in dist
+        }
+        for m in frontier:
+            dist[m] = h
+    expect = {n: dist.get(n, -1) for n in nodes}
+
+    e = spark.createDataFrame(sorted(canon), "u long, v long")
+    sd = spark.createDataFrame([(s,) for s in sorted(set(seeds))], "id long")
+    got = {
+        r.id: r.hops
+        for r in graph.multi_source_bfs(e, sd, max_hops=max_hops).collect()
+    }
+    assert got == expect
