@@ -594,6 +594,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_mutual_reach_hierarchy",  # all-pairs mr list on the bounded subset
         "embedding_mutual_reach_hierarchy_ann",  # exact-leg audit on the bounded subset
         "hard_negative_mining",        # broadcast bounded probe side (declared)
+        "pq_adc_recall",               # declared exact-baseline leg over the bounded query stratum
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

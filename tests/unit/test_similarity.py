@@ -671,3 +671,102 @@ def test_ivf_recall_curve_aligned_blobs_and_monotonicity(spark):
     assert out[1].avg_candidates == 5.0
     # nprobe=2 probes both cells: all 11 non-self vectors are candidates
     assert out[2].avg_candidates == 11.0
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def test_pq_train_codebooks_matches_numpy_model(spark, vectors):
+    """Subspace-keyed Lloyd must equal m independent per-subspace k-means
+    runs under the shared deterministic contract (lowest-id init, plain
+    means, lowest-cid ties) — checked against a python model on the module
+    fixture (8-dim vectors, m=4 subspaces of 2, ksub=4, 2 iterations)."""
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+    m, dsub, ksub, iters = 4, 2, 4, 2
+    got = {
+        (r.sub, r.cid): list(r.cvec)
+        for r in similarity.pq_train_codebooks(
+            emb, m=m, dim=8, ksub=ksub, iters=iters
+        ).collect()
+    }
+    expect = {}
+    for s in range(m):
+        sv = {i: v[s * dsub : (s + 1) * dsub] for i, v in enumerate(vectors)}
+        cents = {i: list(sv[i]) for i in range(ksub)}
+        for _ in range(iters):
+            assign = {}
+            for i, x in sv.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(x, c)), cid)
+                    for cid, c in cents.items()
+                )
+                assign[i] = best[1]
+            nxt = {}
+            for cid in cents:
+                members = [sv[i] for i, a in assign.items() if a == cid]
+                if members:
+                    nxt[cid] = [
+                        sum(col) / len(members) for col in zip(*members)
+                    ]
+            cents = nxt
+        for cid, c in cents.items():
+            expect[(s, cid)] = c
+    assert set(got) == set(expect)
+    for key, cv in expect.items():
+        assert got[key] == pytest.approx(cv, abs=1e-9), key
+
+
+def test_pq_encode_distortion_shrinks_with_more_codewords(spark, vectors):
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+
+    def total_d2(ksub):
+        cb = similarity.pq_train_codebooks(emb, m=4, dim=8, ksub=ksub, iters=2)
+        codes = similarity.pq_encode(emb, cb, m=4, dim=8)
+        return codes.agg(F.sum("d2")).first()[0]
+
+    assert total_d2(8) < total_d2(2)
+
+
+def test_pq_adc_recall_audit_refine_dominates_and_exact_codebook_is_lossless(
+    spark, vectors
+):
+    """(a) refined recall ≥ raw ADC recall per query (exact re-rank of a
+    superset containing the ADC top-k can only improve agreement with the
+    exact top-k); (b) when every vector IS a codeword (ksub = N), ADC
+    distances equal true distances, so raw ADC recall@k = 1."""
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter("vec_id < 4")
+    aud = similarity.pq_adc_recall_audit(
+        q, emb, m=4, dim=8, ksub=4, iters=2, k=5, refine=15
+    ).collect()
+    assert len(aud) == 4
+    for r in aud:
+        assert r.hits_refined >= r.hits_adc
+        assert r.recall_adc == pytest.approx(r.hits_adc / 5)
+    lossless = similarity.pq_adc_recall_audit(
+        q, emb, m=4, dim=8, ksub=30, iters=1, k=5, refine=15
+    ).collect()
+    assert all(r.recall_adc == 1.0 for r in lossless)
+
+
+def test_pq_declared_recall_bar_sf(spark, sf_smoke):
+    """The declared pq_adc_recall contract (m=32, ksub=16, 2 iters,
+    refine=150) must hold its certificate bar on real test data: mean
+    refined recall@10 ≥ 0.9 and refine never below raw ADC."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id < 20")
+    rows = similarity.pq_adc_recall_audit(
+        q, emb, m=32, dim=64, ksub=16, iters=2, k=10, refine=150
+    ).collect()
+    mean_refined = sum(r.recall_refined for r in rows) / len(rows)
+    assert mean_refined >= 0.9
+    assert all(r.hits_refined >= r.hits_adc for r in rows)

@@ -1459,3 +1459,260 @@ def mutual_reach_hierarchy_ann_audit(
             "clusters_ann"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Stack each vector into its ``m`` subspace slices: ``(id, sub,
+    subvec)`` with ``sub`` in 0..m-1 and ``len(subvec) = dim/m``.
+
+    One narrow projection + explode — no shuffle, m rows per vector. The
+    slice bounds are compile-time literals so the whole stack stays inside
+    whole-stage codegen.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(parts).alias("__p")).select(
+        id_col, F.col("__p.sub").alias("sub"), F.col("__p.subvec").alias("subvec")
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Train the ``m`` per-subspace PQ codebooks (``ksub`` codewords each)
+    with Lloyd iterations — ``kmeans_centroids``'s deterministic contract
+    (lowest-id init, decimal(30,12) mean accumulation, lowest-cid tie
+    break) extended with a ``sub`` key, so ALL ``m`` subspace k-means runs
+    share one job chain per iteration instead of m sequential ones, and an
+    external oracle can replay every iteration exactly.
+
+    Init: subspace slices of the ``ksub`` lowest-id vectors (cid = that
+    vector's id). Scale shape per iteration: one broadcast-assign pass over
+    the stacked subvectors (m·ksub codewords broadcast — a few KB), then a
+    (sub, cid, pos) groupBy whose exchange is ≤ m·ksub·dsub rows after
+    partial agg, regardless of corpus size.
+
+    Returns ``(sub, cid, cvec)`` — ``cvec`` is ``array<double>`` of length
+    dim/m.
+    """
+    sv = pq_subvectors(df, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    init_ids = df.select(id_col).orderBy(F.col(id_col).asc()).limit(ksub)
+    cents = pq_subvectors(
+        df.join(F.broadcast(init_ids), id_col), id_col=id_col, vec_col=vec_col,
+        m=m, dim=dim,
+    ).select("sub", F.col(id_col).alias("cid"), F.col("subvec").alias("cvec"))
+    for _ in range(iters):
+        assigned = _pq_assign(sv, cents, id_col=id_col).select(id_col, "sub", "cid")
+        ex = sv.join(assigned, [id_col, "sub"]).select(
+            "sub", "cid", F.posexplode(F.col("subvec")).alias("pos", "val")
+        )
+        means = ex.groupBy("sub", "cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = means.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    return cents
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame, *, id_col: str) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): squared L2, ties
+    to the lowest cid — ``assign_nearest``'s min-struct argmin with the
+    ``sub`` equi-join key. Codebooks broadcast; the stacked corpus never
+    shuffles. Returns ``(id_col, sub, cid, d2)``."""
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        F.col(id_col),
+        "sub",
+        F.struct(sq_l2("subvec", "cvec").alias("d2"), F.col("cid").alias("cid")).alias(
+            "__s"
+        ),
+    )
+    best = scored.groupBy(id_col, "sub").agg(F.min("__s").alias("__b"))
+    return best.select(
+        id_col, "sub", F.col("__b.cid").alias("cid"), F.col("__b.d2").alias("d2")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ-encode the corpus: ``(id, sub, cid, d2)`` — each vector becomes m
+    codeword ids (dim·4 bytes → m·log2(ksub) bits; 64-dim float32 → 8 bytes
+    at ksub=16 packed, a 32× compression), and ``d2`` is that subspace's
+    quantization error, so distortion audits are free. One broadcast-assign
+    pass, no corpus shuffle."""
+    sv = pq_subvectors(df, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    return _pq_assign(sv, codebooks, id_col=id_col)
+
+
+def pq_adc_scores(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) scores of every query against every encoded
+    vector: approx_d2(q, x) = Σ_sub lut[sub, code(x, sub)], where the lookup
+    table ``lut[sub, cid] = ||q_sub − cvec||²`` is built once per query
+    (m·ksub doubles — the classic PQ scan shape).
+
+    Determinism across engines: each LUT entry is a strict-array-order fold
+    (bit-reproducible), then ``round(·, 12) → decimal(30,12)`` BEFORE the
+    per-candidate sum, so the m-term sum is exact decimal arithmetic —
+    order-independent under partial aggregation and replayable in ANSI SQL.
+
+    Scale shape: LUT = queries × broadcast codebooks (tiny). The scan joins
+    the code table (N·m rows, ~bytes each) against the broadcast LUT on
+    (sub, cid) and partial-aggregates the m terms per (query, vector) before
+    the shuffle — the corpus VECTORS are never read, which is the entire
+    point of PQ at 100 TB: the compressed code table is ~32× smaller than
+    the embedding column. Returns ``(query_id, neighbor_id, adc_dec)`` with
+    ``adc_dec`` the exact decimal approx squared distance (self-pairs
+    excluded).
+    """
+    qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    lut = qsv.join(F.broadcast(codebooks), "sub").select(
+        F.col(id_col).alias("query_id"),
+        "sub",
+        "cid",
+        F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
+    )
+    return (
+        codes.select(F.col(id_col).alias("neighbor_id"), "sub", "cid")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ld").alias("adc_dec"))
+    )
+
+
+def pq_adc_recall_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    refine: int = 50,
+) -> DataFrame:
+    """PQ recall CERTIFICATE (the ADC analogue of ``ivf_recall_curve``): for
+    each query, recall@k of (a) the raw ADC top-k and (b) the REFINED top-k
+    — exact re-rank of the ADC top-``refine`` candidates by true squared L2
+    (the standard two-stage PQ serving pattern: compressed-domain scan
+    prunes to ``refine`` candidates, then ``refine`` exact distances per
+    query, not N). The exact leg is a declared bounded all-pairs baseline
+    over the query stratum, same adjudication as ``similarity_topk``.
+
+    Output one row per query: ``(query_id, hits_adc, hits_refined,
+    recall_adc, recall_refined)`` — per-query rows rather than one summary
+    so the oracle hash gates every query's candidate sets, not an average.
+    """
+    cb = pq_train_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, dim=dim, ksub=ksub, iters=iters
+    )
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    adc = pq_adc_scores(
+        queries, codes, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = adc.withColumn("__rn", F.row_number().over(w))
+    adc_topk = ranked.filter(F.col("__rn") <= k).select("query_id", "neighbor_id")
+    refine_cand = ranked.filter(F.col("__rn") <= refine).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("__td").asc(), F.col("neighbor_id").asc()
+    )
+    refined = (
+        nv.join(F.broadcast(refine_cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        nv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ha = (
+        adc_topk.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits_adc"))
+    )
+    hr = (
+        refined.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits_refined"))
+    )
+    base = queries.select(F.col(id_col).alias("query_id"))
+    return (
+        base.join(ha, "query_id", "left")
+        .join(hr, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce("hits_adc", F.lit(0)).cast("long").alias("hits_adc"),
+            F.coalesce("hits_refined", F.lit(0)).cast("long").alias("hits_refined"),
+            F.round(
+                F.coalesce("hits_adc", F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall_adc"),
+            F.round(
+                F.coalesce("hits_refined", F.lit(0)).cast("double") / F.lit(float(k)),
+                6,
+            ).alias("recall_refined"),
+        )
+    )
