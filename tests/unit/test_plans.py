@@ -595,6 +595,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "embedding_mutual_reach_hierarchy_ann",  # exact-leg audit on the bounded subset
         "hard_negative_mining",        # broadcast bounded probe side (declared)
         "pq_adc_recall",               # declared exact-baseline leg over the bounded query stratum
+        "similarity_topk_ivfpq",       # broadcast-centroid assigns (coarse + PQ) + declared exact leg
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -770,3 +770,41 @@ def test_pq_declared_recall_bar_sf(spark, sf_smoke):
     mean_refined = sum(r.recall_refined for r in rows) / len(rows)
     assert mean_refined >= 0.9
     assert all(r.hits_refined >= r.hits_adc for r in rows)
+
+
+def test_ivfpq_topk_audit_recall_and_shape(spark, sf_smoke):
+    """The composed IVF-PQ serve (declared similarity_topk_ivfpq contract)
+    on real test data: exactly k rows per query with ranks 1..k, true d2
+    non-decreasing in rank, and mean recall@10 >= 0.9."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id < 20")
+    rows = similarity.ivfpq_topk_audit(q, emb).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+    assert len(per) == 20
+    hits = 0
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 11))
+        d2s = [r.d2 for r in rs]
+        assert d2s == sorted(d2s)
+        hits += sum(r.hit for r in rs)
+    assert hits / (10 * len(per)) >= 0.9
+
+
+def test_ivfpq_full_probe_full_refine_equals_exact(spark, vectors):
+    """With nprobe = coarse_k (no cell pruning) and refine = N (no ADC
+    pruning), the composed path degenerates to the exact search: every
+    served row must be an exact-top-k hit."""
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter("vec_id < 3")
+    rows = similarity.ivfpq_topk_audit(
+        q, emb, coarse_k=4, coarse_iters=1, nprobe=4,
+        m=4, dim=8, ksub=4, iters=1, refine=30, k=5,
+    ).collect()
+    assert len(rows) == 15
+    assert all(r.hit == 1 for r in rows)

@@ -1716,3 +1716,118 @@ def pq_adc_recall_audit(
             ).alias("recall_refined"),
         )
     )
+
+
+def ivfpq_topk_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 25,
+    coarse_iters: int = 2,
+    nprobe: int = 8,
+    m: int = 32,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    refine: int = 150,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ — the composed ANN serving architecture (FAISS IndexIVFPQ
+    shape, non-residual variant): a TRAINED coarse quantizer
+    (``kmeans_centroids``) prunes the corpus to ``nprobe`` cells, the PQ
+    code table ADC-scores ONLY those cells' members, the ADC top-``refine``
+    get exact re-ranked, and every stage is graded inline — output is the
+    served top-k itself, one row per (query, rank): ``(query_id, rank,
+    neighbor_id, d2, hit)`` with ``hit`` = membership in the exact L2
+    top-k, so the hash gates the served neighbor SETS and the recall
+    certificate at once.
+
+    Single metric throughout (squared L2): coarse assignment and probe
+    ranking use ``assign_nearest``'s contract (ties → lowest cid), ADC is
+    the exact-decimal sum of ``pq_adc_scores``, the refine and exact legs
+    rank on the strict-array-order ``sq_l2`` fold with neighbor-id ties.
+
+    100 TB shape: both trainings are broadcast-assign passes paid once at
+    build; per query the scan touches nprobe/coarse_k of the CODE table
+    (itself ~16× smaller than the vectors) and reads full embeddings only
+    for the ``refine`` re-rank rows. The exact leg is the declared bounded
+    all-pairs audit over the query stratum.
+    """
+    emb = corpus.select(F.col(id_col), F.col(vec_col))
+    coarse = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col,
+                              k=coarse_k, iters=coarse_iters)
+    cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("__cell")
+    )
+    cb = pq_train_codebooks(emb, id_col=id_col, vec_col=vec_col,
+                            m=m, dim=dim, ksub=ksub, iters=iters)
+    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.join(F.broadcast(coarse), F.lit(True))
+        .select("query_id", "cid", sq_l2("__qv", "cvec").alias("__pd"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("cid").alias("__cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    lut = qsv.join(F.broadcast(cb), "sub").select(
+        F.col(id_col).alias("query_id"),
+        "sub",
+        "cid",
+        F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
+    )
+    adc = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "sub", "cid")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ld").alias("__adc"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("__td").asc(), F.col("neighbor_id").asc()
+    )
+    refined = (
+        nv.join(F.broadcast(shortlist.join(F.broadcast(qd), "query_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+    exact = (
+        nv.join(F.broadcast(qd), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__ed"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("__ed").asc(), F.col("neighbor_id").asc())))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        refined.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.round("__td", 6).alias("d2"),
+            F.coalesce("__hit", F.lit(0)).cast("int").alias("hit"),
+        )
+    )

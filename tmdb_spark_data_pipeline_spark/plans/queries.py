@@ -4250,6 +4250,128 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_coarse_ctes() -> str:
+    """Coarse-quantizer replay for ivfpq_topk: kmeans_centroids (k=25, 2
+    Lloyd iterations, squared-L2 assignment) over the FULL vectors — the
+    `g` chain, appended after _pq_train_ctes()'s `enc` so both trainings
+    share the `b` scan."""
+    it = ""
+    prev = "g0"
+    for i in (1, 2):
+        it += f""",
+    ga{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, g.cid, {_pq_sqd('b.embedding', 'g.cvec')} AS d2
+        FROM b CROSS JOIN {prev} g)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) = 1),
+    gex{i} AS (
+      SELECT a.cid, unnest(b.embedding) AS val,
+             generate_subscripts(b.embedding, 1) AS pos
+      FROM b JOIN ga{i} a USING (vec_id)),
+    gmu{i} AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mval
+      FROM gex{i} GROUP BY cid, pos),
+    g{i} AS MATERIALIZED (
+      SELECT cid, list(mval ORDER BY pos) AS cvec FROM gmu{i} GROUP BY cid)"""
+        prev = f"g{i}"
+    return f""",
+    g0 AS (SELECT vec_id AS cid, embedding AS cvec FROM b ORDER BY vec_id LIMIT 25){it}"""
+
+
+@query(
+    "similarity_topk_ivfpq",
+    oracle=_pq_train_ctes()
+    + _ivfpq_coarse_ctes()
+    + f""",
+    cells AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT b.vec_id, g.cid, {_pq_sqd('b.embedding', 'g.cvec')} AS d2
+        FROM b CROSS JOIN g2 g)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT qb.vec_id AS query_id, g.cid AS cell,
+               {_pq_sqd('qb.embedding', 'g.cvec')} AS pd
+        FROM (SELECT * FROM b WHERE vec_id < 20) qb CROSS JOIN g2 g)
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pd ASC, cell ASC) <= 8),
+    cand AS MATERIALIZED (
+      SELECT p.query_id, c.neighbor_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.neighbor_id <> p.query_id),
+    lut AS MATERIALIZED (
+      SELECT sv.vec_id AS query_id, sv.sub, c.cid,
+             CAST(round({_pq_sqd('sv.subvec', 'c.cvec')}, 12)
+                  AS DECIMAL(30,12)) AS ld
+      FROM sv JOIN c2 c USING (sub) WHERE sv.vec_id < 20),
+    adcq AS MATERIALIZED (
+      SELECT cd.query_id, cd.neighbor_id, sum(l.ld) AS adc
+      FROM cand cd
+      JOIN enc e ON e.vec_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid
+      GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adcq) WHERE rn <= 150),
+    refined AS MATERIALIZED (
+      SELECT query_id, neighbor_id, td,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY td ASC, neighbor_id ASC) AS rnk
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               {_pq_sqd('qb.embedding', 'nb.embedding')} AS td
+        FROM shortlist s
+        JOIN b qb ON qb.vec_id = s.query_id
+        JOIN b nb ON nb.vec_id = s.neighbor_id)),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qb.vec_id
+                   ORDER BY {_pq_sqd('qb.embedding', 'nb.embedding')} ASC,
+                            nb.vec_id ASC) AS rn
+        FROM (SELECT * FROM b WHERE vec_id < 20) qb CROSS JOIN b nb
+        WHERE nb.vec_id <> qb.vec_id)
+      WHERE rn <= 10)
+    SELECT CAST(r.query_id AS BIGINT) AS query_id,
+           CAST(r.rnk AS INTEGER) AS "rank",
+           CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
+           round(r.td, 6) AS d2,
+           CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM refined r
+    LEFT JOIN exact e ON e.query_id = r.query_id
+                     AND e.neighbor_id = r.neighbor_id
+    WHERE r.rnk <= 10
+    """,
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the COMPOSED ANN serving architecture
+    (``similarity.ivfpq_topk_audit``; FAISS IndexIVFPQ shape, non-residual):
+    trained coarse quantizer (``kmeans_centroids`` k=25 × 2 Lloyd
+    iterations) prunes to nprobe=8 cells, the PQ code table
+    (``pq_train_codebooks`` m=32 × ksub=16) ADC-scores only those cells'
+    members, the ADC top-150 get exact re-ranked, and the output IS the
+    served top-10 per query with an inline exact-hit flag — so ONE hash
+    gates the coarse training, the PQ training, the cell assignment, the
+    ADC ranking, the refine, and the recall certificate (recall@10 = 0.915
+    sf0.01 / 0.945 sf0.1, visible as sum(hit)/(10·nq)). Single metric
+    (squared L2) end to end. At 100 TB this is the architecture the
+    embedding column actually serves from: per query, 8/25ths of a code
+    table ~16× smaller than the vectors, plus 150 exact distances — the
+    oracle replays BOTH trainings and the full serve in SQL."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivfpq_topk_audit(
+        q, emb, coarse_k=25, coarse_iters=2, nprobe=8,
+        m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2, refine=150, k=10,
+    )
+
+
 @query(
     "embedding_quantization",
     oracle="""
@@ -14927,6 +15049,7 @@ _SWEEP_FRONT = (
     # --- new in round 9 (no driver row yet) ---
     "pq_codebook_distortion",
     "pq_adc_recall",
+    "similarity_topk_ivfpq",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
