@@ -300,3 +300,75 @@ def test_multi_source_bfs_distances_and_bounds(spark):
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1, 7: -1,
                    10: 0, 11: 1, 12: 1}
+
+
+def test_ktruss_hand_cases(spark):
+    """Bowtie (two triangles sharing node 3) + pendant edge: the 3-truss
+    keeps exactly the six triangle edges with support 1 and drops the
+    pendant; the 4-truss (support >= 2) empties it — but keeps all of K4."""
+    bowtie = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5), (5, 6)],
+        "u long, v long",
+    )
+    out = {(r.u, r.v): r.support for r in graph.ktruss(bowtie, 3).collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 1, (3, 5): 1, (4, 5): 1}
+    assert graph.ktruss(bowtie, 4).count() == 0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)], "u long, v long"
+    )
+    out4 = {(r.u, r.v): r.support for r in graph.ktruss(k4, 4).collect()}
+    assert len(out4) == 6 and all(s == 2 for s in out4.values())
+
+
+def test_ktruss_cascade_and_triangle_free(spark):
+    """Triangle strip 1-2-3-4-5 (triangles 123, 234, 345): the 4-truss
+    peel must CASCADE — only edges 23/24/34 have support 2 initially, but
+    after the outer edges die no triangle survives, so the 4-truss is
+    empty (a support-once filter would wrongly keep the middle). A 5-cycle
+    has no triangles at all -> empty 3-truss."""
+    strip = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (3, 5), (4, 5)],
+        "u long, v long",
+    )
+    assert graph.ktruss(strip, 4).count() == 0
+    assert {(r.u, r.v) for r in graph.ktruss(strip, 3).collect()} == {
+        (1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (3, 5), (4, 5)
+    }
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)], "u long, v long"
+    )
+    assert graph.ktruss(cycle, 3).count() == 0
+
+
+def test_ktruss_matches_python_model_random_graphs(spark):
+    """Peel fixpoint vs a naive python model on random graphs — same
+    discipline as the multi_source_bfs / local_clustering property tests."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 14
+        edges = sorted(
+            {(a, b) for a, b in (
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)
+            )}
+        )
+        k = rng.choice([3, 4])
+        cur = set(edges)
+        while True:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        expect = {e: sup[e] for e in cur}
+        df = spark.createDataFrame(list(edges) or [(0, 1)], "u long, v long")
+        if not edges:
+            continue
+        got = {(r.u, r.v): r.support for r in graph.ktruss(df, k).collect()}
+        assert got == expect, (trial, k)

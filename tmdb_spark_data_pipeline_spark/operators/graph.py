@@ -611,3 +611,86 @@ def multi_source_bfs(
     return nodes.join(settled, "id", "left").select(
         "id", F.coalesce("hops", F.lit(-1)).cast("int").alias("hops")
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle SUPPORT (# triangles containing the edge = # common
+    neighbors of its endpoints) of an id-canonical edge set, via the same
+    degree-oriented ``_closed_wedges`` enumeration as ``triangle_stats``
+    (Σ outdeg² ≈ m^1.5, hub-safe): each closed wedge credits its THREE
+    edges (re-canonicalized by id — orientation is by degree, so apex/b/c
+    aren't id-ordered) through one explode + hash rollup. Edges in no
+    triangle get no row (callers coalesce to 0)."""
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    cred = _closed_wedges(e, deg).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("apex", "b").alias("u"), F.greatest("apex", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("apex", "c").alias("u"), F.greatest("apex", "c").alias("v")
+                ),
+                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.u").alias("u"), F.col("__e.v").alias("v"))
+    return cred.groupBy("u", "v").agg(F.count("*").alias("__s"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-TRUSS of an undirected simple graph (id-canonical edges, the
+    ``triangle_stats`` contract): iteratively peel every EDGE whose
+    triangle support is < k−2 until none remains — the edge-level
+    density filter one notch stronger than ``kcore`` (a k-truss is
+    contained in the (k−1)-core, and every surviving edge closes ≥ k−2
+    triangles with surviving edges). The standard cohesive-subgraph
+    backbone for community seeding.
+
+    Peel discipline mirrors ``kcore``: per round one support computation
+    (the m^1.5 wedge join — the round's only superlinear term), one
+    left-join + filter carrying (u, v) longs, ``localCheckpoint`` lineage
+    truncation, one convergence scalar per round (the documented
+    one-scalar exception to the no-driver-collect rule). Rounds are
+    bounded by the peel depth; raises rather than returning a non-truss
+    if ``max_iter`` is exceeded. Returns ``(u, v, support)`` — the
+    surviving edges with their support INSIDE the truss (≥ k−2 by
+    construction)."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).localCheckpoint()
+    n = e.count()
+    converged = False
+    for _ in range(max_iter):
+        sup = _edge_support(e)
+        e = (
+            e.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce("__s", F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e.count()
+        if n2 == n:
+            converged = True
+            break
+        n = n2
+    if not converged:
+        raise RuntimeError(
+            f"ktruss did not converge within max_iter={max_iter} rounds "
+            "(peel depth exceeds max_iter — raise max_iter)"
+        )
+    return e.join(_edge_support(e), ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce("__s", F.lit(0)).cast("long").alias("support"),
+    )

@@ -10582,6 +10582,80 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(edges, 3)
 
 
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel replay (the Lloyd-iteration discipline — a
+    recursive CTE can't express per-round triangle support, which needs
+    three references to the recursive relation): each round recomputes
+    every surviving edge's common-neighbor count over the previous round's
+    edge set and drops edges below k−2. The peel fixpoint is stable, so
+    unrolling MORE rounds than the graph needs is a no-op; all three SFs
+    converge in 2 rounds and the oracle unrolls ``rounds`` for margin."""
+    ctes = ",\n    ke0 AS MATERIALIZED (SELECT u, v FROM edges)"
+    prev = "ke0"
+    for i in range(1, rounds + 1):
+        ctes += f""",
+    tsym{i} AS (SELECT u AS a, v AS b FROM {prev}
+                UNION ALL SELECT v, u FROM {prev}),
+    tsup{i} AS (SELECT e.u, e.v, count(*) AS s
+                FROM {prev} e
+                JOIN tsym{i} x ON x.a = e.u
+                JOIN tsym{i} y ON y.a = e.v AND y.b = x.b
+                GROUP BY e.u, e.v),
+    ke{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      LEFT JOIN tsup{i} s ON s.u = e.u AND s.v = e.v
+      WHERE coalesce(s.s, 0) >= {k - 2})"""
+        prev = f"ke{i}"
+    return (
+        "WITH "
+        + _LPA_EDGES_SQL
+        + ctes
+        + f""",
+    tsymf AS (SELECT u AS a, v AS b FROM {prev}
+              UNION ALL SELECT v, u FROM {prev}),
+    tsupf AS (SELECT e.u, e.v, count(*) AS s
+              FROM {prev} e
+              JOIN tsymf x ON x.a = e.u
+              JOIN tsymf y ON y.a = e.v AND y.b = x.b
+              GROUP BY e.u, e.v)
+    SELECT e.u, e.v, coalesce(s.s, 0) AS support
+    FROM {prev} e LEFT JOIN tsupf s ON s.u = e.u AND s.v = e.v
+    """
+    )
+
+
+@query("copurchase_ktruss", oracle=_ktruss_oracle(3, 6))
+def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-TRUSS of the co-purchase graph (``graph.ktruss``): iteratively
+    peel every edge in fewer than k−2 = 1 surviving triangles — the
+    EDGE-level density filter one notch stronger than ``copurchase_kcore``
+    (a k-truss is contained in the (k−1)-core; what survives is the
+    triangle-reinforced backbone community detection seeds from). Spark
+    side is the kcore peel discipline applied to edges: per round ONE
+    degree-oriented wedge join computes every edge's support (m^1.5,
+    hub-safe — the same ``_closed_wedges`` as ``triangle_stats``), one
+    left-join filter drops light edges, localCheckpoint truncates lineage,
+    one convergence scalar per round. The oracle unrolls 6 peel rounds
+    (support needs three references to the evolving edge set, beyond a
+    recursive CTE) — the fixpoint is stable so extra rounds are no-ops;
+    all SFs converge in 2. Output: surviving edges with their in-truss
+    support."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return graph.ktruss(edges, 3)
+
+
 @query(
     "copurchase_pagerank",
     oracle="WITH RECURSIVE " + _LPA_EDGES_SQL + """,
@@ -15050,6 +15124,7 @@ _SWEEP_FRONT = (
     "pq_codebook_distortion",
     "pq_adc_recall",
     "similarity_topk_ivfpq",
+    "copurchase_ktruss",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
