@@ -256,3 +256,95 @@ def test_bpe_train_merges_hand_computed(spark):
     # step 3: stream is ["a a", "a b", "a b"]; ("a a","a b") and
     # ("a b","a b") tie at count 1 — left asc picks "a a" < "a b"
     assert rules[3] == ("a a", "a b", "a a a b", 1)
+
+
+# --- unigram-LM Viterbi subword segmentation --------------------------------
+
+
+def test_viterbi_segment_words_hand_case_and_tie_break(spark):
+    """Crafted integer costs: 'abab' -> [ab][ab] (cost 40, 2 pieces);
+    'ab' ties [ab]=20 vs [a][b]=20 and must take the SMALLEST split start
+    (strict-less argmin) -> one piece; unknown chars never block single-char
+    coverage when present in the inventory."""
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("abab",), ("ba",), ("a",), ("ab",)], ["word"]
+    )
+    pieces = [("a", 10), ("b", 10), ("ab", 20)]
+    got = {
+        r.word: (r.seg_cost, r.n_pieces)
+        for r in T.viterbi_segment_words(words, pieces, max_piece=3).collect()
+    }
+    assert got == {"abab": (40, 2), "ba": (20, 2), "a": (10, 1), "ab": (20, 1)}
+
+
+def test_subword_piece_costs_inventory_and_formula(spark):
+    """All single chars kept, exactly top_multi multi-char pieces by
+    (total desc, piece asc), cost = round(-ln(total/T)*1e6)."""
+    import math
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    wcnt = spark.createDataFrame(
+        [("aab", 3), ("ab", 2), ("bb", 1)], ["word", "cnt"]
+    )
+    rows = T.subword_piece_costs(wcnt, max_piece=3, top_multi=2).collect()
+    by_piece = {r.piece: r for r in rows}
+    # chars: a(3*2+2)=8? a appears twice in aab (x3) + once in ab (x2) = 8; b: 3+2+2=7
+    assert by_piece["a"].total == 8 and by_piece["b"].total == 7
+    multi = sorted((r.piece for r in rows if len(r.piece) > 1))
+    # ab: 3+2=5, aa: 3, bb: 1, aab: 3 -> top2 = ab(5), then aa/aab tie at 3 -> 'aa'
+    assert multi == ["aa", "ab"]
+    T_total = sum(r.total for r in rows)
+    for r in rows:
+        expect = round(-math.log(r.total / T_total) * 1e6)
+        assert abs(r.cost - expect) <= 1, r
+    # every piece of the same inventory must round-trip through segmentation
+    seg = T.viterbi_segment_words(
+        wcnt, [(r.piece, r.cost) for r in rows], max_piece=3
+    ).collect()
+    assert all(r.n_pieces >= 1 and r.seg_cost > 0 for r in seg)
+
+
+def test_viterbi_matches_python_model_random(spark):
+    """Random words + random integer-cost inventories vs a naive python DP
+    with the same smallest-start tie rule."""
+    import random
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    rng = random.Random(29)
+    alphabet = "abc"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(25)
+        ]
+        pieces = {ch: rng.randint(5, 30) for ch in alphabet}
+        for _ in range(6):
+            p = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 3)))
+            pieces.setdefault(p, rng.randint(5, 60))
+        plist = sorted(pieces.items())
+
+        def model(w):
+            INF = 10**15
+            dp = [(0, 0)] + [(INF, 0)] * len(w)
+            for p in range(1, len(w) + 1):
+                best = (INF, 0)
+                for j in range(max(1, p - 2), p + 1):
+                    c = pieces.get(w[j - 1 : p])
+                    if c is None:
+                        continue
+                    cand = (dp[j - 1][0] + c, dp[j - 1][1] + 1)
+                    if cand[0] < best[0]:
+                        best = cand
+                dp[p] = best
+            return dp[len(w)]
+
+        df = spark.createDataFrame([(w,) for w in set(words)], ["word"])
+        got = {
+            r.word: (r.seg_cost, r.n_pieces)
+            for r in T.viterbi_segment_words(df, plist, max_piece=3).collect()
+        }
+        assert got == {w: model(w) for w in set(words)}, trial

@@ -822,3 +822,142 @@ def bpe_train_encode(
         F.col("__pos").alias("pos"),
         F.col("__tok").alias("token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi subword segmentation (the SentencePiece-family twin of
+# the BPE loop above: BPE learns merges bottom-up; the unigram model scores
+# a FIXED piece inventory and segments each word by min-cost Viterbi DP)
+# ---------------------------------------------------------------------------
+
+
+def subword_piece_costs(
+    wcnt: DataFrame,
+    *,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+    max_piece: int = 3,
+    top_multi: int = 40,
+) -> DataFrame:
+    """Build the deterministic subword piece inventory + integer costs from
+    a (word, count) table: every single character (coverage guarantee —
+    each word always has ≥1 segmentation) plus the ``top_multi`` most
+    frequent multi-character substrings of length 2..``max_piece``
+    (occurrence-weighted, ties → lexicographically smallest piece).
+
+    Cost(piece) = round(−ln(total/T)·10⁶) **micro-nats as BIGINT**, T =
+    Σ total over the final inventory: quantizing BEFORE the DP makes every
+    Viterbi path cost an exact integer sum, so cross-engine ln() ulp noise
+    (JVM vs any SQL oracle's libm) cannot flip a segmentation — a flip
+    would need −ln(p)·10⁶ within ~1e-9 of a rounding boundary.
+
+    Scale shape: substring explosion runs over DISTINCT word types (the
+    type/token split — counts carry token mass), so cost is
+    Σ_types len·max_piece rows, shuffled once into a piece hash-agg; the
+    window ranking the multi-char pool sees one row per candidate piece.
+    Returns ``(piece, total, cost)``.
+    """
+    w = wcnt.select(F.col(word_col).alias("__w"), F.col(cnt_col).alias("__c"))
+    slices = []
+    for n in range(1, max_piece + 1):
+        starts = F.when(
+            F.length("__w") >= n,
+            F.sequence(F.lit(1), F.length("__w") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        slices.append(
+            w.select(
+                F.explode(
+                    F.transform(starts, lambda i: F.col("__w").substr(i, F.lit(n)))
+                ).alias("piece"),
+                "__c",
+            )
+        )
+    subs = slices[0]
+    for s in slices[1:]:
+        subs = subs.unionAll(s)
+    pool = subs.groupBy("piece").agg(F.sum("__c").alias("total"))
+    chars = pool.filter(F.length("piece") == 1)
+    # top-k by (total desc, piece asc) via orderBy+limit -> the planner's
+    # TakeOrderedAndProject (per-partition heaps + tiny driver merge), NOT a
+    # global row_number window, which would single-partition the candidate
+    # pool (|types|*len*max_piece rows at 100 TB)
+    multi = (
+        pool.filter(F.length("piece") > 1)
+        .orderBy(F.col("total").desc_nulls_last(), F.col("piece").asc())
+        .limit(top_multi)
+    )
+    vocab = chars.unionAll(multi)
+    tot = vocab.agg(F.sum("total").alias("__T"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "total",
+        F.round(-F.log(F.col("total").cast("double") / F.col("__T")) * 1e6, 0)
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def viterbi_segment_words(
+    words: DataFrame,
+    pieces: list[tuple[str, int]],
+    *,
+    word_col: str = "word",
+    max_piece: int = 3,
+) -> DataFrame:
+    """Min-cost Viterbi segmentation of each word against a bounded piece
+    inventory, entirely inside whole-stage codegen: the DP is a sequential
+    ``aggregate`` fold over character positions carrying the dp table as
+    an array of (cost, n_pieces) structs; at position p an inner
+    ``aggregate`` over the ≤ ``max_piece`` candidate split points takes
+    the argmin with STRICT-less comparison, so ties go to the smallest
+    start index (= longest earlier piece chain) — the documented
+    deterministic tie-break an external oracle replays exactly. Costs are
+    integer micro-nats (see ``subword_piece_costs``), so path sums are
+    exact.
+
+    ``pieces`` is the collected inventory (bounded: |charset| +
+    ``top_multi`` rows — the documented bounded-collect exception, same
+    adjudication as the similarity probe matrix); it compiles into a map
+    LITERAL, i.e. it broadcasts with the plan itself and the per-word DP
+    is map-side only — no join, no shuffle, distinct word TYPES only.
+
+    Adds ``(seg_cost, n_pieces)`` to every input row.
+    """
+    m = F.create_map(
+        *[x for p, c in pieces for x in (F.lit(p), F.lit(int(c)).cast("long"))]
+    )
+    inf = F.lit(10**15).cast("long")
+    L = max_piece
+    wc = F.col(word_col)
+
+    def _cand_cost(acc, j, p):
+        return F.element_at(acc, j)["c"] + F.coalesce(
+            F.element_at(m, wc.substr(j, p - j + 1)), inf
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(wc)),
+        F.array(F.struct(F.lit(0).cast("long").alias("c"), F.lit(0).alias("n"))),
+        lambda acc, p: F.concat(
+            acc,
+            F.array(
+                F.aggregate(
+                    F.sequence(F.greatest(F.lit(1), p - F.lit(L - 1)), p),
+                    F.struct(inf.alias("c"), F.lit(0).alias("n")),
+                    lambda best, j: F.when(
+                        _cand_cost(acc, j, p) < best["c"],
+                        F.struct(
+                            _cand_cost(acc, j, p).alias("c"),
+                            (F.element_at(acc, j)["n"] + 1).alias("n"),
+                        ),
+                    ).otherwise(best),
+                )
+            ),
+        ),
+    )
+    fin = F.element_at(dp, F.length(wc) + 1)
+    return words.withColumn("__fin", fin).select(
+        "*",
+        F.col("__fin.c").alias("seg_cost"),
+        F.col("__fin.n").alias("n_pieces"),
+    ).drop("__fin")

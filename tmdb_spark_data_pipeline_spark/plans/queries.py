@@ -810,6 +810,121 @@ def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_viterbi_stats",
+    oracle="""
+    WITH RECURSIVE w0 AS (
+      SELECT lang, word FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''),
+    lcnt AS MATERIALIZED (SELECT lang, word, count(*) AS lc FROM w0 GROUP BY 1, 2),
+    wcnt AS MATERIALIZED (SELECT word, sum(lc) AS cnt FROM lcnt GROUP BY 1),
+    sub AS (
+      SELECT piece, sum(cnt) AS total FROM (
+        SELECT unnest(list_transform(generate_series(1, len(word)),
+                                     i -> substr(word, i, 1))) AS piece, cnt
+        FROM wcnt
+        UNION ALL
+        SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                                     i -> substr(word, i, 2))), cnt
+        FROM wcnt
+        UNION ALL
+        SELECT unnest(list_transform(generate_series(1, len(word) - 2),
+                                     i -> substr(word, i, 3))), cnt
+        FROM wcnt)
+      GROUP BY 1),
+    vocab AS MATERIALIZED (
+      SELECT piece, total FROM sub WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, total FROM (
+        SELECT piece, total,
+               row_number() OVER (ORDER BY total DESC, piece ASC) AS rn
+        FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
+    tot AS (SELECT sum(total) AS T FROM vocab),
+    costs AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(-ln(CAST(total AS DOUBLE) / CAST(T AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS c
+      FROM vocab CROSS JOIN tot),
+    vm AS MATERIALIZED (
+      SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS m
+      FROM costs),
+    dp AS (
+      SELECT word, len(word) AS wl, 0 AS i,
+             [{'c': CAST(0 AS BIGINT), 'n': 0}] AS v
+      FROM wcnt
+      UNION ALL
+      SELECT word, wl, i + 1,
+             list_append(v, (
+                list_reduce(
+                  list_transform(generate_series(greatest(1, i - 1), i + 1),
+                    j -> {'c': v[j].c
+                               + coalesce(map_extract(m, substr(word, j, i + 2 - j))[1],
+                                          CAST(1000000000000000 AS BIGINT)),
+                          'n': v[j].n + 1}),
+                  (a, b) -> CASE WHEN b.c < a.c THEN b ELSE a END)))
+      FROM dp CROSS JOIN vm
+      WHERE i < wl),
+    fin AS MATERIALIZED (
+      SELECT word, v[wl + 1].c AS sc, v[wl + 1].n AS np FROM dp WHERE i = wl)
+    SELECT l.lang,
+           CAST(sum(l.lc) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(f.np * l.lc) AS BIGINT) AS n_pieces,
+           CAST(sum(f.sc * l.lc) AS BIGINT) AS total_cost_micronats,
+           round(CAST(sum(f.np * l.lc) AS DOUBLE) / sum(l.lc), 6)
+             AS avg_pieces_per_token
+    FROM lcnt l JOIN fin f USING (word)
+    GROUP BY 1
+    """,
+)
+def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi subword segmentation
+    (``text.subword_piece_costs`` + ``text.viterbi_segment_words``) — the
+    SentencePiece-family twin of ``bpe_train_merges`` (BPE learns merges
+    bottom-up; the unigram model scores a FIXED piece inventory and
+    segments by min-cost DP). Inventory: every character + the 40 most
+    frequent length-2..3 substrings (occurrence-weighted, lexicographic
+    ties), costs = round(−ln(p)·10⁶) micro-nats as BIGINT — integer
+    quantization BEFORE the DP makes every path cost an exact integer sum,
+    so cross-engine ln() ulp noise cannot flip a segmentation, and ties
+    break to the smallest split start (strict-less argmin, replayed
+    identically by the oracle's list_reduce). The DP itself is a nested
+    ``aggregate`` fold over character positions (whole-stage codegen — no
+    UDF, no shuffle) over DISTINCT WORD TYPES only; token mass re-attaches
+    via counts, so at 100 TB the segmentation cost is O(|types|·len·L),
+    not O(corpus). The inventory crosses the driver once as a bounded
+    collect (|charset|+40 rows — the documented bounded-collect exception)
+    and compiles into a map literal broadcast with the plan. Output per
+    language: exact token/type/piece counts, the exact total path cost in
+    micro-nats, and pieces-per-token — the compression number a tokenizer
+    ships with."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    lcnt = words.groupBy("lang", "word").agg(F.count("*").alias("lc"))
+    wcnt = lcnt.groupBy("word").agg(F.sum("lc").alias("cnt"))
+    costs = text.subword_piece_costs(wcnt, max_piece=3, top_multi=40)
+    pieces = [(r.piece, r.cost) for r in costs.select("piece", "cost").collect()]
+    seg = text.viterbi_segment_words(wcnt, pieces, max_piece=3)
+    return (
+        lcnt.join(seg.select("word", "seg_cost", "n_pieces"), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("lc").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("n_pieces").cast("long") * F.col("lc")).alias("n_pieces"),
+            F.sum(F.col("seg_cost") * F.col("lc")).alias("total_cost_micronats"),
+            F.round(
+                F.sum(F.col("n_pieces").cast("long") * F.col("lc")).cast("double")
+                / F.sum("lc"),
+                6,
+            ).alias("avg_pieces_per_token"),
+        )
+    )
+
+
+@query(
     "search_documents",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents
@@ -15125,6 +15240,7 @@ _SWEEP_FRONT = (
     "pq_adc_recall",
     "similarity_topk_ivfpq",
     "copurchase_ktruss",
+    "unigram_viterbi_stats",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
