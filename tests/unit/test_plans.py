@@ -531,6 +531,8 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
     # Nested loops whose build sides are all 1-row scalars — verified, not
     # trusted (see _bnlj_builds_are_one_row).
     SCALAR_NL_OK = {
+        "unigram_viterbi_stats",        # scalar inventory-total broadcast (piece costs)
+        "unigram_em_round",             # same scalar totals, both EM passes
         "event_type_hour_mutual_info",  # scalar n broadcast
         "basket_item_lift",             # scalar order-count broadcast
         "tfidf_top_terms",              # scalar doc-count broadcast

@@ -348,3 +348,38 @@ def test_viterbi_matches_python_model_random(spark):
             for r in T.viterbi_segment_words(df, plist, max_piece=3).collect()
         }
         assert got == {w: model(w) for w in set(words)}, trial
+
+
+def test_viterbi_segment_pieces_backtrace(spark):
+    """seg_pieces must concatenate back to the word, have exactly n_pieces
+    elements, each piece in the inventory, and piece costs sum to seg_cost
+    — checked on crafted and random inventories."""
+    import random
+
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("abab",), ("ba",), ("bab",), ("a",)], ["word"]
+    )
+    pieces = [("a", 10), ("b", 10), ("ab", 20)]
+    rows = T.viterbi_segment_pieces(words, pieces, max_piece=3).collect()
+    got = {r.word: r for r in rows}
+    assert got["abab"].seg_pieces == ["ab", "ab"]
+    assert got["ba"].seg_pieces == ["b", "a"]
+    assert got["bab"].seg_pieces == ["b", "ab"]
+    cost = dict(pieces)
+    rng = random.Random(31)
+    rand_words = spark.createDataFrame(
+        [("".join(rng.choice("abc") for _ in range(rng.randint(1, 9))),)
+         for _ in range(20)],
+        ["word"],
+    ).distinct()
+    inv = [(ch, rng.randint(5, 30)) for ch in "abc"] + [
+        ("ab", 12), ("bc", 14), ("cab", 25), ("aa", 40)
+    ]
+    cost = dict(inv)
+    for r in T.viterbi_segment_pieces(rand_words, inv, max_piece=3).collect():
+        assert "".join(r.seg_pieces) == r.word
+        assert len(r.seg_pieces) == r.n_pieces
+        assert all(p in cost for p in r.seg_pieces)
+        assert sum(cost[p] for p in r.seg_pieces) == r.seg_cost

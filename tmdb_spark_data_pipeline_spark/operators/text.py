@@ -923,41 +923,120 @@ def viterbi_segment_words(
 
     Adds ``(seg_cost, n_pieces)`` to every input row.
     """
-    m = F.create_map(
+    m = _piece_cost_map(pieces)
+    dp = _viterbi_dp(F.col(word_col), m, max_piece)
+    fin = F.element_at(dp, F.length(F.col(word_col)) + 1)
+    return words.withColumn("__fin", fin).select(
+        "*",
+        F.col("__fin.c").alias("seg_cost"),
+        F.col("__fin.n").alias("n_pieces"),
+    ).drop("__fin")
+
+
+_VITERBI_INF = 10**15
+
+
+def _piece_cost_map(pieces: list[tuple[str, int]]) -> Column:
+    """The bounded piece inventory as a map LITERAL (broadcasts with the
+    plan — no vocab join anywhere in the DP)."""
+    return F.create_map(
         *[x for p, c in pieces for x in (F.lit(p), F.lit(int(c)).cast("long"))]
     )
-    inf = F.lit(10**15).cast("long")
-    L = max_piece
-    wc = F.col(word_col)
+
+
+def _viterbi_dp(wc: Column, m: Column, L: int) -> Column:
+    """The min-cost DP table as an array column: entry p+1 = (c, n, b) —
+    best cost / piece count / chosen split START for the prefix of length
+    p (entry 1 is the empty-prefix base). Sequential ``aggregate`` fold
+    over positions; inner fold over the ≤ L candidate starts with
+    STRICT-less argmin, so ties go to the smallest start — the documented
+    deterministic tie rule oracles replay."""
+    inf = F.lit(_VITERBI_INF).cast("long")
 
     def _cand_cost(acc, j, p):
         return F.element_at(acc, j)["c"] + F.coalesce(
             F.element_at(m, wc.substr(j, p - j + 1)), inf
         )
 
-    dp = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.length(wc)),
-        F.array(F.struct(F.lit(0).cast("long").alias("c"), F.lit(0).alias("n"))),
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("c"),
+                F.lit(0).alias("n"),
+                F.lit(0).alias("b"),
+            )
+        ),
         lambda acc, p: F.concat(
             acc,
             F.array(
                 F.aggregate(
                     F.sequence(F.greatest(F.lit(1), p - F.lit(L - 1)), p),
-                    F.struct(inf.alias("c"), F.lit(0).alias("n")),
+                    F.struct(inf.alias("c"), F.lit(0).alias("n"), F.lit(0).alias("b")),
                     lambda best, j: F.when(
                         _cand_cost(acc, j, p) < best["c"],
                         F.struct(
                             _cand_cost(acc, j, p).alias("c"),
                             (F.element_at(acc, j)["n"] + 1).alias("n"),
+                            j.alias("b"),
                         ),
                     ).otherwise(best),
                 )
             ),
         ),
     )
-    fin = F.element_at(dp, F.length(wc) + 1)
-    return words.withColumn("__fin", fin).select(
+
+
+def viterbi_segment_pieces(
+    words: DataFrame,
+    pieces: list[tuple[str, int]],
+    *,
+    word_col: str = "word",
+    max_piece: int = 3,
+) -> DataFrame:
+    """Like ``viterbi_segment_words`` but ALSO materializes the chosen
+    segmentation itself: a second fold walks the dp table's back-pointers
+    from the final position (≤ len steps — still per-row, codegen-only,
+    zero shuffle) and collects the pieces right-to-left. Adds
+    ``(seg_cost, n_pieces, seg_pieces)`` with ``seg_pieces`` in LEFT-TO-
+    RIGHT order — the substrate for usage counting / EM re-estimation."""
+    m = _piece_cost_map(pieces)
+    wc = F.col(word_col)
+    # localCheckpoint = a hard barrier between the dp fold and the walk:
+    # the walk references __dp 3x per step, and CollapseProject would
+    # otherwise INLINE the whole dp expression at every reference — the
+    # documented expensive-alias pitfall (measured 34 s -> 1.5 s on 31
+    # word types at sf0.1). The checkpointed table is the distinct word
+    # TYPES (tiny relative to the corpus at any scale).
+    staged = words.withColumn("__dp", _viterbi_dp(wc, m, max_piece)).localCheckpoint()
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.length(wc)),
+        F.struct(
+            F.length(wc).alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        lambda acc, _: F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (F.element_at(F.col("__dp"), acc["pos"] + 1)["b"] - 1).alias("pos"),
+                F.concat(
+                    F.array(
+                        wc.substr(
+                            F.element_at(F.col("__dp"), acc["pos"] + 1)["b"],
+                            acc["pos"]
+                            - F.element_at(F.col("__dp"), acc["pos"] + 1)["b"]
+                            + 1,
+                        )
+                    ),
+                    acc["ps"],
+                ).alias("ps"),
+            ),
+        ).otherwise(acc),
+    )
+    fin = F.element_at(F.col("__dp"), F.length(wc) + 1)
+    return staged.select(
         "*",
-        F.col("__fin.c").alias("seg_cost"),
-        F.col("__fin.n").alias("n_pieces"),
-    ).drop("__fin")
+        fin["c"].alias("seg_cost"),
+        fin["n"].alias("n_pieces"),
+        walk["ps"].alias("seg_pieces"),
+    ).drop("__dp")

@@ -925,6 +925,185 @@ def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_em_round",
+    oracle="""
+    WITH RECURSIVE w0 AS (
+      SELECT lang, word FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''),
+    lcnt AS MATERIALIZED (SELECT lang, word, count(*) AS lc FROM w0 GROUP BY 1, 2),
+    wcnt AS MATERIALIZED (SELECT word, sum(lc) AS cnt FROM lcnt GROUP BY 1),
+    sub AS (
+      SELECT piece, sum(cnt) AS total FROM (
+        SELECT unnest(list_transform(generate_series(1, len(word)),
+                                     i -> substr(word, i, 1))) AS piece, cnt
+        FROM wcnt
+        UNION ALL
+        SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                                     i -> substr(word, i, 2))), cnt
+        FROM wcnt
+        UNION ALL
+        SELECT unnest(list_transform(generate_series(1, len(word) - 2),
+                                     i -> substr(word, i, 3))), cnt
+        FROM wcnt)
+      GROUP BY 1),
+    vocab AS MATERIALIZED (
+      SELECT piece, total FROM sub WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, total FROM (
+        SELECT piece, total,
+               row_number() OVER (ORDER BY total DESC, piece ASC) AS rn
+        FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
+    tot AS (SELECT sum(total) AS T FROM vocab),
+    costs AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(-ln(CAST(total AS DOUBLE) / CAST(T AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS c
+      FROM vocab CROSS JOIN tot),
+    vm AS MATERIALIZED (
+      SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS m
+      FROM costs),
+    dp1 AS (
+      SELECT word, len(word) AS wl, 0 AS i,
+             [{'c': CAST(0 AS BIGINT), 'n': 0, 'b': 0}] AS v
+      FROM wcnt
+      UNION ALL
+      SELECT word, wl, i + 1,
+             list_append(v, (
+                list_reduce(
+                  list_transform(generate_series(greatest(1, i - 1), i + 1),
+                    j -> {'c': v[j].c
+                               + coalesce(map_extract(m, substr(word, j, i + 2 - j))[1],
+                                          CAST(1000000000000000 AS BIGINT)),
+                          'n': v[j].n + 1,
+                          'b': CAST(j AS INTEGER)}),
+                  (a, b) -> CASE WHEN b.c < a.c THEN b ELSE a END)))
+      FROM dp1 CROSS JOIN vm
+      WHERE i < wl),
+    fin1 AS MATERIALIZED (
+      SELECT word, v, v[wl + 1].c AS sc, v[wl + 1].n AS np FROM dp1 WHERE i = wl),
+    bt AS (
+      SELECT word, len(word) AS pos, v, CAST([] AS VARCHAR[]) AS ps FROM fin1
+      UNION ALL
+      SELECT word, v[pos + 1].b - 1, v,
+             list_prepend(substr(word, v[pos + 1].b, pos - v[pos + 1].b + 1), ps)
+      FROM bt WHERE pos > 0),
+    segs AS MATERIALIZED (SELECT word, ps FROM bt WHERE pos = 0),
+    usage AS MATERIALIZED (
+      SELECT piece, sum(cnt) AS used FROM (
+        SELECT unnest(s.ps) AS piece, w.cnt
+        FROM segs s JOIN wcnt w USING (word))
+      GROUP BY 1),
+    u0 AS MATERIALIZED (
+      SELECT c.piece, coalesce(us.used, 0) + 1 AS um
+      FROM costs c LEFT JOIN usage us USING (piece)),
+    t2 AS (SELECT sum(um) AS U FROM u0),
+    costs2 AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(-ln(CAST(um AS DOUBLE) / CAST(U AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS c
+      FROM u0 CROSS JOIN t2),
+    vm2 AS MATERIALIZED (
+      SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS m
+      FROM costs2),
+    dp2 AS (
+      SELECT word, len(word) AS wl, 0 AS i,
+             [{'c': CAST(0 AS BIGINT), 'n': 0}] AS v
+      FROM wcnt
+      UNION ALL
+      SELECT word, wl, i + 1,
+             list_append(v, (
+                list_reduce(
+                  list_transform(generate_series(greatest(1, i - 1), i + 1),
+                    j -> {'c': v[j].c
+                               + coalesce(map_extract(m, substr(word, j, i + 2 - j))[1],
+                                          CAST(1000000000000000 AS BIGINT)),
+                          'n': v[j].n + 1}),
+                  (a, b) -> CASE WHEN b.c < a.c THEN b ELSE a END)))
+      FROM dp2 CROSS JOIN vm2
+      WHERE i < wl),
+    fin2 AS MATERIALIZED (
+      SELECT word, v[wl + 1].c AS sc, v[wl + 1].n AS np FROM dp2 WHERE i = wl)
+    SELECT l.lang,
+           CAST(sum(l.lc) AS BIGINT) AS n_tokens,
+           CAST(sum(f1.np * l.lc) AS BIGINT) AS p1_pieces,
+           CAST(sum(f2.np * l.lc) AS BIGINT) AS p2_pieces,
+           CAST(sum(f1.sc * l.lc) AS BIGINT) AS p1_cost_micronats,
+           CAST(sum(f2.sc * l.lc) AS BIGINT) AS p2_cost_micronats,
+           round(CAST(sum(f2.np * l.lc) AS DOUBLE) / sum(l.lc), 6)
+             AS p2_avg_pieces_per_token
+    FROM lcnt l
+    JOIN fin1 f1 USING (word)
+    JOIN fin2 f2 USING (word)
+    GROUP BY 1
+    """,
+)
+def unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Viterbi-EM re-estimation round of the unigram tokenizer (the
+    training loop on top of ``unigram_viterbi_stats``, mirroring how
+    ``bpe_encode_stats`` builds on ``bpe_train_merges``): segment with the
+    frequency-initialized costs (E-step, hard assignments), count actual
+    PIECE USAGE via the backtrace (``text.viterbi_segment_pieces`` — a
+    second per-row fold walks the dp back-pointers, still zero-shuffle),
+    re-estimate piece probabilities from usage with add-one smoothing over
+    the same inventory (M-step), re-segment, and report both passes per
+    language — exact integer path costs and piece counts, so the hash
+    gates both DPs, the backtrace, and the usage table transitively.
+    Re-estimation concentrates mass on pieces Viterbi actually uses
+    (whole-word and frequent multi-char pieces get cheaper; unused
+    substring candidates decay to the smoothing floor), the standard
+    SentencePiece EM step. Scale shape identical to
+    ``unigram_viterbi_stats`` ×2: everything runs over distinct word
+    types; the only driver crossings are the two bounded inventory
+    collects."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    lcnt = words.groupBy("lang", "word").agg(F.count("*").alias("lc"))
+    wcnt = lcnt.groupBy("word").agg(F.sum("lc").alias("cnt"))
+    costs = text.subword_piece_costs(wcnt, max_piece=3, top_multi=40)
+    pieces = [(r.piece, r.cost) for r in costs.select("piece", "cost").collect()]
+    seg1 = text.viterbi_segment_pieces(wcnt, pieces, max_piece=3)
+    usage = (
+        seg1.select(F.explode("seg_pieces").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("used"))
+    )
+    u0 = costs.select("piece").join(usage, "piece", "left").select(
+        "piece", (F.coalesce("used", F.lit(0)) + 1).alias("um")
+    )
+    t2 = u0.agg(F.sum("um").alias("__U"))
+    costs2 = u0.crossJoin(F.broadcast(t2)).select(
+        "piece",
+        F.round(-F.log(F.col("um").cast("double") / F.col("__U")) * 1e6, 0)
+        .cast("long")
+        .alias("cost"),
+    )
+    pieces2 = [(r.piece, r.cost) for r in costs2.collect()]
+    seg2 = text.viterbi_segment_words(wcnt, pieces2, max_piece=3)
+    j1 = seg1.select("word", F.col("seg_cost").alias("c1"), F.col("n_pieces").alias("n1"))
+    j2 = seg2.select("word", F.col("seg_cost").alias("c2"), F.col("n_pieces").alias("n2"))
+    return (
+        lcnt.join(j1, "word")
+        .join(j2, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("lc").cast("long").alias("n_tokens"),
+            F.sum(F.col("n1").cast("long") * F.col("lc")).alias("p1_pieces"),
+            F.sum(F.col("n2").cast("long") * F.col("lc")).alias("p2_pieces"),
+            F.sum(F.col("c1") * F.col("lc")).alias("p1_cost_micronats"),
+            F.sum(F.col("c2") * F.col("lc")).alias("p2_cost_micronats"),
+            F.round(
+                F.sum(F.col("n2").cast("long") * F.col("lc")).cast("double")
+                / F.sum("lc"),
+                6,
+            ).alias("p2_avg_pieces_per_token"),
+        )
+    )
+
+
+@query(
     "search_documents",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents
@@ -15241,6 +15420,7 @@ _SWEEP_FRONT = (
     "similarity_topk_ivfpq",
     "copurchase_ktruss",
     "unigram_viterbi_stats",
+    "unigram_em_round",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
