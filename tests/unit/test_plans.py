@@ -598,6 +598,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "hard_negative_mining",        # broadcast bounded probe side (declared)
         "pq_adc_recall",               # declared exact-baseline leg over the bounded query stratum
         "similarity_topk_ivfpq",       # broadcast-centroid assigns (coarse + PQ) + declared exact leg
+        "ivfpq_artifact_roundtrip",    # same assign shapes at build + the same declared exact audit leg
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -808,3 +808,35 @@ def test_ivfpq_full_probe_full_refine_equals_exact(spark, vectors):
     ).collect()
     assert len(rows) == 15
     assert all(r.hit == 1 for r in rows)
+
+
+def test_ivfpq_artifact_serves_bit_identical(spark, sf_smoke, tmp_path):
+    """write_ivfpq_artifact + ivfpq_topk_from_artifact must serve the same
+    top-k as the in-memory ivfpq_topk_audit (probing/ADC/refine are pure
+    functions of the frozen quantizers and codes), and the artifact must
+    contain all four serving tables with codes packed per vector."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_artifact(emb, path)
+    served = similarity.ivfpq_topk_from_artifact(spark, path, q)
+    qd = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.d2, r.hit)
+        for r in similarity._ivfpq_hit_tail(served, qd, nv, k=10).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.d2, r.hit)
+        for r in similarity.ivfpq_topk_audit(q, emb).collect()
+    )
+    assert got == expect and len(got) == 50
+    codes = spark.read.parquet(f"{path}/codes")
+    n = emb.count()
+    assert codes.count() == n
+    assert codes.select(F.size("codes")).distinct().collect() == [(32,)]
+    assert spark.read.parquet(f"{path}/codebooks").count() == 32 * 16
+    assert spark.read.parquet(f"{path}/centroids").count() == 25
+    assert spark.read.parquet(f"{path}/vectors").count() == n

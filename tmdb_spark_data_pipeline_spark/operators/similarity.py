@@ -1718,6 +1718,100 @@ def pq_adc_recall_audit(
     )
 
 
+def _ivfpq_serve(
+    qd: DataFrame,
+    qsv: DataFrame,
+    coarse: DataFrame,
+    cells: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    nv: DataFrame,
+    *,
+    nprobe: int,
+    refine: int,
+    k: int,
+) -> DataFrame:
+    """The IVF-PQ serve tail shared by ``ivfpq_topk_audit`` (in-memory) and
+    ``ivfpq_topk_from_artifact`` (persisted index): probe ranking, the
+    cell-blocked ADC scan, and the exact re-rank of the ADC shortlist.
+    Inputs are pre-shaped: ``qd`` = (query_id, __qv), ``qsv`` = stacked
+    query subvectors, ``cells`` = (neighbor_id, __cell), ``codes`` =
+    stacked (neighbor_id keyed by its id column, sub, cid), ``nv`` =
+    (neighbor_id, __nv) refine vectors. Returns the refined top-k with
+    true squared distance: (query_id, neighbor_id, rank, __td)."""
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.join(F.broadcast(coarse), F.lit(True))
+        .select("query_id", "cid", sq_l2("__qv", "cvec").alias("__pd"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("cid").alias("__cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    lut = qsv.join(F.broadcast(cb), "sub").select(
+        F.col("query_id"),
+        "sub",
+        "cid",
+        F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
+    )
+    adc = (
+        codes.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ld").alias("__adc"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("__td").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        nv.join(F.broadcast(shortlist.join(F.broadcast(qd), "query_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _ivfpq_hit_tail(
+    refined: DataFrame, qd: DataFrame, nv: DataFrame, *, k: int
+) -> DataFrame:
+    """Grade the served top-k against the exact L2 top-k (the declared
+    bounded all-pairs audit leg) and shape the declared output:
+    (query_id, rank, neighbor_id, d2, hit)."""
+    exact = (
+        nv.join(F.broadcast(qd), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__ed"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("__ed").asc(), F.col("neighbor_id").asc())))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        refined.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.round("__td", 6).alias("d2"),
+            F.coalesce("__hit", F.lit(0)).cast("int").alias("hit"),
+        )
+    )
+
+
 def ivfpq_topk_audit(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1763,71 +1857,122 @@ def ivfpq_topk_audit(
     )
     cb = pq_train_codebooks(emb, id_col=id_col, vec_col=vec_col,
                             m=m, dim=dim, ksub=ksub, iters=iters)
-    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "cid"
+    )
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    pw = Window.partitionBy("query_id").orderBy(
-        F.col("__pd").asc(), F.col("cid").asc()
-    )
-    probes = (
-        qd.join(F.broadcast(coarse), F.lit(True))
-        .select("query_id", "cid", sq_l2("__qv", "cvec").alias("__pd"))
-        .withColumn("__pr", F.row_number().over(pw))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", F.col("cid").alias("__cell"))
-    )
-    cand = (
-        cells.join(F.broadcast(probes), "__cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
-    lut = qsv.join(F.broadcast(cb), "sub").select(
-        F.col(id_col).alias("query_id"),
-        "sub",
-        "cid",
-        F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
-    )
-    adc = (
-        codes.select(F.col(id_col).alias("neighbor_id"), "sub", "cid")
-        .join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(lut), ["query_id", "sub", "cid"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__ld").alias("__adc"))
-    )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").asc(), F.col("neighbor_id").asc()
-    )
-    shortlist = (
-        adc.withColumn("__rn", F.row_number().over(aw))
-        .filter(F.col("__rn") <= refine)
-        .select("query_id", "neighbor_id")
+    qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
+        F.col(id_col).alias("query_id"), "sub", "subvec"
     )
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-    rw = Window.partitionBy("query_id").orderBy(
-        F.col("__td").asc(), F.col("neighbor_id").asc()
+    refined = _ivfpq_serve(
+        qd, qsv, coarse, cells, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
     )
-    refined = (
-        nv.join(F.broadcast(shortlist.join(F.broadcast(qd), "query_id")), "neighbor_id")
-        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
-        .withColumn("rank", F.row_number().over(rw))
-        .filter(F.col("rank") <= k)
-    )
-    exact = (
-        nv.join(F.broadcast(qd), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__ed"))
-        .withColumn("__rn", F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("__ed").asc(), F.col("neighbor_id").asc())))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
-    )
-    return (
-        refined.join(exact, ["query_id", "neighbor_id"], "left")
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            F.round("__td", 6).alias("d2"),
-            F.coalesce("__hit", F.lit(0)).cast("int").alias("hit"),
+    return _ivfpq_hit_tail(refined, qd, nv, k=k)
+
+
+def write_ivfpq_artifact(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 25,
+    coarse_iters: int = 2,
+    m: int = 32,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+) -> None:
+    """Materialize the IVF-PQ index as a parquet ARTIFACT — the composed
+    counterpart of ``write_ivf_artifact``, persisting all four serving
+    tables: ``{path}/centroids`` (coarse quantizer), ``{path}/codebooks``
+    (the m per-subspace PQ codebooks), ``{path}/codes`` (one row per
+    vector: the PACKED m-code array, partitioned by cell so a probe prunes
+    files), and ``{path}/vectors`` (the refine store, same cell
+    partitioning — the exact re-rank reads only probed partitions). Both
+    trainings are paid once here; serving never re-assigns or re-encodes.
+    At 100 TB the codes table is the one scanned per query and is ~16×
+    smaller than the vectors; daily batches would append through frozen
+    centroids+codebooks exactly like ``write_ivf_artifact(mode="append")``
+    (appends are a pure function of the persisted quantizers)."""
+    emb = corpus.select(F.col(id_col), F.col(vec_col))
+    # four write actions consume these; localCheckpoint the trained tables
+    # (coarse_k rows / m*ksub rows) and the assignment (two consumers) so
+    # neither training nor the assign pass re-executes per sink
+    coarse = kmeans_centroids(
+        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
+    ).localCheckpoint()
+    cb = pq_train_codebooks(
+        emb, id_col=id_col, vec_col=vec_col, m=m, dim=dim, ksub=ksub, iters=iters
+    ).localCheckpoint()
+    cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cid").alias("cell_id")
+    ).localCheckpoint()
+    packed = (
+        pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
         )
+        .join(cells, id_col)
+    )
+    coarse.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # repartition by cell before the partitioned sinks: one writer task per
+    # cell region -> one file per cell per build instead of
+    # (shuffle partitions x cells) small files — the layout a 100 TB index
+    # actually wants (and ~2x faster to land here)
+    packed.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/codes")
+    emb.join(cells, id_col).repartition("cell_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/vectors")
+
+
+def ivfpq_topk_from_artifact(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 8,
+    m: int = 32,
+    dim: int = 64,
+    refine: int = 150,
+    k: int = 10,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a persisted ``write_ivfpq_artifact`` index:
+    identical search tail to ``ivfpq_topk_audit`` (bit-identical results —
+    probing, ADC, and refine are pure functions of the frozen quantizers
+    and codes), but the scan starts from the cell-partitioned artifact:
+    the ADC leg reads packed codes (unpacked back to stacked form by one
+    posexplode) and the refine leg reads the vector store, both pruned to
+    the probed cells' partition directories. Returns (query_id,
+    neighbor_id, rank, __td) — callers grade or reshape."""
+    coarse = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    packed = spark.read.parquet(f"{path}/codes")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cells = packed.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell_id").alias("__cell")
+    )
+    codes = packed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "cid"),
+    )
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
+        F.col(id_col).alias("query_id"), "sub", "subvec"
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    return _ivfpq_serve(
+        qd, qsv, coarse, cells, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
     )

@@ -4574,9 +4574,8 @@ def _ivfpq_coarse_ctes() -> str:
     g0 AS (SELECT vec_id AS cid, embedding AS cvec FROM b ORDER BY vec_id LIMIT 25){it}"""
 
 
-@query(
-    "similarity_topk_ivfpq",
-    oracle=_pq_train_ctes()
+_IVFPQ_ORACLE = (
+    _pq_train_ctes()
     + _ivfpq_coarse_ctes()
     + f""",
     cells AS MATERIALIZED (
@@ -4641,8 +4640,11 @@ def _ivfpq_coarse_ctes() -> str:
     LEFT JOIN exact e ON e.query_id = r.query_id
                      AND e.neighbor_id = r.neighbor_id
     WHERE r.rnk <= 10
-    """,
+    """
 )
+
+
+@query("similarity_topk_ivfpq", oracle=_IVFPQ_ORACLE)
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the COMPOSED ANN serving architecture
     (``similarity.ivfpq_topk_audit``; FAISS IndexIVFPQ shape, non-residual):
@@ -4664,6 +4666,47 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, coarse_k=25, coarse_iters=2, nprobe=8,
         m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2, refine=150, k=10,
     )
+
+
+@query("ivfpq_artifact_roundtrip", oracle=_IVFPQ_ORACLE)
+def ivfpq_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index PERSISTENCE lifecycle
+    (``similarity.write_ivfpq_artifact`` / ``ivfpq_topk_from_artifact`` —
+    the composed counterpart of ``ivf_artifact_roundtrip``): both
+    quantizers are trained ONCE and landed as four parquet tables
+    (coarse centroids, PQ codebooks, PACKED per-vector code arrays
+    partitioned by cell, and the cell-partitioned refine vector store);
+    queries are then answered entirely FROM THE ARTIFACT — the ADC scan
+    reads probed cells' code files (~16× smaller than the vectors) and
+    the exact re-rank reads probed cells' vector files. Sharing
+    ``similarity_topk_ivfpq``'s oracle is the parity proof: the persisted
+    index must serve bit-identical top-k (probing, ADC, refine are pure
+    functions of the frozen quantizers and codes). The hit-grading exact
+    leg runs in-memory on the raw corpus — it is the audit, not part of
+    the serving artifact. This is the 100 TB deployment shape: build
+    once, serve from files, append new batches through the frozen
+    quantizers, re-train = explicit rebuild."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.write_ivfpq_artifact(
+        emb, path, coarse_k=25, coarse_iters=2,
+        m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2,
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    served = similarity.ivfpq_topk_from_artifact(
+        spark, path, q, nprobe=8, m=_PQ_M, dim=_PQ_DIM, refine=150, k=10
+    )
+    qd = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    return similarity._ivfpq_hit_tail(served, qd, nv, k=10)
 
 
 @query(
@@ -15421,6 +15464,7 @@ _SWEEP_FRONT = (
     "copurchase_ktruss",
     "unigram_viterbi_stats",
     "unigram_em_round",
+    "ivfpq_artifact_roundtrip",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
