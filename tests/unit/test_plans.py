@@ -599,6 +599,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "pq_adc_recall",               # declared exact-baseline leg over the bounded query stratum
         "similarity_topk_ivfpq",       # broadcast-centroid assigns (coarse + PQ) + declared exact leg
         "ivfpq_artifact_roundtrip",    # same assign shapes at build + the same declared exact audit leg
+        "similarity_topk_ivfpq_residual",  # residual variant: same assigns + declared exact leg
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -840,3 +840,28 @@ def test_ivfpq_artifact_serves_bit_identical(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(f"{path}/codebooks").count() == 32 * 16
     assert spark.read.parquet(f"{path}/centroids").count() == 25
     assert spark.read.parquet(f"{path}/vectors").count() == n
+
+
+def test_ivfpq_residual_recall_bar_and_degeneracy(spark, sf_smoke, vectors):
+    """Residual IVF-PQ holds the same certificate bar as the flat variant
+    on real test data (mean recall@10 >= 0.9 at the declared budget), and
+    degenerates to the exact search when nothing is pruned (nprobe =
+    coarse_k, refine = N)."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id < 20")
+    rows = similarity.ivfpq_residual_topk_audit(q, emb).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r.hit)
+    assert len(per) == 20 and all(len(v) == 10 for v in per.values())
+    assert sum(sum(v) for v in per.values()) / 200 >= 0.9
+    tiny = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+    tq = tiny.filter("vec_id < 3")
+    out = similarity.ivfpq_residual_topk_audit(
+        tq, tiny, coarse_k=4, coarse_iters=1, nprobe=4,
+        m=4, dim=8, ksub=4, iters=1, refine=30, k=5,
+    ).collect()
+    assert len(out) == 15 and all(r.hit == 1 for r in out)

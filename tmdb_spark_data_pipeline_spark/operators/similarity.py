@@ -1976,3 +1976,133 @@ def ivfpq_topk_from_artifact(
     return _ivfpq_serve(
         qd, qsv, coarse, cells, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
     )
+
+
+def ivfpq_residual_topk_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 25,
+    coarse_iters: int = 2,
+    nprobe: int = 8,
+    m: int = 32,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    refine: int = 150,
+    k: int = 10,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ (FAISS ``by_residual=True`` — the IndexIVFPQ
+    default): the PQ codebooks are trained on x − centroid[cell(x)]
+    instead of raw vectors, so the quantizer spends its 16 codewords per
+    subspace on the WITHIN-cell distribution the coarse quantizer has
+    already centered — the standard reason residual PQ beats flat PQ at
+    the same bit budget. The serve cost is the one real difference: the
+    ADC lookup table becomes per-(query, probed cell) (the query residual
+    differs per cell), i.e. nprobe× the LUT build of the flat variant —
+    still tiny (nprobe·m·ksub entries/query) and still zero extra corpus
+    work. Same deterministic contracts as ``ivfpq_topk_audit`` (lowest-id
+    inits, decimal means, strict-array-order folds, round-12 decimal ADC
+    sums, id tie-breaks) and the same graded output: (query_id, rank,
+    neighbor_id, d2, hit)."""
+    emb = corpus.select(F.col(id_col), F.col(vec_col))
+    coarse = kmeans_centroids(
+        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
+    )
+    cellsraw = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cid").alias("__cell")
+    )
+    cc = coarse.select(F.col("cid").alias("__cell"), F.col("cvec").alias("__ccv"))
+    res = (
+        emb.join(cellsraw, id_col)
+        .join(F.broadcast(cc), "__cell")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("__ccv"), lambda x, c: x.cast("double") - c
+            ).alias("__rv"),
+            "__cell",
+        )
+    )
+    cb = pq_train_codebooks(
+        res, id_col=id_col, vec_col="__rv", m=m, dim=dim, ksub=ksub, iters=iters
+    )
+    codes = pq_encode(res, cb, id_col=id_col, vec_col="__rv", m=m, dim=dim).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "cid"
+    )
+    cells = cellsraw.select(F.col(id_col).alias("neighbor_id"), "__cell")
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.join(F.broadcast(coarse), F.lit(True))
+        .select("query_id", "cid", sq_l2("__qv", "cvec").alias("__pd"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("cid").alias("__cell"))
+    )
+    dsub = dim // m
+    qres = (
+        probes.join(F.broadcast(qd), "query_id")
+        .join(F.broadcast(cc), "__cell")
+        .select(
+            "query_id",
+            "__cell",
+            F.zip_with(
+                F.col("__qv"), F.col("__ccv"), lambda x, c: x.cast("double") - c
+            ).alias("__qrv"),
+        )
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("__qrv"), s * dsub + 1, dsub).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    qrsv = qres.select("query_id", "__cell", F.explode(parts).alias("__p")).select(
+        "query_id", "__cell", F.col("__p.sub").alias("sub"),
+        F.col("__p.subvec").alias("subvec"),
+    )
+    lut = qrsv.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "__cell",
+        "sub",
+        "cid",
+        F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "__cell", "neighbor_id")
+    )
+    adc = (
+        codes.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "__cell", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ld").alias("__adc"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("__td").asc(), F.col("neighbor_id").asc()
+    )
+    refined = (
+        nv.join(F.broadcast(shortlist.join(F.broadcast(qd), "query_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+    return _ivfpq_hit_tail(refined, qd, nv, k=k)
