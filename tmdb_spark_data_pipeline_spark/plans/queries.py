@@ -15602,15 +15602,13 @@ _SWEEP_FRONT = (
     "neardup_cluster_delta",
     "ivf_artifact_incremental",
     "brand_parts_hop_distance",
-    # --- changed in round 9 since last green ---
-    "similarity_topk_ivf",
-    "ivf_recall_audit",
-    "ivf_artifact_roundtrip",
-    "embedding_mutual_reach_ann",
-    "embedding_mutual_reach_clusters",
-    "embedding_mutual_reach_hierarchy",
-    "minhash_blocking_quality",
     # --- last verified r3 (the full stale tier, in r8-front order) ---
+    # (placed BEFORE the changed-in-r9 block: 16 never-checked + 28 r3 = 44
+    # names, so the whole stale tier stays inside the driver's 50-row cap;
+    # the changed block follows — its names all have r8-green rows, and the
+    # one that falls past the cap, minhash_blocking_quality, had the most
+    # trivial r9 change: a result-identical persist->localCheckpoint swap
+    # pinned by unit tests)
     "kmeans_cluster_profile",
     "asof_purchase_next_click",
     "bm25_search_top20",
@@ -15639,6 +15637,14 @@ _SWEEP_FRONT = (
     "unigram_logprob_scores",
     "user_value_trend",
     "zorder_key_sample",
+    # --- changed in round 9 since last green (r8-green rows exist) ---
+    "similarity_topk_ivf",
+    "ivf_recall_audit",
+    "ivf_artifact_roundtrip",
+    "embedding_mutual_reach_ann",
+    "embedding_mutual_reach_clusters",
+    "embedding_mutual_reach_hierarchy",
+    "minhash_blocking_quality",
     # --- last verified r4 and later (prior front order; past the cap
     # this round, rotates forward next round) ---
     "pivot_event_types",
