@@ -544,6 +544,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "source_mixture_weights",
         "revenue_pareto_deciles",       # scalar grand-total broadcast
         "bigram_heldout_logprob",       # scalar vocab-size broadcast
+        "bigram_kneser_ney_heldout",    # scalar type-count + vocab-size broadcasts
         "hourly_gap_filled_series",     # scalar min/max bounds for the grid
         "pmi_collocations_top20",       # scalar totals
         "classifier_agreement_kappa",   # scalar contingency-totals broadcast

@@ -383,3 +383,70 @@ def test_viterbi_segment_pieces_backtrace(spark):
         assert len(r.seg_pieces) == r.n_pieces
         assert all(p in cost for p in r.seg_pieces)
         assert sum(cost[p] for p in r.seg_pieces) == r.seg_cost
+
+
+def test_bigram_kneser_ney_matches_python_model(spark, sf_smoke):
+    """Replicate the KN query's exact math in python (same md5 hash split,
+    same D=0.75, same add-one-smoothed continuation floor) and compare
+    per-doc averages; also pin the ablation claim: KN mean held-out
+    -ln p < add-one mean on this corpus."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    sf_dir = sf_smoke
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def split_of(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return "train" if h % 10000 < 9000 else "test"
+
+    bgs = {}
+    for d, t in docs.items():
+        w = [x for x in t.strip().lower().split() if x != ""]
+        bgs[d] = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+    c12, vocab = Counter(), set()
+    for d, t in docs.items():
+        if split_of(d) == "train":
+            for p in bgs[d]:
+                c12[p] += 1
+            vocab.update(x for x in t.strip().lower().split() if x != "")
+    c1, n1pa, n1pb = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1pa[a] += 1
+        n1pb[b] += 1
+    T, V = len(c12), len(vocab)
+
+    def p_kn(a, b):
+        pc = (n1pb.get(b, 0) + 1) / (T + V + 1)
+        if a not in c1:
+            return pc
+        return max(c12.get((a, b), 0) - 0.75, 0) / c1[a] + 0.75 * n1pa[a] / c1[a] * pc
+
+    expect = {}
+    for d in docs:
+        if split_of(d) == "test" and bgs[d]:
+            terms = [round(-math.log(p_kn(a, b)), 12) for a, b in bgs[d]]
+            expect[d] = (len(terms), round(sum(terms) / len(terms), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in REGISTRY["bigram_kneser_ney_heldout"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6), d
+    addone = {
+        r.doc_id: r.avg_neg_logprob
+        for r in REGISTRY["bigram_heldout_logprob"].fn(spark, sf_dir).collect()
+    }
+    assert sum(got[d][1] for d in got) / len(got) < sum(addone.values()) / len(addone)

@@ -8003,6 +8003,136 @@ def bigram_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_kneser_ney_heldout",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < 9000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents),
+    bg AS (
+      SELECT tk.doc_id, sp.split, w[i] AS a, w[i+1] AS b
+      FROM tk JOIN sp USING (doc_id),
+           unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''),
+    c12 AS MATERIALIZED (
+      SELECT a, b, count(*) AS c FROM bg WHERE split = 'train' GROUP BY 1, 2),
+    c1 AS (SELECT a, sum(c) AS c FROM c12 GROUP BY 1),
+    n1pa AS (SELECT a, count(*) AS n FROM c12 GROUP BY 1),
+    n1pb AS (SELECT b, count(*) AS n FROM c12 GROUP BY 1),
+    tt AS (SELECT count(*) AS types FROM c12),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab FROM (
+        SELECT unnest(w) AS tok FROM tk JOIN sp USING (doc_id)
+        WHERE sp.split = 'train')
+      WHERE tok <> '')
+    SELECT t.doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln(
+             CASE WHEN c1.c IS NOT NULL THEN
+               greatest(coalesce(c12.c, 0) - 0.75, 0) / c1.c
+               + 0.75 * n1pa.n / c1.c
+                 * ((coalesce(n1pb.n, 0) + 1) * 1.0 / (tt.types + v.vocab + 1))
+             ELSE (coalesce(n1pb.n, 0) + 1) * 1.0 / (tt.types + v.vocab + 1)
+             END), 12) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6)
+             AS avg_neg_logprob
+    FROM (SELECT * FROM bg WHERE split = 'test') t
+    LEFT JOIN c12 ON t.a = c12.a AND t.b = c12.b
+    LEFT JOIN c1 ON t.a = c1.a
+    LEFT JOIN n1pa ON t.a = n1pa.a
+    LEFT JOIN n1pb ON t.b = n1pb.b
+    CROSS JOIN tt CROSS JOIN v
+    GROUP BY t.doc_id
+    """,
+)
+def bigram_kneser_ney_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM on the same leakage-free hash
+    split as ``bigram_heldout_logprob`` (its add-one sibling — KN is what
+    a real LM-based quality filter ships): absolute discount D = 0.75
+    (exact in binary), continuation probability from bigram-TYPE counts
+    (p_cont(b) ∝ distinct left-contexts of b), back-off mass D·N1+(a,·)/c(a),
+    and a deterministic floor — the continuation distribution is add-one
+    smoothed over (types + vocab + 1) so unseen contexts AND unseen words
+    stay finite without any tuned epsilon. p_KN =
+    max(c(ab)−D,0)/c(a) + D·N1+(a,·)/c(a)·p_cont(b) for seen contexts,
+    p_cont(b) alone for unseen. Everything derives from four grouped
+    integer counts (pair counts, left-marginals, left/right type counts) —
+    two token-keyed shuffles total; scoring joins carry (a, b) pairs,
+    never documents. −ln p rounded-then-decimal-summed per doc (the
+    sibling's partial-agg-order discipline). KN beats add-one on mean
+    held-out −ln p, as it should — the pair of queries is the
+    smoothing-ablation table for an LM quality gate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    n = F.size("w")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("a"),
+                    F.slice("w", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    split = sampling.hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.9, "test": 0.1}
+    )
+    bg = bg.join(split, "doc_id")
+    train = bg.filter(F.col("split") == "train")
+    c12 = train.groupBy("a", "b").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("a").agg(F.sum("c12").alias("c1"))
+    n1pa = c12.groupBy("a").agg(F.count("*").alias("n1pa"))
+    n1pb = c12.groupBy("b").agg(F.count("*").alias("n1pb"))
+    tt = c12.agg(F.count("*").alias("types"))
+    vocab = (
+        toks.join(split, "doc_id")
+        .filter(F.col("split") == "train")
+        .select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    test = bg.filter(F.col("split") == "test")
+    pcont = (F.coalesce(F.col("n1pb"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.col("types") + F.col("vocab") + 1
+    )
+    p_kn = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - 0.75, F.lit(0.0))
+        / F.col("c1")
+        + F.lit(0.75) * F.col("n1pa") / F.col("c1") * pcont,
+    ).otherwise(pcont)
+    return (
+        test.join(c12, ["a", "b"], "left")
+        .join(c1, "a", "left")
+        .join(n1pa, "a", "left")
+        .join(n1pb, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(-F.log(p_kn), 12).cast("decimal(30,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
     "session_path_trigrams",
     oracle="""
     WITH flagged AS (
@@ -15594,6 +15724,7 @@ _SWEEP_FRONT = (
     "unigram_em_round",
     "ivfpq_artifact_roundtrip",
     "similarity_topk_ivfpq_residual",
+    "bigram_kneser_ney_heldout",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
