@@ -542,6 +542,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "idle_customer_balances",       # scalar avg-acctbal threshold (Q22 shape)
         "important_brand_value",        # scalar avg-revenue threshold (ref KPI)
         "source_mixture_weights",
+        "mixture_temperature_weights",  # scalar sqrt-sum + total broadcast
         "revenue_pareto_deciles",       # scalar grand-total broadcast
         "bigram_heldout_logprob",       # scalar vocab-size broadcast
         "bigram_kneser_ney_heldout",    # scalar type-count + vocab-size broadcasts

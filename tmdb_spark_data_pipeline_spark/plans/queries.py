@@ -6725,6 +6725,74 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_temperature_weights",
+    oracle=r"""
+    WITH st AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    sq AS (SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS q
+           FROM st),
+    tot AS (SELECT sum(CAST(round(q, 6) AS DECIMAL(30,6))) AS qsum,
+                   CAST(sum(n_tokens) AS BIGINT) AS total
+            FROM sq)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / total, 6) AS raw_share,
+           round(CAST(round(q, 6) AS DECIMAL(30,6))
+                 / CAST(qsum AS DOUBLE), 6) AS t2_share,
+           round((CAST(round(q, 6) AS DECIMAL(30,6)) / CAST(qsum AS DOUBLE))
+                 * total / n_tokens, 6) AS epochs_at_budget
+    FROM sq CROSS JOIN tot
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled sampling mix (the multilingual-LM recipe: sample
+    source s with probability ∝ n_s^(1/T); T=2 here, the common
+    upweight-the-tail setting) — the smooth sibling of
+    ``source_mixture_weights``'s capped uniform-target rule. T=2 makes the
+    only transcendental a SQRT (IEEE correctly-rounded, so bit-identical
+    in any engine — a fractional ``pow`` would not be); the sqrt is
+    rounded at 6 and decimal-summed so the normalizing constant is exact
+    and partial-agg-order-proof. Output per source: the raw token share,
+    the T=2 share, and ``epochs_at_budget`` = how many passes over the
+    source one full-corpus-sized token budget implies (>1 on small
+    sources = the oversampling the temperature buys; the number an
+    operator checks against memorization limits before training). One
+    partial-agg'd count shuffle; scalar totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(packing.whitespace_token_count(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    sq = st.withColumn(
+        "__q", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(30,6)"
+        )
+    )
+    tot = sq.groupBy().agg(
+        F.sum("__q").alias("__qsum"),
+        F.sum("n_tokens").cast("long").alias("__total"),
+    )
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("raw_share"),
+        F.round(F.col("__q") / F.col("__qsum").cast("double"), 6).alias("t2_share"),
+        F.round(
+            (F.col("__q") / F.col("__qsum").cast("double"))
+            * F.col("__total")
+            / F.col("n_tokens"),
+            6,
+        ).alias("epochs_at_budget"),
+    )
+
+
+@query(
     "stream_stream_left_join",
     oracle="""
     SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
@@ -15725,6 +15793,7 @@ _SWEEP_FRONT = (
     "ivfpq_artifact_roundtrip",
     "similarity_topk_ivfpq_residual",
     "bigram_kneser_ney_heldout",
+    "mixture_temperature_weights",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
