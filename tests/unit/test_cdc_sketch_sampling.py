@@ -398,3 +398,37 @@ def test_cm_estimate_absent_probe_returns_zero(spark):
     # and min(coalesce(c,0)) must floor at 0 even if one bucket collides.
     assert est["never-seen-1"] == 0
     assert est["never-seen-2"] == 0
+
+
+def test_poisson_bootstrap_weights_deterministic_and_calibrated(spark):
+    """Weights replay the md5+threshold math exactly (python model), are
+    stable across calls, and the empirical weight distribution over a few
+    thousand (row, rep) draws is near Poisson(1): mean ~1, P(0) ~ e^-1."""
+    import hashlib
+
+    from tmdb_spark_data_pipeline_spark.operators.sampling import (
+        POISSON1_CDF_MICRO,
+        poisson_bootstrap_weights,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    out = poisson_bootstrap_weights(df, "k", b=32)
+    rows = out.collect()
+    assert len(rows) == 3200
+
+    def model(key, rep):
+        u = int(hashlib.md5(f"{key}:{rep}".encode()).hexdigest()[:8], 16) % 1000000
+        for k, thr in enumerate(POISSON1_CDF_MICRO):
+            if u < thr:
+                return k
+        return 5
+
+    got = {(r.k, r.rep): r.w for r in rows}
+    assert got == {(k, rep): model(k, rep) for k in range(100) for rep in range(32)}
+    ws = list(got.values())
+    mean = sum(ws) / len(ws)
+    p0 = sum(1 for w in ws if w == 0) / len(ws)
+    assert 0.93 < mean < 1.07
+    assert 0.33 < p0 < 0.41
+    again = {(r.k, r.rep): r.w for r in poisson_bootstrap_weights(df, "k", b=32).collect()}
+    assert again == got

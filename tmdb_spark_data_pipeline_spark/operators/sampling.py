@@ -320,3 +320,53 @@ def waterfill_allocations(
         "epochs",
         "capped",
     )
+
+
+#: P(Poisson(1) <= k) * 1e6 for k = 0..4, as FIXED integer literals (round
+#: at the 6th decimal of e^-1 partial sums). Being literals — not runtime
+#: exp() calls — the weight generation below contains no floating point at
+#: all, so any engine replays it exactly.
+POISSON1_CDF_MICRO = (367879, 735759, 919699, 981012, 996340)
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame,
+    key_col: str,
+    *,
+    b: int = 64,
+    rep_col: str = "rep",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Explode each row into ``b`` bootstrap replicas with DETERMINISTIC
+    Poisson(1) resample weights — the distributed bootstrap (Poisson
+    bootstrap: per-row independent weights, no global n, map-side only;
+    the standard way to put error bars on a metric at 100 TB, where true
+    multinomial resampling would need a global shuffle per replicate).
+
+    w(row, rep) = inverse-CDF of Poisson(1) at u = portable 32-bit
+    md5 hash of "key:rep" mod 1e6, compared against the fixed integer
+    thresholds ``POISSON1_CDF_MICRO`` — all-integer, engine-portable,
+    stable under appends (a row's weights depend only on its key). The
+    tail is truncated at w = 5 (P ≈ 0.366%, documented bias far below
+    bootstrap noise at any realistic n).
+
+    Scale shape: one projection + explode (b× rows carrying only the
+    grouping keys + metric), partial-agg'd straight into the per-replica
+    aggregate — the corpus is never shuffled by replica.
+    """
+    from .dedup import _spread
+
+    # the b x md5 projection is the expensive per-row stage — spread a
+    # single-file input across cores first (gated no-op at real scale)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias(rep_col)
+    out = _spread(df).select("*", reps)
+    u = portable_hash(
+        F.concat(
+            _col(key_col).cast("string"), F.lit(":"), F.col(rep_col).cast("string")
+        ),
+        buckets=1_000_000,
+    )
+    w: Column = F.lit(5)
+    for k in range(len(POISSON1_CDF_MICRO) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF_MICRO[k], F.lit(k)).otherwise(w)
+    return out.withColumn(weight_col, w)

@@ -6793,6 +6793,107 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_bootstrap_ci",
+    oracle="""
+    WITH reps AS (
+      SELECT o.o_orderpriority, o.o_totalprice, g.rep,
+             CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                                     || CAST(g.rep AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1000000 AS u
+      FROM orders o CROSS JOIN
+           (SELECT unnest(generate_series(0, 63)) AS rep) g),
+    wtd AS (
+      SELECT o_orderpriority, rep, o_totalprice,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2
+                  WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4
+                  ELSE 5 END AS w
+      FROM reps),
+    per AS MATERIALIZED (
+      SELECT o_orderpriority, rep,
+             round(CAST(sum(CAST(w * o_totalprice AS DECIMAL(30,4)))
+                        AS DOUBLE) / sum(w), 4) AS mean_r
+      FROM wtd GROUP BY 1, 2),
+    rk AS (
+      SELECT o_orderpriority, rep, mean_r,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY mean_r ASC, rep ASC) AS rn
+      FROM per),
+    est AS (
+      SELECT o_orderpriority, count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                   / count(*), 4) AS est_mean
+      FROM orders GROUP BY 1)
+    SELECT e.o_orderpriority, e.n_orders, e.est_mean,
+           lo.mean_r AS ci_lo, hi.mean_r AS ci_hi,
+           round(hi.mean_r - lo.mean_r, 4) AS ci_width
+    FROM est e
+    JOIN rk lo ON lo.o_orderpriority = e.o_orderpriority AND lo.rn = 2
+    JOIN rk hi ON hi.o_orderpriority = e.o_orderpriority AND hi.rn = 63
+    """,
+)
+def order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence intervals for a grouped KPI
+    (``sampling.poisson_bootstrap_weights`` — per-row independent
+    Poisson(1) resample weights, the bootstrap that distributes: no global
+    n, no per-replicate shuffle of the fact table, just ``b``× exploded
+    (key, metric) rows partial-agg'd into per-replica means). Weights are
+    fully deterministic — a 32-bit md5 hash of "orderkey:rep" against
+    FIXED integer CDF thresholds (no runtime exp/rng; tail truncated at
+    w=5, P≈0.37%), so the oracle replays every replicate exactly. Per
+    priority: the point estimate and the [2nd, 63rd] order statistics of
+    the 64 replica means (≈ a 95% percentile CI; replica means rounded at
+    4 BEFORE ranking with rep-id tie-break, so the order statistics are
+    engine-stable). This is the error bar an eval pipeline attaches to
+    every benchmark metric before calling a data intervention a win."""
+    orders = _t(spark, sf_dir, "orders")
+    wtd = sampling.poisson_bootstrap_weights(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderkey",
+        b=64,
+    )
+    from pyspark.sql import Window
+
+    per = wtd.groupBy("o_orderpriority", "rep").agg(
+        F.round(
+            F.sum((F.col("w") * F.col("o_totalprice")).cast("decimal(30,4)")).cast(
+                "double"
+            )
+            / F.sum("w"),
+            4,
+        ).alias("mean_r")
+    )
+    rw = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("mean_r").asc(), F.col("rep").asc()
+    )
+    rk = per.withColumn("rn", F.row_number().over(rw))
+    est = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")) / F.count("*"), 4).alias("est_mean"),
+    )
+    lo = rk.filter(F.col("rn") == 2).select(
+        "o_orderpriority", F.col("mean_r").alias("ci_lo")
+    )
+    hi = rk.filter(F.col("rn") == 63).select(
+        "o_orderpriority", F.col("mean_r").alias("ci_hi")
+    )
+    return (
+        est.join(lo, "o_orderpriority")
+        .join(hi, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "est_mean",
+            "ci_lo",
+            "ci_hi",
+            F.round(F.col("ci_hi") - F.col("ci_lo"), 4).alias("ci_width"),
+        )
+    )
+
+
+@query(
     "stream_stream_left_join",
     oracle="""
     SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
@@ -15794,6 +15895,7 @@ _SWEEP_FRONT = (
     "similarity_topk_ivfpq_residual",
     "bigram_kneser_ney_heldout",
     "mixture_temperature_weights",
+    "order_price_bootstrap_ci",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
