@@ -432,3 +432,29 @@ def test_poisson_bootstrap_weights_deterministic_and_calibrated(spark):
     assert 0.33 < p0 < 0.41
     again = {(r.k, r.rep): r.w for r in poisson_bootstrap_weights(df, "k", b=32).collect()}
     assert again == got
+
+
+def test_conformal_intervals_coverage_and_partition(spark):
+    """Deterministic structural pins for conformal_value_intervals at
+    sf0.001: splits partition each type exactly, qhat > 0, and held-out
+    coverage sits in the conformal band around 1-alpha = 0.9 (wide bound:
+    n_test per type is small at this SF; the value is a FIXED number, not
+    a random draw)."""
+    from tmdb_spark_data_pipeline_spark.plans.queries import REGISTRY
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["conformal_value_intervals"].fn(spark, sf).collect()
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(totals)
+    for r in rows:
+        assert r.n_train + r.n_calib + r.n_test == totals[r.event_type]
+        assert r.qhat > 0
+        assert 0.78 <= r.coverage <= 1.0, r

@@ -9280,6 +9280,174 @@ def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "conformal_value_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             extract(hour FROM ts) AS h, (dayofweek(ts) + 1) AS d,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bkt
+      FROM events),
+    sp AS MATERIALIZED (
+      SELECT *, CASE WHEN bkt < 6000 THEN 'train'
+                     WHEN bkt < 8000 THEN 'calib'
+                     ELSE 'test' END AS split
+      FROM ev),
+    m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(h AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(h * h AS DECIMAL(30,6))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(h * d AS DECIMAL(30,6))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(d * d AS DECIMAL(30,6))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(h * value AS DECIMAL(30,6))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(d * value AS DECIMAL(30,6))) AS DOUBLE) AS s2y
+      FROM sp WHERE split = 'train' GROUP BY 1),
+    c AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS a11, s1 AS a12, s2 AS a13,
+             s11 + 1.0 AS a22, s12 AS a23, s22 + 1.0 AS a33,
+             sy AS b1, s1y AS b2, s2y AS b3
+      FROM m),
+    coef AS MATERIALIZED (
+      SELECT event_type, n AS n_train,
+             round((b1 * (a22 * a33 - a23 * a23)
+                    - a12 * (b2 * a33 - a23 * b3)
+                    + a13 * (b2 * a23 - a22 * b3))
+                   / (a11 * (a22 * a33 - a23 * a23)
+                      - a12 * (a12 * a33 - a23 * a13)
+                      + a13 * (a12 * a23 - a22 * a13)), 6) AS b0,
+             round((a11 * (b2 * a33 - a23 * b3)
+                    - b1 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * b3 - b2 * a13))
+                   / (a11 * (a22 * a33 - a23 * a23)
+                      - a12 * (a12 * a33 - a23 * a13)
+                      + a13 * (a12 * a23 - a22 * a13)), 6) AS bh,
+             round((a11 * (a22 * b3 - b2 * a23)
+                    - a12 * (a12 * b3 - b2 * a13)
+                    + b1 * (a12 * a23 - a22 * a13))
+                   / (a11 * (a22 * a33 - a23 * a23)
+                      - a12 * (a12 * a33 - a23 * a13)
+                      + a13 * (a12 * a23 - a22 * a13)), 6) AS bd
+      FROM c),
+    cal AS MATERIALIZED (
+      SELECT s.event_type,
+             abs(s.value - (coef.b0 + coef.bh * s.h + coef.bd * s.d)) AS r,
+             s.bkt
+      FROM sp s JOIN coef USING (event_type) WHERE s.split = 'calib'),
+    ncal AS (SELECT event_type, count(*) AS n_calib FROM cal GROUP BY 1),
+    qh AS MATERIALIZED (
+      SELECT r.event_type, r.r AS qhat, n.n_calib FROM (
+        SELECT event_type, r,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY r ASC, bkt ASC) AS rn
+        FROM cal) r
+      JOIN ncal n ON n.event_type = r.event_type
+      WHERE r.rn = (9 * (n.n_calib + 1) + 9) // 10),
+    tst AS (
+      SELECT s.event_type,
+             abs(s.value - (coef.b0 + coef.bh * s.h + coef.bd * s.d)) AS r
+      FROM sp s JOIN coef USING (event_type) WHERE s.split = 'test')
+    SELECT coef.event_type, coef.n_train,
+           CAST(qh.n_calib AS BIGINT) AS n_calib,
+           count(*) AS n_test,
+           round(qh.qhat, 6) AS qhat,
+           round(sum(CASE WHEN tst.r <= qh.qhat THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS coverage
+    FROM tst
+    JOIN coef ON coef.event_type = tst.event_type
+    JOIN qh ON qh.event_type = tst.event_type
+    GROUP BY coef.event_type, coef.n_train, qh.n_calib, qh.qhat
+    """,
+)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals on the per-type ridge model
+    (the distribution-free coverage guarantee an eval pipeline wraps
+    around ANY point predictor — the deterministic sibling of
+    ``order_price_bootstrap_ci``): hash-split events 60/20/20 into
+    train/calib/test, fit ``calibrate.ridge_fit_2`` on TRAIN only, take
+    qhat = the ⌈0.9·(n_calib+1)⌉-th smallest absolute calibration residual
+    (the finite-sample-corrected conformal quantile, α=0.1 — computed as
+    exact integer rank arithmetic, no float quantile), and report
+    empirical coverage of |y − ŷ| ≤ qhat on the held-out TEST split —
+    ≈ 0.9 by the conformal guarantee, regardless of how wrong the linear
+    model is. Residuals use the ROUNDED (6 dp) coefficients both engines
+    already hash-match on (`ridge_value_model`), so every residual is
+    bit-identical and the order statistic needs only a bucket tie-break.
+    Scale shape: one moments pass (9 decimal sums per type), one
+    calib-residual rank per type, one test scan — no per-row model state,
+    the same millions-of-models-in-one-shuffle story as the ridge fit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("__h"),
+        F.dayofweek("ts").alias("__d"),
+        "value",
+    )
+    sp = sampling.hash_split(
+        ev, "event_id", {"train": 0.6, "calib": 0.2, "test": 0.2}
+    ).withColumn("__bkt", sampling.portable_hash("event_id"))
+    train = sp.filter(F.col("split") == "train")
+    coef = calibrate.ridge_fit_2(
+        train, ("event_type",), "value", "__h", "__d", lam=1.0
+    ).select(
+        "event_type",
+        F.col("n").alias("n_train"),
+        F.round("b0", 6).alias("__b0"),
+        F.round("b1", 6).alias("__bh"),
+        F.round("b2", 6).alias("__bd"),
+    )
+    pred_err = F.abs(
+        F.col("value")
+        - (F.col("__b0") + F.col("__bh") * F.col("__h") + F.col("__bd") * F.col("__d"))
+    )
+    cal = (
+        sp.filter(F.col("split") == "calib")
+        .join(F.broadcast(coef), "event_type")
+        .select("event_type", pred_err.alias("__r"), "__bkt")
+    )
+    ncal = cal.groupBy("event_type").agg(F.count("*").alias("n_calib"))
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("__r").asc(), F.col("__bkt").asc()
+    )
+    qh = (
+        cal.withColumn("__rn", F.row_number().over(rw))
+        .join(F.broadcast(ncal), "event_type")
+        .filter(F.col("__rn") == F.expr("(9 * (n_calib + 1) + 9) DIV 10"))
+        .select("event_type", F.col("__r").alias("__qhat"), "n_calib")
+    )
+    tst = (
+        sp.filter(F.col("split") == "test")
+        .join(F.broadcast(coef), "event_type")
+        .select("event_type", "n_train", pred_err.alias("__r"))
+    )
+    return (
+        tst.join(F.broadcast(qh), "event_type")
+        .groupBy("event_type", "n_train", "n_calib", "__qhat")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("__r") <= F.col("__qhat"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_train",
+            F.col("n_calib").cast("long").alias("n_calib"),
+            "n_test",
+            F.round("__qhat", 6).alias("qhat"),
+            "coverage",
+        )
+    )
+
+
 @query("minhash_artifact_roundtrip", oracle=_NEARDUP_ORACLE)
 def minhash_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup service's OPERATIONAL loop, driver-gated: 90% of the corpus
@@ -15896,6 +16064,7 @@ _SWEEP_FRONT = (
     "bigram_kneser_ney_heldout",
     "mixture_temperature_weights",
     "order_price_bootstrap_ci",
+    "conformal_value_intervals",
     "ivf_recall_trained",
     "embedding_mutual_reach_hierarchy_ann",
     "bpe_train_merges",
