@@ -385,6 +385,32 @@ def test_viterbi_segment_pieces_backtrace(spark):
         assert sum(cost[p] for p in r.seg_pieces) == r.seg_cost
 
 
+def test_viterbi_uncovered_word_yields_nulls(spark):
+    """A word containing a character OUTSIDE the piece inventory has no
+    valid segmentation: both segmenters must surface NULL seg_cost /
+    n_pieces / seg_pieces for that row (not the 1e15 sentinel or a
+    garbage backtrace), while covered rows in the same frame are
+    unaffected."""
+    from tmdb_spark_data_pipeline_spark.operators import text as T
+
+    words = spark.createDataFrame([("abab",), ("axb",), ("x",)], ["word"])
+    pieces = [("a", 10), ("b", 10), ("ab", 20)]
+    got = {
+        r.word: (r.seg_cost, r.n_pieces)
+        for r in T.viterbi_segment_words(words, pieces, max_piece=3).collect()
+    }
+    assert got["abab"] == (40, 2)
+    assert got["axb"] == (None, None)
+    assert got["x"] == (None, None)
+    rows = {
+        r.word: r
+        for r in T.viterbi_segment_pieces(words, pieces, max_piece=3).collect()
+    }
+    assert rows["abab"].seg_pieces == ["ab", "ab"]
+    assert rows["axb"].seg_cost is None and rows["axb"].seg_pieces is None
+    assert rows["x"].seg_pieces is None and rows["x"].n_pieces is None
+
+
 def test_bigram_kneser_ney_matches_python_model(spark, sf_smoke):
     """Replicate the KN query's exact math in python (same md5 hash split,
     same D=0.75, same add-one-smoothed continuation floor) and compare

@@ -1760,8 +1760,13 @@ def _ivfpq_serve(
         "cid",
         F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
     )
+    # cand is corpus-proportional (|queries| x N*nprobe/coarse_k rows), so
+    # the codes-to-candidates join is a plain shuffle join on neighbor_id —
+    # broadcasting it would ship a corpus-sized table to every executor at
+    # 100 TB. Only the genuinely query-bounded sides (probes, LUT,
+    # shortlist) carry broadcast hints.
     adc = (
-        codes.join(F.broadcast(cand), "neighbor_id")
+        codes.join(cand, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "sub", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__ld").alias("__adc"))
@@ -2081,8 +2086,11 @@ def ivfpq_residual_topk_audit(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "__cell", "neighbor_id")
     )
+    # same scale rule as _ivfpq_serve: cand is corpus-proportional, so the
+    # codes-to-candidates join stays a plain shuffle join; the per-(query,
+    # probed-cell) LUT is the bounded side and keeps its broadcast hint
     adc = (
-        codes.join(F.broadcast(cand), "neighbor_id")
+        codes.join(cand, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "__cell", "sub", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__ld").alias("__adc"))

@@ -921,15 +921,22 @@ def viterbi_segment_words(
     LITERAL, i.e. it broadcasts with the plan itself and the per-word DP
     is map-side only — no join, no shuffle, distinct word TYPES only.
 
-    Adds ``(seg_cost, n_pieces)`` to every input row.
+    Adds ``(seg_cost, n_pieces)`` to every input row. A word containing a
+    character absent from ``pieces`` has NO valid segmentation (the DP
+    saturates at the ``_VITERBI_INF`` sentinel); both columns come back
+    NULL for such rows so callers with externally-supplied inventories can
+    detect uncovered words instead of reading the sentinel as a cost.
+    Inventories built by ``subword_piece_costs`` over the same corpus
+    cover every character by construction and never trigger this.
     """
     m = _piece_cost_map(pieces)
     dp = _viterbi_dp(F.col(word_col), m, max_piece)
     fin = F.element_at(dp, F.length(F.col(word_col)) + 1)
+    cov = F.col("__fin.c") < F.lit(_VITERBI_INF)
     return words.withColumn("__fin", fin).select(
         "*",
-        F.col("__fin.c").alias("seg_cost"),
-        F.col("__fin.n").alias("n_pieces"),
+        F.when(cov, F.col("__fin.c")).alias("seg_cost"),
+        F.when(cov, F.col("__fin.n")).alias("n_pieces"),
     ).drop("__fin")
 
 
@@ -1034,9 +1041,14 @@ def viterbi_segment_pieces(
         ).otherwise(acc),
     )
     fin = F.element_at(F.col("__dp"), F.length(wc) + 1)
+    # uncovered word (char outside the inventory): the DP saturates at the
+    # _VITERBI_INF sentinel and the backtrace would walk b=0 garbage — emit
+    # NULLs instead so callers can detect it (same contract as
+    # viterbi_segment_words)
+    cov = fin["c"] < F.lit(_VITERBI_INF)
     return staged.select(
         "*",
-        fin["c"].alias("seg_cost"),
-        fin["n"].alias("n_pieces"),
-        walk["ps"].alias("seg_pieces"),
+        F.when(cov, fin["c"]).alias("seg_cost"),
+        F.when(cov, fin["n"]).alias("n_pieces"),
+        F.when(cov, walk["ps"]).alias("seg_pieces"),
     ).drop("__dp")

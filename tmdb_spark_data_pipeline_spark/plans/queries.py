@@ -65,6 +65,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _run_tmp(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Per-run scratch path for queries that materialize an artifact
+    mid-flight (index roundtrips, format sinks, stream checkpoints): keyed
+    by the Spark applicationId IN ADDITION to tag + SF basename, so
+    concurrent runs on one machine can never overwrite each other's
+    artifact mid-read, and a path pre-created by another local user can't
+    collide (tmp hygiene). Stable within one application, so a query
+    re-executed in the same session reuses — and overwrites — its own
+    location rather than littering."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{spark.sparkContext.applicationId}_{tag}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
 # exact decimal sum of a double expression, surfaced as double (see module doc)
 def _dsum(c) -> F.Column:
     return F.sum(c.cast("decimal(30,4)")).cast("double")
@@ -2071,12 +2090,9 @@ def similarity_topk_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic partition pruning reads only the probed buckets' files. Same
     planes → identical results to ``similarity_topk_lsh`` (same oracle)."""
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_lsh_corpus_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = _run_tmp(spark, "lsh_corpus", sf_dir)
     similarity.write_lsh_partitioned_corpus(emb, path)
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_lsh_probe(q, path, k=10)
@@ -2308,16 +2324,13 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read with an EXPLICIT schema (never inferred, SURVEY §2.1) — values must
     survive the sink → source cycle exactly."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
     from ..sources.io import read_json, write_json
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_json_docs_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = _run_tmp(spark, "json_docs", sf_dir)
     write_json(docs, path, mode="overwrite")
     schema = T.StructType(
         [
@@ -2355,7 +2368,6 @@ def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     row certifies values survive the full task→commit→rename→read cycle.
     Decimal staging keeps the money sum exact through the JSON text form."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -2363,10 +2375,7 @@ def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_jsonl_writer(spark)
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_pyds_jsonl_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "pyds_jsonl", sf_dir)
     orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.format(
         "jsonl_py"
     ).option("path", path).mode("overwrite").save()
@@ -2401,14 +2410,11 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PartitionFilters`` path; plan pinned in tests/unit/test_plans.py).
     Values must round-trip exactly through the sink."""
     import os
-    import tempfile
 
     from ..sources.io import write_parquet
 
     o = _t(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_part_orders_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = _run_tmp(spark, "part_orders", sf_dir)
     write_parquet(
         o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
         path,
@@ -2962,7 +2968,6 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trippable representations), and the read is FAILFAST with a
     declared schema — never inferred."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -2971,10 +2976,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_csv_cust_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "csv_cust", sf_dir)
     write_csv(c, path, mode="overwrite")
     schema = T.StructType(
         [
@@ -4299,13 +4301,9 @@ def ivf_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the parity proof: results from the persisted index must be
     bit-identical to the direct in-memory assignment."""
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "ivf_artifact", sf_dir)
     similarity.write_ivf_artifact(emb.select("vec_id", "embedding"), path)
     q = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk_ivf_from_artifact(spark, path, q, k=10, nprobe=3)
@@ -4330,13 +4328,9 @@ def ivf_artifact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assigned, the centroid table never moves, re-training is an
     explicit rebuild."""
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_incr_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "ivf_incr", sf_dir)
     cents = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
     old = emb.filter(F.col("vec_id") % 10 != 7).select("vec_id", "embedding")
     new = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
@@ -4815,13 +4809,9 @@ def ivfpq_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, serve from files, append new batches through the frozen
     quantizers, re-train = explicit rebuild."""
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivfpq_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "ivfpq_artifact", sf_dir)
     similarity.write_ivfpq_artifact(
         emb, path, coarse_k=25, coarse_iters=2,
         m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2,
@@ -5929,13 +5919,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle aggregates the ORIGINAL table — the round-trip is checked by
     being invisible."""
     import os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_orc_orders_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "orc_orders", sf_dir)
     o.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
@@ -8440,7 +8426,6 @@ def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from either retry path would break the counts."""
     import os
     import shutil
-    import tempfile
 
     from ..streaming import run_exactly_once_parquet
     from ..streaming.windows import stream_from_parquet_dir
@@ -8448,9 +8433,8 @@ def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_eos_out_{tag}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_eos_ckpt_{tag}")
+    out = _run_tmp(spark, "eos_out", sf_dir)
+    ckpt = _run_tmp(spark, "eos_ckpt", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -8490,7 +8474,6 @@ def stream_pyds_jsonl_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate: duplication from either retry path breaks the counts."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -8501,9 +8484,8 @@ def stream_pyds_jsonl_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_pyds_stream_{tag}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_pyds_sckpt_{tag}")
+    out = _run_tmp(spark, "pyds_stream", sf_dir)
+    ckpt = _run_tmp(spark, "pyds_sckpt", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -9095,13 +9077,9 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mergeSchema`` is a per-read opt-in because footer-merging scales with
     file count; table formats move this merge into metadata.)"""
     import os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "evo", sf_dir)
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
@@ -9346,7 +9324,7 @@ def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY r ASC, bkt ASC) AS rn
         FROM cal) r
       JOIN ncal n ON n.event_type = r.event_type
-      WHERE r.rn = (9 * (n.n_calib + 1) + 9) // 10),
+      WHERE r.rn = least((9 * (n.n_calib + 1) + 9) // 10, n.n_calib)),
     tst AS (
       SELECT s.event_type,
              abs(s.value - (coef.b0 + coef.bh * s.h + coef.bd * s.d)) AS r
@@ -9371,7 +9349,9 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/calib/test, fit ``calibrate.ridge_fit_2`` on TRAIN only, take
     qhat = the ⌈0.9·(n_calib+1)⌉-th smallest absolute calibration residual
     (the finite-sample-corrected conformal quantile, α=0.1 — computed as
-    exact integer rank arithmetic, no float quantile), and report
+    exact integer rank arithmetic, no float quantile; the rank is clamped
+    to n_calib, i.e. qhat = max residual, for groups too small for the
+    corrected rank to exist, so they stay visible), and report
     empirical coverage of |y − ŷ| ≤ qhat on the held-out TEST split —
     ≈ 0.9 by the conformal guarantee, regardless of how wrong the linear
     model is. Residuals use the ROUNDED (6 dp) coefficients both engines
@@ -9418,7 +9398,14 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     qh = (
         cal.withColumn("__rn", F.row_number().over(rw))
         .join(F.broadcast(ncal), "event_type")
-        .filter(F.col("__rn") == F.expr("(9 * (n_calib + 1) + 9) DIV 10"))
+        # clamp the conformal rank to n_calib (qhat = max residual — the
+        # standard finite-sample fallback) so event types with n_calib < 9,
+        # where ceil(0.9*(n+1)) exceeds n, stay visible instead of being
+        # silently dropped by an unmatched rank filter
+        .filter(
+            F.col("__rn")
+            == F.expr("least((9 * (n_calib + 1) + 9) DIV 10, n_calib)")
+        )
         .select("event_type", F.col("__r").alias("__qhat"), "n_calib")
     )
     tst = (
@@ -9462,13 +9449,9 @@ def minhash_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persistence layer corrupted the signatures."""
     import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_mh_artifact_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "mh_artifact", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     dedup.write_minhash_artifact(
         docs.filter(F.col("doc_id") % 10 != 7), "text", "doc_id", path
@@ -9510,7 +9493,6 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode withholds, so it never surfaces.)"""
     import os
     import shutil
-    import tempfile
 
     from ..streaming.windows import (
         _as_event_time,
@@ -9519,10 +9501,7 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("ts")
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_late_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    src = _run_tmp(spark, "late", sf_dir)
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
 
@@ -9645,14 +9624,10 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     misclassified record shifts a count and fails the hash."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "corrupt", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     with open(os.path.join(path, "feed.json"), "w") as f:
@@ -9898,7 +9873,6 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv/json/orc): doubles must survive text serialization exactly, and the
     read is FAILFAST with a declared schema, never inferred."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -9907,10 +9881,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_xml_supp_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_tmp(spark, "xml_supp", sf_dir)
     write_xml(s, path, row_tag="supplier", mode="overwrite")
     schema = T.StructType(
         [
@@ -11521,7 +11492,12 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     every surviving edge's common-neighbor count over the previous round's
     edge set and drops edges below k−2. The peel fixpoint is stable, so
     unrolling MORE rounds than the graph needs is a no-op; all three SFs
-    converge in 2 rounds and the oracle unrolls ``rounds`` for margin."""
+    converge in 2 rounds and the oracle unrolls ``rounds`` for margin.
+    A dataset whose peel cascade exceeds ``rounds`` would otherwise emit a
+    non-fixpoint edge set and silently diverge from ``graph.ktruss`` (which
+    iterates to fixpoint), so the final select asserts the last two rounds
+    agree (edge sets only shrink, so count equality == set equality) and
+    raises via DuckDB ``error()`` if the unroll was too shallow."""
     ctes = ",\n    ke0 AS MATERIALIZED (SELECT u, v FROM edges)"
     prev = "ke0"
     for i in range(1, rounds + 1):
@@ -11549,9 +11525,16 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
               FROM {prev} e
               JOIN tsymf x ON x.a = e.u
               JOIN tsymf y ON y.a = e.v AND y.b = x.b
-              GROUP BY e.u, e.v)
+              GROUP BY e.u, e.v),
+    fixchk AS (SELECT CASE
+                 WHEN (SELECT count(*) FROM ke{rounds - 1})
+                    = (SELECT count(*) FROM ke{rounds}) THEN 1
+                 ELSE error('ktruss oracle: {rounds}-round unroll did not '
+                            'reach the peel fixpoint — raise rounds')
+               END AS ok)
     SELECT e.u, e.v, coalesce(s.s, 0) AS support
     FROM {prev} e LEFT JOIN tsupf s ON s.u = e.u AND s.v = e.v
+    WHERE (SELECT ok FROM fixchk) = 1
     """
     )
 
