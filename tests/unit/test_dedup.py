@@ -629,3 +629,73 @@ def test_neardup_cluster_delta_all_four_classes(spark):
         "unchanged": (1, 2),
         "appeared": (1, 2),
     }
+
+
+def test_cross_doc_substring_spans_exact_extents(spark):
+    """Crafted corpus for the ExactSubstr pass: a 20-token run shared by
+    docs 1 and 2 at DIFFERENT offsets must come back as exactly one
+    20-token span in each (token-precise extents, not window-quantized);
+    a 10-token shared run is below min_len=15 and must not be reported;
+    a within-doc self-repeat is not cross-doc and must not be reported."""
+    shared = " ".join(f"c{i}" for i in range(20))
+    short = " ".join(f"s{i}" for i in range(10))
+    selfrep = " ".join(f"r{i}" for i in range(16))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, f"{filler('a', 7)} {shared} {filler('b', 5)}"),
+        (2, f"{filler('d', 3)} {shared} {filler('e', 9)}"),
+        (3, f"{filler('f', 6)} {short} {filler('g', 6)} {short}"),
+        (4, f"{short} {filler('h', 8)}"),
+        (5, f"{selfrep} {filler('j', 4)} {selfrep}"),
+        (6, filler("k", 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_doc_substring_spans(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    assert len(out) == 6
+    assert (out[1].n_dup_spans, out[1].dup_tokens, out[1].max_span_tokens) == (1, 20, 20)
+    assert (out[2].n_dup_spans, out[2].dup_tokens, out[2].max_span_tokens) == (1, 20, 20)
+    assert out[1].n_tokens == 32 and out[1].dup_ratio == round(20 / 32, 6)
+    for d in (3, 4, 5, 6):
+        assert out[d].n_dup_spans == 0 and out[d].dup_tokens == 0, d
+        assert out[d].dup_ratio == 0.0
+
+
+def test_cross_doc_substring_spans_canonical_partner_coverage(spark):
+    """Three-copy case: B and C share a 24-token run; A shares only its
+    first 8 tokens. Every copy must be flagged, B/C extents must reach the
+    full 24 (context-order neighbors pair B with C directly), and A's
+    extent is its true maximal 8-token overlap — below min_len, so A
+    reports nothing while B and C report the full run."""
+    run = " ".join(f"c{i}" for i in range(24))
+    prefix = " ".join(f"c{i}" for i in range(8))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (10, f"{filler('a', 6)} {prefix} {filler('b', 10)}"),
+        (11, f"{filler('d', 4)} {run} {filler('e', 4)}"),
+        (12, f"{run} {filler('f', 8)}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_doc_substring_spans(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    assert out[10].n_dup_spans == 0
+    assert (out[11].n_dup_spans, out[11].dup_tokens) == (1, 24)
+    assert (out[12].n_dup_spans, out[12].dup_tokens) == (1, 24)
+
+
+def test_cross_doc_substring_spans_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.cross_doc_substring_spans(df, "text", "doc_id", k=1)
+    with pytest.raises(ValueError):
+        dedup.cross_doc_substring_spans(df, "text", "doc_id", min_len=5)

@@ -1393,3 +1393,223 @@ def neardup_cluster_delta(
         F.count("*").alias("n_clusters"),
         F.sum("n_docs").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document EXACT substring dedup at arbitrary offset (Lee et al. 2022's
+# ExactSubstr pass, suffix-array semantics re-expressed as winnowed k-gram
+# anchors + extend-and-verify — the sub-window-quantum sibling of
+# duplicated_span_extents)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    context: int = 30,
+    min_len: int = 15,
+) -> DataFrame:
+    """Exact CROSS-DOCUMENT repeated-substring extents at arbitrary token
+    offset (Lee et al. 2022, *Deduplicating Training Data Makes Language
+    Models Better*, the ExactSubstr suffix-array pass; reference parity
+    target: the near-dup tier of the TMDB pipeline stops at document
+    granularity — this is the finer audit a training-data curator runs):
+    find, for every document, the union of maximal token runs of length
+    ≥ ``min_len`` that appear verbatim in at least one OTHER document,
+    and report ``(id, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    dup_ratio)`` per document.
+
+    The suffix array is replaced by three linear passes, none all-pairs:
+
+    1. **Anchor selection** (winnowing, Schleimer et al. SIGMOD'03): hash
+       every k-token gram, keep per sliding ``window`` the (hash, pos)-min
+       — any shared run of ≥ ``window + k − 1`` tokens selects at least
+       one anchor at the SAME relative offset in every copy
+       (self-synchronizing), at expected density 2/(window+1).
+    2. **Partnering** inside each anchor-GRAM group (grouped by the gram
+       STRING, so hash collisions cannot create false matches): each
+       occurrence pairs with (a) its lag and lead neighbors in
+       (context, id, pos) order — the suffix-array-adjacency discipline:
+       copies sharing a long run sort adjacent because their ``context``
+       strings agree — and (b) the gram's canonical cross-document
+       occurrence (min (id, pos) from a different doc), which guarantees
+       every occurrence in a multi-doc group gets ≥ 1 cross-doc partner.
+       ≤ 3 candidates per occurrence — linear, never within-group
+       all-pairs.
+    3. **Extend-and-verify**: each candidate joins both token arrays and
+       extends left/right to the first mismatching token (a bounded
+       first-mismatch fold — exact, verifies real tokens, trusts no
+       hash). Spans shorter than ``min_len`` drop; survivors merge per
+       document via gaps-and-islands into maximal extents.
+
+    Determinism: anchor choice is a (hash, pos) struct-min; partner order
+    is the total order (context, id, pos); extension is an exact
+    first-mismatch argmin — every stage replays bit-identically in an
+    external SQL engine. 100 TB shape: the anchor shuffle carries
+    ~2/(window+1) of the token stream (vs all of it for the stride-1
+    digest pass); the gram-group window and both grouped aggregates key on
+    the gram string; candidate extension joins token arrays by doc id
+    (co-partitioned equi-joins, AQE-sizeable); nothing enumerates document
+    pairs. The known approximation, documented: neighbor pairing is
+    exact-adjacency under the ``context``-token horizon; ties beyond it
+    order by (id, pos), so a run duplicated ONLY beyond the horizon inside
+    a ≥ 3-copy same-doc tie block can under-extend — the canonical partner
+    still flags it at ≥ gram length.
+    """
+    if k < 2 or window < 2:
+        raise ValueError(f"need k >= 2 and window >= 2, got k={k} window={window}")
+    if min_len < window + k - 1:
+        raise ValueError(
+            f"min_len must be >= window + k - 1 = {window + k - 1} (the winnowing "
+            f"detection guarantee), got {min_len}"
+        )
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _span_tokens(F.lower(_col(text_col))).alias("__tok"),
+    ).select("__id", F.size("__tok").alias("__n"), "__tok")
+    meta = base.select("__id", "__n")
+
+    # 1. per-position k-gram hashes (only (id, pos, hash) crosses — the
+    #    token arrays stay behind until the sparse anchor join)
+    grams = base.filter(F.col("__n") >= k).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__tok", i + 1, k))), 1, 16
+                ),
+            )
+        ).alias("__p", "__h"),
+    )
+    ww = Window.partitionBy("__id").orderBy("__p").rowsBetween(-(window - 1), 0)
+    anchors = (
+        grams.select(
+            "__id",
+            "__p",
+            F.min(F.struct(F.col("__h").alias("h"), F.col("__p").alias("p"))).over(
+                ww
+            ).alias("__a"),
+        )
+        .filter(F.col("__p") >= window - 1)
+        .select("__id", F.col("__a.p").alias("__ap"))
+        .distinct()
+    )
+    # 2. attach gram + context strings (sparse side joins the arrays once)
+    occ = anchors.join(base, "__id").select(
+        "__id",
+        "__ap",
+        F.concat_ws(" ", F.slice("__tok", F.col("__ap") + 1, k)).alias("__g"),
+        F.concat_ws(" ", F.slice("__tok", F.col("__ap") + 1, context)).alias("__ctx"),
+    )
+    wg = Window.partitionBy("__g").orderBy("__ctx", "__id", "__ap")
+    me = F.struct(F.col("__id").alias("i"), F.col("__ap").alias("a"))
+    nb = occ.select(
+        "__id", "__ap", "__g",
+        F.lag(me).over(wg).alias("__p1"),
+        F.lead(me).over(wg).alias("__p2"),
+    )
+    g1 = occ.groupBy("__g").agg(F.min(me).alias("__o1"))
+    g2 = (
+        occ.join(g1, "__g")
+        .filter(F.col("__id") != F.col("__o1.i"))
+        .groupBy("__g")
+        .agg(F.min(me).alias("__o2"))
+    )
+    canon = (
+        occ.join(g1, "__g")
+        .join(g2, "__g", "left")
+        .select(
+            "__id", "__ap",
+            F.when(F.col("__id") != F.col("__o1.i"), F.col("__o1"))
+            .otherwise(F.col("__o2"))
+            .alias("__pt"),
+        )
+    )
+    cand = (
+        nb.select("__id", "__ap", F.col("__p1").alias("__pt"))
+        .unionAll(nb.select("__id", "__ap", F.col("__p2").alias("__pt")))
+        .unionAll(canon)
+        .filter(F.col("__pt").isNotNull() & (F.col("__pt.i") != F.col("__id")))
+        .select(
+            F.col("__id").alias("__ia"), F.col("__ap").alias("__pa"),
+            F.col("__pt.i").alias("__ib"), F.col("__pt.a").alias("__pb"),
+        )
+        .distinct()
+    )
+    # 3. extend-and-verify against both token arrays
+    a = base.select(
+        F.col("__id").alias("__ia"), F.col("__tok").alias("__wa"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("__ib"), F.col("__tok").alias("__wb"),
+        F.col("__n").alias("__nb"),
+    )
+    ex = cand.join(a, "__ia").join(b, "__ib")
+    mr = F.least(F.col("__na") - (F.col("__pa") + k), F.col("__nb") - (F.col("__pb") + k))
+    ml = F.least(F.col("__pa"), F.col("__pb"))
+    empty = F.array().cast("array<int>")
+    seq_r = F.when(mr >= 1, F.sequence(F.lit(1), mr)).otherwise(empty)
+    seq_l = F.when(ml >= 1, F.sequence(F.lit(1), ml)).otherwise(empty)
+    mism_r = F.filter(
+        seq_r,
+        lambda i: F.element_at("__wa", F.col("__pa") + k + i)
+        != F.element_at("__wb", F.col("__pb") + k + i),
+    )
+    mism_l = F.filter(
+        seq_l,
+        lambda i: F.element_at("__wa", F.col("__pa") - i + 1)
+        != F.element_at("__wb", F.col("__pb") - i + 1),
+    )
+    ext = ex.select(
+        "__ia", "__pa",
+        F.coalesce(F.try_element_at(mism_r, F.lit(1)) - 1, mr).alias("__re"),
+        F.coalesce(F.try_element_at(mism_l, F.lit(1)) - 1, ml).alias("__le"),
+    )
+    spans = (
+        ext.filter(F.lit(k) + F.col("__le") + F.col("__re") >= min_len)
+        .select(
+            F.col("__ia").alias("__sid"),
+            (F.col("__pa") - F.col("__le")).alias("__ss"),
+            (F.col("__pa") + k - 1 + F.col("__re")).alias("__se"),
+        )
+        .distinct()
+    )
+    # gaps-and-islands merge (same discipline as _duplicated_token_spans;
+    # (ss, se) order makes the running max deterministic under tied starts)
+    wi = Window.partitionBy("__sid").orderBy("__ss", "__se")
+    prev_end = F.max("__se").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        spans.withColumn(
+            "__new",
+            F.when(F.col("__ss") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(wi))
+        .groupBy("__sid", "__isl")
+        .agg(F.min("__ss").alias("__ss"), F.max("__se").alias("__se"))
+    )
+    per = merged.groupBy("__sid").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("__se") - F.col("__ss") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("__se") - F.col("__ss") + 1).cast("long").alias("max_span_tokens"),
+    )
+    return meta.join(per, meta["__id"] == per["__sid"], "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias("max_span_tokens"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("__n"), 6
+            ),
+        ).alias("dup_ratio"),
+    )

@@ -1722,7 +1722,6 @@ def _ivfpq_serve(
     qd: DataFrame,
     qsv: DataFrame,
     coarse: DataFrame,
-    cells: DataFrame,
     codes: DataFrame,
     cb: DataFrame,
     nv: DataFrame,
@@ -1735,10 +1734,18 @@ def _ivfpq_serve(
     ``ivfpq_topk_from_artifact`` (persisted index): probe ranking, the
     cell-blocked ADC scan, and the exact re-rank of the ADC shortlist.
     Inputs are pre-shaped: ``qd`` = (query_id, __qv), ``qsv`` = stacked
-    query subvectors, ``cells`` = (neighbor_id, __cell), ``codes`` =
-    stacked (neighbor_id keyed by its id column, sub, cid), ``nv`` =
-    (neighbor_id, __nv) refine vectors. Returns the refined top-k with
-    true squared distance: (query_id, neighbor_id, rank, __td)."""
+    query subvectors, ``codes`` = stacked (neighbor_id, __cell, sub, cid)
+    carrying each vector's coarse cell, ``nv`` = (neighbor_id, __nv)
+    refine vectors. Returns the refined top-k with true squared distance:
+    (query_id, neighbor_id, rank, __td).
+
+    Scale shape of the scan: the ONLY corpus-sized table here (codes) is
+    scanned once and joined to the broadcast of ``probes`` (|queries| ×
+    nprobe rows) on the cell key — it is never shuffled and never
+    broadcast (a corpus-proportional broadcast would OOM at 100 TB; the
+    earlier candidate-set formulation had exactly that flaw). Every
+    broadcast side — probes, the per-query LUT, the ADC shortlist — is
+    query-bounded."""
     pw = Window.partitionBy("query_id").orderBy(
         F.col("__pd").asc(), F.col("cid").asc()
     )
@@ -1749,24 +1756,15 @@ def _ivfpq_serve(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", F.col("cid").alias("__cell"))
     )
-    cand = (
-        cells.join(F.broadcast(probes), "__cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
     lut = qsv.join(F.broadcast(cb), "sub").select(
         F.col("query_id"),
         "sub",
         "cid",
         F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
     )
-    # cand is corpus-proportional (|queries| x N*nprobe/coarse_k rows), so
-    # the codes-to-candidates join is a plain shuffle join on neighbor_id —
-    # broadcasting it would ship a corpus-sized table to every executor at
-    # 100 TB. Only the genuinely query-bounded sides (probes, LUT,
-    # shortlist) carry broadcast hints.
     adc = (
-        codes.join(cand, "neighbor_id")
+        codes.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "sub", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__ld").alias("__adc"))
@@ -1862,16 +1860,20 @@ def ivfpq_topk_audit(
     )
     cb = pq_train_codebooks(emb, id_col=id_col, vec_col=vec_col,
                             m=m, dim=dim, ksub=ksub, iters=iters)
+    # attach each vector's coarse cell to its codes at build time (one
+    # co-partitioned id join — the artifact path gets this for free from
+    # its cell-partitioned layout), so the serve never touches a
+    # corpus-sized join side again
     codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), "sub", "cid"
-    )
+    ).join(cells, "neighbor_id")
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     qsv = pq_subvectors(queries, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
         F.col(id_col).alias("query_id"), "sub", "subvec"
     )
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     refined = _ivfpq_serve(
-        qd, qsv, coarse, cells, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
+        qd, qsv, coarse, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
     )
     return _ivfpq_hit_tail(refined, qd, nv, k=k)
 
@@ -1964,11 +1966,11 @@ def ivfpq_topk_from_artifact(
     cb = spark.read.parquet(f"{path}/codebooks")
     packed = spark.read.parquet(f"{path}/codes")
     vectors = spark.read.parquet(f"{path}/vectors")
-    cells = packed.select(
-        F.col(id_col).alias("neighbor_id"), F.col("cell_id").alias("__cell")
-    )
+    # the cell-partitioned artifact layout already carries each vector's
+    # cell — the serve's cell-blocked scan needs no join at all here
     codes = packed.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col("cell_id").alias("__cell"),
         F.posexplode("codes").alias("sub", "cid"),
     )
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
@@ -1979,7 +1981,7 @@ def ivfpq_topk_from_artifact(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     )
     return _ivfpq_serve(
-        qd, qsv, coarse, cells, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
+        qd, qsv, coarse, codes, cb, nv, nprobe=nprobe, refine=refine, k=k
     )
 
 
@@ -2034,10 +2036,13 @@ def ivfpq_residual_topk_audit(
     cb = pq_train_codebooks(
         res, id_col=id_col, vec_col="__rv", m=m, dim=dim, ksub=ksub, iters=iters
     )
+    cells = cellsraw.select(F.col(id_col).alias("neighbor_id"), "__cell")
+    # codes carry their coarse cell (one co-partitioned id join at build),
+    # so the serve's ADC scan is a broadcast-probe cell-blocked scan — same
+    # scale posture as _ivfpq_serve
     codes = pq_encode(res, cb, id_col=id_col, vec_col="__rv", m=m, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), "sub", "cid"
-    )
-    cells = cellsraw.select(F.col(id_col).alias("neighbor_id"), "__cell")
+    ).join(cells, "neighbor_id")
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     pw = Window.partitionBy("query_id").orderBy(
         F.col("__pd").asc(), F.col("cid").asc()
@@ -2081,16 +2086,9 @@ def ivfpq_residual_topk_audit(
         "cid",
         F.round(sq_l2("subvec", "cvec"), 12).cast("decimal(30,12)").alias("__ld"),
     )
-    cand = (
-        cells.join(F.broadcast(probes), "__cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "__cell", "neighbor_id")
-    )
-    # same scale rule as _ivfpq_serve: cand is corpus-proportional, so the
-    # codes-to-candidates join stays a plain shuffle join; the per-(query,
-    # probed-cell) LUT is the bounded side and keeps its broadcast hint
     adc = (
-        codes.join(cand, "neighbor_id")
+        codes.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "__cell", "sub", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__ld").alias("__adc"))

@@ -15951,6 +15951,110 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cross_doc_substring_dedup",
+    oracle=r"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws
+      FROM documents),
+    meta AS (SELECT id, len(ws) AS n FROM w),
+    g AS (SELECT id, ws, unnest(range(0, len(ws) - 4)) AS p
+          FROM w WHERE len(ws) >= 5),
+    h AS (SELECT id, p,
+                 substr(md5(list_aggregate(ws[p+1:p+5], 'string_agg', ' ')), 1, 16)
+                   AS hh
+          FROM g),
+    a0 AS (SELECT id, p,
+                  min(struct_pack(h := hh, p := p))
+                    OVER (PARTITION BY id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS anc
+           FROM h),
+    anch AS MATERIALIZED (SELECT DISTINCT id, (anc).p AS ap FROM a0 WHERE p >= 3),
+    occ AS MATERIALIZED (SELECT anch.id, ap,
+                   list_aggregate(ws[ap+1:ap+5], 'string_agg', ' ') AS gr,
+                   list_aggregate(ws[ap+1:ap+30], 'string_agg', ' ') AS ctx
+            FROM anch JOIN w ON w.id = anch.id),
+    nb AS (SELECT id, ap, gr,
+                  lag(struct_pack(i := id, a := ap)) OVER wg AS p1,
+                  lead(struct_pack(i := id, a := ap)) OVER wg AS p2
+           FROM occ WINDOW wg AS (PARTITION BY gr ORDER BY ctx, id, ap)),
+    g1 AS MATERIALIZED (SELECT gr, min(struct_pack(i := id, a := ap)) AS o1 FROM occ GROUP BY gr),
+    g2 AS (SELECT occ.gr, min(struct_pack(i := occ.id, a := occ.ap)) AS o2
+           FROM occ JOIN g1 ON g1.gr = occ.gr
+           WHERE occ.id <> (g1.o1).i GROUP BY occ.gr),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT ia, pa, ib, pb FROM (
+        SELECT id AS ia, ap AS pa, (p1).i AS ib, (p1).a AS pb
+        FROM nb WHERE p1 IS NOT NULL
+        UNION ALL
+        SELECT id, ap, (p2).i, (p2).a FROM nb WHERE p2 IS NOT NULL
+        UNION ALL
+        SELECT o.id, o.ap,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).i ELSE (g2.o2).i END,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).a ELSE (g2.o2).a END
+        FROM occ o JOIN g1 USING (gr) LEFT JOIN g2 USING (gr))
+      WHERE ib IS NOT NULL AND ib <> ia),
+    ex AS MATERIALIZED (
+      SELECT ia, pa,
+             coalesce(list_min([i FOR i IN
+                                range(1, least(A.n - (pa+5), B.n - (pb+5)) + 1)
+                                IF A.ws[pa+5+i] <> B.ws[pb+5+i]]) - 1,
+                      greatest(least(A.n - (pa+5), B.n - (pb+5)), 0)) AS re,
+             coalesce(list_min([i FOR i IN range(1, least(pa, pb) + 1)
+                                IF A.ws[pa-i+1] <> B.ws[pb-i+1]]) - 1,
+                      least(pa, pb)) AS le
+      FROM cand
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) A ON A.id = ia
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) B ON B.id = ib),
+    spans AS MATERIALIZED (SELECT DISTINCT ia AS id, pa - le AS ss, pa + 4 + re AS se
+              FROM ex WHERE 5 + le + re >= 15),
+    isl AS (
+      SELECT id, ss, se,
+             sum(CASE WHEN ss > coalesce(pe, -2) + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY ss, se) AS grp
+      FROM (SELECT id, ss, se,
+                   max(se) OVER (PARTITION BY id ORDER BY ss, se
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pe
+            FROM spans)),
+    merged AS (SELECT id, grp, min(ss) AS ss, max(se) AS se FROM isl GROUP BY 1, 2),
+    per AS (SELECT id, count(*) AS nsp, sum(se - ss + 1) AS dup,
+                   max(se - ss + 1) AS mx
+            FROM merged GROUP BY 1)
+    SELECT meta.id AS doc_id, CAST(meta.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.nsp, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(per.dup, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(per.mx, 0) AS BIGINT) AS max_span_tokens,
+           CASE WHEN meta.n > 0
+                THEN round(coalesce(per.dup, 0) * 1.0 / meta.n, 6) END AS dup_ratio
+    FROM meta LEFT JOIN per ON per.id = meta.id
+    """,
+)
+def cross_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CROSS-DOCUMENT substring dedup at arbitrary token offset
+    (``dedup.cross_doc_substring_spans`` — the Lee et al. 2022 ExactSubstr
+    suffix-array pass re-expressed as winnowed k-gram anchors +
+    extend-and-verify; VERDICT_r09 "Next round" #5): per document, the
+    union of maximal token runs ≥ 15 that appear VERBATIM in another
+    document, below the quantum of both the C4 chunk grid
+    (``duplicate_chunk_stats``) and the stride-1 window digests
+    (``duplicated_span_extents``) — extension finds the exact first
+    mismatching token, so extents are token-precise on both ends and
+    spans need not align to any window. No all-pairs stage anywhere:
+    winnowing (k=5, window=4) guarantees any shared run ≥ 8 tokens
+    selects a common anchor; each anchor occurrence pairs with ≤ 3
+    partners (context-order lag/lead — the suffix-adjacency discipline —
+    plus the gram's canonical cross-doc occurrence); the oracle replays
+    anchor selection, partnering, extension, and the island merge
+    verbatim in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cross_doc_substring_spans(
+        docs, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming batch twins (VERDICT_r05 "Next round" #5)
 # ---------------------------------------------------------------------------
@@ -16026,181 +16130,91 @@ def stream_batch_twins() -> dict[str, QueryFn]:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-9 rotation (VERDICT_r08 "Next round" #2): new round-9 queries
-    # first (no driver row yet), then the queries whose implementation
-    # changed in round 9 AFTER their last green row (the similarity.py
-    # trained-IVF/centroids= refactor, the _mutual_reach_mre factoring,
-    # and the minhash bucket localCheckpoint swap), then the ENTIRE
-    # 28-name tier whose latest green driver row is still round 3 (the
-    # stalest tier in the r1-r8 union — VERDICT_r08 flagged it), then the
-    # r4 tier and onward. 5 new + 8 changed + 28 r3 = 41 unique names, so
-    # the whole stale tier fits inside the driver's ~50-row sweep cap.
-    # --- new in round 9 (no driver row yet) ---
-    "pq_codebook_distortion",
-    "pq_adc_recall",
-    "similarity_topk_ivfpq",
-    "copurchase_ktruss",
-    "unigram_viterbi_stats",
-    "unigram_em_round",
-    "ivfpq_artifact_roundtrip",
-    "similarity_topk_ivfpq_residual",
-    "bigram_kneser_ney_heldout",
-    "mixture_temperature_weights",
-    "order_price_bootstrap_ci",
-    "conformal_value_intervals",
-    "ivf_recall_trained",
-    "embedding_mutual_reach_hierarchy_ann",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "curriculum_token_budgets",
-    "neardup_cluster_delta",
-    "ivf_artifact_incremental",
-    "brand_parts_hop_distance",
-    # --- last verified r3 (the full stale tier, in r8-front order) ---
-    # (placed BEFORE the changed-in-r9 block: 16 never-checked + 28 r3 = 44
-    # names, so the whole stale tier stays inside the driver's 50-row cap;
-    # the changed block follows — its names all have r8-green rows, and the
-    # one that falls past the cap, minhash_blocking_quality, had the most
-    # trivial r9 change: a result-identical persist->localCheckpoint swap
-    # pinned by unit tests)
-    "kmeans_cluster_profile",
-    "asof_purchase_next_click",
-    "bm25_search_top20",
-    "capitalized_entities_top20",
-    "char_entropy_scores",
-    "customer_distribution",
-    "decontaminated_counts",
-    "event_transition_counts",
-    "event_value_percentiles",
-    "forecast_revenue_change",
-    "fuzzy_customer_name_pairs",
-    "grouped_topn_ties",
-    "grouping_sets_revenue",
-    "important_brand_value",
-    "minhash_incremental_neardups",
-    "neardup_method_agreement",
-    "negative_sampling_pairs",
-    "orc_roundtrip",
-    "quality_percentile_calibration",
-    "scd2_event_intervals",
-    "stream_dedup_watermarked",
-    "stream_static_enrich",
-    "textrank_keywords_top20",
-    "token_kl_drift_by_lang",
-    "top_supplier_by_quarter",
-    "unigram_logprob_scores",
-    "user_value_trend",
-    "zorder_key_sample",
-    # --- changed in round 9 since last green (r8-green rows exist) ---
-    "similarity_topk_ivf",
-    "ivf_recall_audit",
-    "ivf_artifact_roundtrip",
-    "embedding_mutual_reach_ann",
-    "embedding_mutual_reach_clusters",
-    "embedding_mutual_reach_hierarchy",
-    "minhash_blocking_quality",
-    # --- last verified r4 and later (prior front order; past the cap
-    # this round, rotates forward next round) ---
-    "pivot_event_types",
-    "range_join_click_context",
-    "asof_purchase_last_click",
-    "user_running_totals",
-    "sessionization",
-    "events_hourly",
-    "stream_hourly",
-    "events_sliding",
-    "stream_sliding",
-    "events_sessions",
-    "token_counts_bpe",
-    "language_id",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_pruned",
-    "stream_dedup_counts",
-    "stream_stream_join",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "hourly_gap_filled_series",
-    "rolling_7day_revenue",
-    "top_supplier_by_quarter",
-    "forecast_revenue_change",
-    "customer_distribution",
-    "important_brand_value",
-    "unigram_logprob_scores",
-    "char_entropy_scores",
-    "kmeans_cluster_profile",
-    "event_value_percentiles",
-    "scd2_event_intervals",
-    "asof_purchase_next_click",
-    "minhash_incremental_neardups",
-    "stream_static_enrich",
-    "zorder_key_sample",
-    "grouping_sets_revenue",
-    "decontaminated_counts",
-    "stream_dedup_watermarked",
-    "grouped_topn_ties",
-    "quality_percentile_calibration",
-    "capitalized_entities_top20",
-    "neardup_method_agreement",
-    "textrank_keywords_top20",
-    "event_transition_counts",
-    "negative_sampling_pairs",
-    "token_kl_drift_by_lang",
-    "user_value_trend",
-    "orc_roundtrip",
-    "fuzzy_customer_name_pairs",
-    "bm25_search_top20",
-    # --- last verified r4 ---
+    # round-10 rotation (VERDICT_r09 "Next round" #2): new round-10 queries
+    # first (no driver row yet — names are PREPENDED to this block as they
+    # land), then the ENTIRE 50-name tier whose latest green driver row is
+    # round 4 (the stalest tier in the r1-r9 union; the 5 of them whose
+    # implementation ALSO changed in round 10 — the _run_tmp scratch-path
+    # keying — lead the block so a short sweep still covers them), then the
+    # non-r4 queries whose implementation changed in round 10 after their
+    # last green row (the ADVICE_r09 batch: IVF-PQ candidate-join
+    # de-broadcast, ktruss oracle fixpoint guard, conformal rank clamp,
+    # viterbi NULL contract, _run_tmp — every one re-verified by the local
+    # driver mimic at sf0.01 before its commit), then the r5-and-later
+    # tiers in prior front order (duplicates collapse via dict.fromkeys).
+    # New-query slots push r4 names past the driver's 50-row cap from the
+    # BOTTOM of the r4 block; whatever falls past rotates in round 11.
+    # --- new in round 10 (no driver row yet) ---
+    "cross_doc_substring_dedup",
+    # --- last verified r4 (the full stale tier; changed-in-r10 first) ---
+    "minhash_artifact_roundtrip",
+    "schema_evolution_roundtrip",
+    "corrupt_record_quarantine",
+    "stream_exactly_once_totals",
+    "stream_late_data_accounting",
     "approx_distinct_parts",
+    "approx_percentile_gate",
+    "asof_cogroup_last_click",
+    "basket_item_lift",
+    "bigram_heldout_logprob",
+    "bucketed_join_revenue",
+    "cdc_last_state",
+    "chunk_dedup_stats",
+    "daily_new_users_cume",
+    "daily_revenue_decomposition",
+    "dq_expectations_orders",
+    "embedding_centroid_drift",
+    "embedding_label_dispersion",
+    "embedding_truncation_fidelity",
+    "event_type_hour_mutual_info",
+    "event_value_mad_outliers",
+    "ewma_daily_revenue",
+    "heavy_hitter_tokens",
+    "incremental_rollup_merge",
+    "language_id_confusion",
+    "last_touch_attribution",
+    "pit_join_event_state",
+    "pmi_collocations_top20",
+    "quality_isotonic_calibration",
+    "revenue_pareto_deciles",
+    "rfm_segments",
+    "ridge_value_model",
+    "seasonal_hour_outliers",
+    "semantic_dedup_pairs",
+    "session_overlap_pairs",
+    "session_path_trigrams",
     "simhash_fingerprints",
     "simhash_neardups",
-    "chunk_dedup_stats",
-    "pmi_collocations_top20",
-    "rfm_segments",
-    "approx_percentile_gate",
-    "session_overlap_pairs",
-    "event_value_mad_outliers",
-    "daily_new_users_cume",
-    "revenue_pareto_deciles",
-    "stream_hourly_users",
-    "quality_isotonic_calibration",
     "similarity_topk_pandas",
-    "embedding_label_dispersion",
-    "cdc_last_state",
-    "weighted_sample_docs",
-    "ewma_daily_revenue",
-    "semantic_dedup_pairs",
-    "heavy_hitter_tokens",
-    "stream_cdc_last_state",
-    "incremental_rollup_merge",
-    "bucketed_join_revenue",
-    "seasonal_hour_outliers",
-    "pit_join_event_state",
-    "split_leakage_audit",
-    "embedding_centroid_drift",
-    "last_touch_attribution",
-    "bigram_heldout_logprob",
-    "session_path_trigrams",
-    "trimmed_mean_event_values",
-    "stream_exactly_once_totals",
-    "basket_item_lift",
     "snapshot_diff_counts",
-    "daily_revenue_decomposition",
-    "asof_cogroup_last_click",
+    "split_leakage_audit",
+    "sql_interface_market_share",
+    "stream_cdc_last_state",
+    "stream_hourly_users",
     "stream_python_source_totals",
     "stream_rest_ingest_audit",
-    "dq_expectations_orders",
-    "schema_evolution_roundtrip",
-    "language_id_confusion",
-    "embedding_truncation_fidelity",
-    "ridge_value_model",
-    "minhash_artifact_roundtrip",
-    "stream_late_data_accounting",
-    "sql_interface_market_share",
-    "corrupt_record_quarantine",
+    "trimmed_mean_event_values",
     "unpivot_lineitem_measures",
     "weighted_median_price",
-    "event_type_hour_mutual_info",
+    "weighted_sample_docs",
+    # --- changed in round 10 since last green (recent green rows exist) ---
+    "copurchase_ktruss",
+    "conformal_value_intervals",
+    "similarity_topk_ivfpq",
+    "ivfpq_artifact_roundtrip",
+    "similarity_topk_ivfpq_residual",
+    "unigram_viterbi_stats",
+    "unigram_em_round",
+    "ivf_artifact_roundtrip",
+    "ivf_artifact_incremental",
+    "similarity_topk_lsh_pruned",
+    "json_roundtrip",
+    "partitioned_roundtrip",
+    "csv_roundtrip",
+    "xml_roundtrip",
+    "orc_roundtrip",
+    "pyds_jsonl_roundtrip",
+    "stream_pyds_jsonl_totals",
     # --- last verified r5 ---
     "variant_events_profile",
     "winnowed_doc_fingerprints",
