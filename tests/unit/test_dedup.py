@@ -699,3 +699,53 @@ def test_cross_doc_substring_spans_param_validation(spark):
         dedup.cross_doc_substring_spans(df, "text", "doc_id", k=1)
     with pytest.raises(ValueError):
         dedup.cross_doc_substring_spans(df, "text", "doc_id", min_len=5)
+
+
+def test_cross_doc_substring_apply_surviving_stream(spark):
+    """The apply twin must drop exactly the audited extents: doc 1/2 lose
+    the shared 20-token run (drop-all — BOTH copies go), untouched docs
+    keep their full lowercased stream verbatim."""
+    shared = " ".join(f"c{i}" for i in range(20))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    keep1, keep2 = filler("a", 7), filler("b", 5)
+    rows = [
+        (1, f"{keep1} {shared} {keep2}"),
+        (2, f"{filler('d', 3)} {shared} {filler('e', 9)}"),
+        (3, "Mixed CASE text stays but LOWERCASED here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_doc_substring_apply(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    assert (out[1].n_tokens, out[1].kept_tokens) == (32, 12)
+    assert out[1].cleaned_text == f"{keep1} {keep2}"
+    assert out[2].kept_tokens == 12
+    assert out[3].kept_tokens == out[3].n_tokens == 7
+    assert out[3].cleaned_text == "mixed case text stays but lowercased here"
+
+
+def test_connected_components_long_chain_and_star_merge(spark):
+    """Two regressions pinned: (1) CC must survive a LONG-DIAMETER graph
+    (a 60-node path needs ~15+ pointer-jump rounds; the round self-join
+    used to square Catalyst's inherited size estimate per round — BigInt
+    digits doubled and planning OOM'd a default-sized driver by ~round 20);
+    (2) the incremental star-merge fold (CC(star(labels) ∪ delta) ==
+    CC(full)) that stream_cc_maintenance relies on."""
+    path_edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(path_edges, "id_a long, id_b long")
+    comp = {r.id: r.comp for r in dedup.connected_components(df).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 61
+    # star-merge: process the path in 3 interleaved deltas
+    import itertools
+    full = {r.id: r.comp for r in dedup.connected_components(df).collect()}
+    labels = None
+    for b in range(3):
+        delta = [(u, v) for (u, v) in path_edges if (u + v) % 3 == b]
+        if labels is not None:
+            delta = delta + [(i, c) for i, c in labels.items() if i != c]
+        ddf = spark.createDataFrame(delta, "id_a long, id_b long")
+        labels = {r.id: r.comp for r in dedup.connected_components(ddf).collect()}
+    assert labels == full

@@ -805,7 +805,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     *,
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id,
     component_id)`` with ``component_id`` = min node id in the component (the
@@ -836,6 +836,7 @@ def connected_components(
     comp = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     ).localCheckpoint()
+    prev = None
     for _ in range(max_iter):
         # min label among neighbors (one hop through edges)
         nbr = (
@@ -847,7 +848,18 @@ def connected_components(
         stepped = comp.join(nbr, "id", "left").select(
             "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
         )
-        # pointer jump: comp <- comp(comp), halving chain lengths
+        # pointer jump: comp <- comp(comp), halving chain lengths.
+        # localCheckpoint truncates LINEAGE but INHERITS the source plan's
+        # size ESTIMATE — and because this round SELF-JOINS the evolving
+        # table, the inherited sizeInBytes squares every round: the digit
+        # count of Catalyst's BigInt estimate doubles per iteration, and on
+        # a slow-converging graph (long chains need ~20+ rounds) the size
+        # arithmetic alone grows to ~50 s/round and OOMs a default-sized
+        # driver (measured on the (u+v)%3 co-purchase subgraph). persist()
+        # on top of the checkpoint re-derives stats from the ACTUAL
+        # materialized bytes (InMemoryRelation.computeStats after the
+        # convergence count below), pinning the estimate to reality each
+        # round; superseded rounds are unpersisted explicitly.
         jumped = (
             stepped.join(
                 stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
@@ -855,6 +867,7 @@ def connected_components(
             )
             .select("id", F.least("comp", "comp2").alias("comp"))
             .localCheckpoint()
+            .persist()
         )
         changed = (
             jumped.alias("n")
@@ -862,6 +875,9 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = jumped
         comp = jumped
         if changed == 0:
             return comp
@@ -1403,63 +1419,21 @@ def neardup_cluster_delta(
 # ---------------------------------------------------------------------------
 
 
-def cross_doc_substring_spans(
+def _cross_doc_extents(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
-    k: int = 5,
-    window: int = 4,
-    context: int = 30,
-    min_len: int = 15,
-) -> DataFrame:
-    """Exact CROSS-DOCUMENT repeated-substring extents at arbitrary token
-    offset (Lee et al. 2022, *Deduplicating Training Data Makes Language
-    Models Better*, the ExactSubstr suffix-array pass; reference parity
-    target: the near-dup tier of the TMDB pipeline stops at document
-    granularity — this is the finer audit a training-data curator runs):
-    find, for every document, the union of maximal token runs of length
-    ≥ ``min_len`` that appear verbatim in at least one OTHER document,
-    and report ``(id, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
-    dup_ratio)`` per document.
-
-    The suffix array is replaced by three linear passes, none all-pairs:
-
-    1. **Anchor selection** (winnowing, Schleimer et al. SIGMOD'03): hash
-       every k-token gram, keep per sliding ``window`` the (hash, pos)-min
-       — any shared run of ≥ ``window + k − 1`` tokens selects at least
-       one anchor at the SAME relative offset in every copy
-       (self-synchronizing), at expected density 2/(window+1).
-    2. **Partnering** inside each anchor-GRAM group (grouped by the gram
-       STRING, so hash collisions cannot create false matches): each
-       occurrence pairs with (a) its lag and lead neighbors in
-       (context, id, pos) order — the suffix-array-adjacency discipline:
-       copies sharing a long run sort adjacent because their ``context``
-       strings agree — and (b) the gram's canonical cross-document
-       occurrence (min (id, pos) from a different doc), which guarantees
-       every occurrence in a multi-doc group gets ≥ 1 cross-doc partner.
-       ≤ 3 candidates per occurrence — linear, never within-group
-       all-pairs.
-    3. **Extend-and-verify**: each candidate joins both token arrays and
-       extends left/right to the first mismatching token (a bounded
-       first-mismatch fold — exact, verifies real tokens, trusts no
-       hash). Spans shorter than ``min_len`` drop; survivors merge per
-       document via gaps-and-islands into maximal extents.
-
-    Determinism: anchor choice is a (hash, pos) struct-min; partner order
-    is the total order (context, id, pos); extension is an exact
-    first-mismatch argmin — every stage replays bit-identically in an
-    external SQL engine. 100 TB shape: the anchor shuffle carries
-    ~2/(window+1) of the token stream (vs all of it for the stride-1
-    digest pass); the gram-group window and both grouped aggregates key on
-    the gram string; candidate extension joins token arrays by doc id
-    (co-partitioned equi-joins, AQE-sizeable); nothing enumerates document
-    pairs. The known approximation, documented: neighbor pairing is
-    exact-adjacency under the ``context``-token horizon; ties beyond it
-    order by (id, pos), so a run duplicated ONLY beyond the horizon inside
-    a ≥ 3-copy same-doc tie block can under-extend — the canonical partner
-    still flags it at ≥ gram length.
-    """
+    k: int,
+    window: int,
+    context: int,
+    min_len: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the cross-doc substring family (see
+    ``cross_doc_substring_spans`` for the algorithm and scale analysis).
+    Returns ``(base, merged)``: base = (__id, __n, __tok) for every
+    document, merged = the maximal merged cross-doc duplicated extents
+    (__sid, __ss, __se) — 0-based inclusive token positions."""
     if k < 2 or window < 2:
         raise ValueError(f"need k >= 2 and window >= 2, got k={k} window={window}")
     if min_len < window + k - 1:
@@ -1473,7 +1447,6 @@ def cross_doc_substring_spans(
         F.col(id_col).alias("__id"),
         _span_tokens(F.lower(_col(text_col))).alias("__tok"),
     ).select("__id", F.size("__tok").alias("__n"), "__tok")
-    meta = base.select("__id", "__n")
 
     # 1. per-position k-gram hashes (only (id, pos, hash) crosses — the
     #    token arrays stay behind until the sparse anchor join)
@@ -1595,6 +1568,70 @@ def cross_doc_substring_spans(
         .groupBy("__sid", "__isl")
         .agg(F.min("__ss").alias("__ss"), F.max("__se").alias("__se"))
     )
+    return base, merged.select("__sid", "__ss", "__se")
+
+
+def cross_doc_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    context: int = 30,
+    min_len: int = 15,
+) -> DataFrame:
+    """Exact CROSS-DOCUMENT repeated-substring extents at arbitrary token
+    offset (Lee et al. 2022, *Deduplicating Training Data Makes Language
+    Models Better*, the ExactSubstr suffix-array pass; reference parity
+    target: the near-dup tier of the TMDB pipeline stops at document
+    granularity — this is the finer audit a training-data curator runs):
+    find, for every document, the union of maximal token runs of length
+    ≥ ``min_len`` that appear verbatim in at least one OTHER document,
+    and report ``(id, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    dup_ratio)`` per document.
+
+    The suffix array is replaced by three linear passes, none all-pairs:
+
+    1. **Anchor selection** (winnowing, Schleimer et al. SIGMOD'03): hash
+       every k-token gram, keep per sliding ``window`` the (hash, pos)-min
+       — any shared run of ≥ ``window + k − 1`` tokens selects at least
+       one anchor at the SAME relative offset in every copy
+       (self-synchronizing), at expected density 2/(window+1).
+    2. **Partnering** inside each anchor-GRAM group (grouped by the gram
+       STRING, so hash collisions cannot create false matches): each
+       occurrence pairs with (a) its lag and lead neighbors in
+       (context, id, pos) order — the suffix-array-adjacency discipline:
+       copies sharing a long run sort adjacent because their ``context``
+       strings agree — and (b) the gram's canonical cross-document
+       occurrence (min (id, pos) from a different doc), which guarantees
+       every occurrence in a multi-doc group gets ≥ 1 cross-doc partner.
+       ≤ 3 candidates per occurrence — linear, never within-group
+       all-pairs.
+    3. **Extend-and-verify**: each candidate joins both token arrays and
+       extends left/right to the first mismatching token (a bounded
+       first-mismatch fold — exact, verifies real tokens, trusts no
+       hash). Spans shorter than ``min_len`` drop; survivors merge per
+       document via gaps-and-islands into maximal extents.
+
+    Determinism: anchor choice is a (hash, pos) struct-min; partner order
+    is the total order (context, id, pos); extension is an exact
+    first-mismatch argmin — every stage replays bit-identically in an
+    external SQL engine. 100 TB shape: the anchor shuffle carries
+    ~2/(window+1) of the token stream (vs all of it for the stride-1
+    digest pass); the gram-group window and both grouped aggregates key on
+    the gram string; candidate extension joins token arrays by doc id
+    (co-partitioned equi-joins, AQE-sizeable); nothing enumerates document
+    pairs. The known approximation, documented: neighbor pairing is
+    exact-adjacency under the ``context``-token horizon; ties beyond it
+    order by (id, pos), so a run duplicated ONLY beyond the horizon inside
+    a ≥ 3-copy same-doc tie block can under-extend — the canonical partner
+    still flags it at ≥ gram length.
+    """
+    base, merged = _cross_doc_extents(
+        df, text_col, id_col, k=k, window=window, context=context, min_len=min_len
+    )
+    meta = base.select("__id", "__n")
     per = merged.groupBy("__sid").agg(
         F.count("*").cast("long").alias("n_dup_spans"),
         F.sum(F.col("__se") - F.col("__ss") + 1).cast("long").alias("dup_tokens"),
@@ -1612,4 +1649,55 @@ def cross_doc_substring_spans(
                 F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("__n"), 6
             ),
         ).alias("dup_ratio"),
+    )
+
+
+
+def cross_doc_substring_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    context: int = 30,
+    min_len: int = 15,
+) -> DataFrame:
+    """APPLY twin of ``cross_doc_substring_spans`` (the audit/apply
+    pairing discipline of ``duplicated_span_extents`` /
+    ``remove_duplicated_spans``): drop every token covered by a
+    cross-document duplicated extent ≥ ``min_len`` → ``(id, n_tokens,
+    kept_tokens, cleaned_text)``. Declared policy is DROP-ALL — every
+    copy of a cross-doc duplicated run goes (keep-one needs a global copy
+    ordering; drop-all is order-free and is what boilerplate scrubbing
+    wants). The extents join back per doc as a collected interval list
+    (bounded by doc length) and one nested HOF pass keeps the uncovered
+    tokens; document bodies shuffle only where the extents pipeline
+    already moves them. ``cleaned_text`` is the surviving stream under
+    the spans pass's lowercased-whitespace token convention."""
+    base, merged = _cross_doc_extents(
+        df, text_col, id_col, k=k, window=window, context=context, min_len=min_len
+    )
+    cover = merged.groupBy("__sid").agg(
+        F.collect_list(F.struct("__ss", "__se")).alias("__cover")
+    )
+    joined = base.join(cover, base["__id"] == cover["__sid"], "left").select(
+        "__id",
+        "__n",
+        "__tok",
+        F.coalesce(
+            "__cover", F.array().cast("array<struct<__ss:int,__se:int>>")
+        ).alias("__cover"),
+    )
+    kept = F.filter(
+        "__tok",
+        lambda tok, i: ~F.exists(
+            "__cover", lambda s: (i >= s["__ss"]) & (i <= s["__se"])
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )

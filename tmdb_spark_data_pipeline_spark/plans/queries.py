@@ -8454,6 +8454,105 @@ def stream_exactly_once_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cc_maintenance",
+    oracle=r"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (SELECT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    lab AS (SELECT s AS node, least(s, min(d)) AS comp FROM reach GROUP BY s)
+    SELECT CAST(comp AS BIGINT) AS component_id, count(*) AS n_nodes
+    FROM lab GROUP BY 1
+    """,
+)
+def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING graph maintenance, driver-gated (VERDICT_r09 "Next round"
+    #6): connected-component labels of the co-purchase graph maintained
+    INCREMENTALLY over a real edge stream — the ≥2-co-occurrence edge
+    table is landed as three single-file parquet batches (deterministic
+    (u+v) mod 3 split), replayed through a file-source stream
+    (``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``), and a
+    ``foreachBatch`` handler folds each delta into the label state by
+    running ``dedup.connected_components`` over (star edges of the
+    current labels) ∪ (the new batch): the star contraction preserves
+    connectivity of everything processed so far, so per-epoch work is
+    |state nodes| + |delta edges| — never a full-history recompute. CC
+    is CONFLUENT (the final fixpoint is independent of batch order and
+    batching), which is what makes an exact oracle possible: the green
+    row certifies stream-maintained labels == batch CC of the full edge
+    set (transitive-closure replay, min-id canonical labels). Every node
+    that ever streamed stays labeled: a node is its component's min or
+    points at it, so the star edges regenerate the whole component each
+    epoch. Output: (component_id, n_nodes) per final cluster."""
+    import os
+    import shutil
+    from glob import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from ..streaming.windows import stream_from_parquet_dir
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    src = _run_tmp(spark, "cc_stream", sf_dir)
+    ckpt = _run_tmp(spark, "cc_stream_ckpt", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+    for i in range(3):
+        bdir = f"{src}_b{i}"
+        edges.filter((F.col("u") + F.col("v")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        os.rename(
+            _glob(f"{bdir}/part-*.parquet")[0],
+            os.path.join(src, f"batch_{i}.parquet"),
+        )
+        shutil.rmtree(bdir, ignore_errors=True)
+    schema = T.StructType(
+        [T.StructField("u", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    state: dict = {"labels": None}
+
+    def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
+        delta = bdf.select("u", "v")
+        if state["labels"] is not None:
+            star = state["labels"].filter(F.col("id") != F.col("comp")).select(
+                F.col("id").alias("u"), F.col("comp").alias("v")
+            )
+            delta = delta.unionAll(star)
+        state["labels"] = dedup.connected_components(
+            delta, "u", "v"
+        ).localCheckpoint()
+
+    q = (
+        stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_on_batch)
+        .queryName("cc_maintenance")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["labels"].groupBy(
+        F.col("comp").cast("long").alias("component_id")
+    ).agg(F.count("*").alias("n_nodes"))
+
+
+@query(
     "stream_pyds_jsonl_totals",
     oracle="""
     SELECT event_type, count(*) AS n,
@@ -16055,6 +16154,109 @@ def cross_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cross_doc_substring_apply",
+    oracle=r"""
+
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws
+      FROM documents),
+    meta AS (SELECT id, len(ws) AS n FROM w),
+    g AS (SELECT id, ws, unnest(range(0, len(ws) - 4)) AS p
+          FROM w WHERE len(ws) >= 5),
+    h AS (SELECT id, p,
+                 substr(md5(list_aggregate(ws[p+1:p+5], 'string_agg', ' ')), 1, 16)
+                   AS hh
+          FROM g),
+    a0 AS (SELECT id, p,
+                  min(struct_pack(h := hh, p := p))
+                    OVER (PARTITION BY id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS anc
+           FROM h),
+    anch AS MATERIALIZED (SELECT DISTINCT id, (anc).p AS ap FROM a0 WHERE p >= 3),
+    occ AS MATERIALIZED (SELECT anch.id, ap,
+                   list_aggregate(ws[ap+1:ap+5], 'string_agg', ' ') AS gr,
+                   list_aggregate(ws[ap+1:ap+30], 'string_agg', ' ') AS ctx
+            FROM anch JOIN w ON w.id = anch.id),
+    nb AS (SELECT id, ap, gr,
+                  lag(struct_pack(i := id, a := ap)) OVER wg AS p1,
+                  lead(struct_pack(i := id, a := ap)) OVER wg AS p2
+           FROM occ WINDOW wg AS (PARTITION BY gr ORDER BY ctx, id, ap)),
+    g1 AS MATERIALIZED (SELECT gr, min(struct_pack(i := id, a := ap)) AS o1 FROM occ GROUP BY gr),
+    g2 AS (SELECT occ.gr, min(struct_pack(i := occ.id, a := occ.ap)) AS o2
+           FROM occ JOIN g1 ON g1.gr = occ.gr
+           WHERE occ.id <> (g1.o1).i GROUP BY occ.gr),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT ia, pa, ib, pb FROM (
+        SELECT id AS ia, ap AS pa, (p1).i AS ib, (p1).a AS pb
+        FROM nb WHERE p1 IS NOT NULL
+        UNION ALL
+        SELECT id, ap, (p2).i, (p2).a FROM nb WHERE p2 IS NOT NULL
+        UNION ALL
+        SELECT o.id, o.ap,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).i ELSE (g2.o2).i END,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).a ELSE (g2.o2).a END
+        FROM occ o JOIN g1 USING (gr) LEFT JOIN g2 USING (gr))
+      WHERE ib IS NOT NULL AND ib <> ia),
+    ex AS MATERIALIZED (
+      SELECT ia, pa,
+             coalesce(list_min([i FOR i IN
+                                range(1, least(A.n - (pa+5), B.n - (pb+5)) + 1)
+                                IF A.ws[pa+5+i] <> B.ws[pb+5+i]]) - 1,
+                      greatest(least(A.n - (pa+5), B.n - (pb+5)), 0)) AS re,
+             coalesce(list_min([i FOR i IN range(1, least(pa, pb) + 1)
+                                IF A.ws[pa-i+1] <> B.ws[pb-i+1]]) - 1,
+                      least(pa, pb)) AS le
+      FROM cand
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) A ON A.id = ia
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) B ON B.id = ib),
+    spans AS MATERIALIZED (SELECT DISTINCT ia AS id, pa - le AS ss, pa + 4 + re AS se
+              FROM ex WHERE 5 + le + re >= 15),
+    isl AS (
+      SELECT id, ss, se,
+             sum(CASE WHEN ss > coalesce(pe, -2) + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY ss, se) AS grp
+      FROM (SELECT id, ss, se,
+                   max(se) OVER (PARTITION BY id ORDER BY ss, se
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pe
+            FROM spans)),
+    merged AS (SELECT id, grp, min(ss) AS ss, max(se) AS se FROM isl GROUP BY 1, 2),
+    cover AS (
+      SELECT id, list(struct_pack(ss := ss, se := se)) AS cov
+      FROM merged GROUP BY 1)
+    SELECT w.id AS doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS cleaned_text
+    FROM (
+      SELECT w.id, w.ws,
+             [w.ws[i+1] FOR i IN range(0, len(w.ws))
+              IF list_count(list_filter(
+                   coalesce(cover.cov, CAST([] AS STRUCT(ss INT, se INT)[])),
+                   c -> i BETWEEN c.ss AND c.se)) = 0] AS kept
+      FROM w LEFT JOIN cover ON cover.id = w.id) w
+    """,
+)
+def cross_doc_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY leg of the ExactSubstr pass (``dedup.cross_doc_substring_apply``
+    — the transform whose audit twin is ``cross_doc_substring_dedup``,
+    mirroring the ``duplicated_span_extents`` / ``remove_duplicated_spans``
+    pairing): every token covered by a cross-document duplicated extent
+    ≥ 15 is dropped (declared DROP-ALL policy — order-free, the strict
+    boilerplate scrub; keep-one would need a global copy ordering) and the
+    surviving stream is re-joined as ``cleaned_text``. The hash therefore
+    gates the exact surviving TOKEN STREAM of every document, not just
+    span accounting. Same no-all-pairs pipeline as the audit; the apply
+    adds one interval-list join (bounded by doc length) and one nested HOF
+    filter pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cross_doc_substring_apply(
+        docs, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming batch twins (VERDICT_r05 "Next round" #5)
 # ---------------------------------------------------------------------------
@@ -16069,6 +16271,7 @@ STREAM_REPLAY_ONLY: dict[str, str] = {
     "stream_cdc_last_state": "applyInPandasWithState is streaming-only",
     "stream_exactly_once_totals": "foreachBatch exactly-once sink protocol",
     "stream_pyds_jsonl_totals": "Python DataSource stream-writer epoch-commit protocol",
+    "stream_cc_maintenance": "foreachBatch incremental graph-state maintenance protocol",
     "stream_python_source_totals": "custom Python streaming DataSource",
     "stream_rest_ingest_audit": "custom REST streaming source",
     "stream_late_data_accounting": "watermark drop/evict semantics ARE the query",
@@ -16146,6 +16349,8 @@ _SWEEP_FRONT = (
     # BOTTOM of the r4 block; whatever falls past rotates in round 11.
     # --- new in round 10 (no driver row yet) ---
     "cross_doc_substring_dedup",
+    "cross_doc_substring_apply",
+    "stream_cc_maintenance",
     # --- last verified r4 (the full stale tier; changed-in-r10 first) ---
     "minhash_artifact_roundtrip",
     "schema_evolution_roundtrip",
