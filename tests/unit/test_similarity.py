@@ -842,6 +842,55 @@ def test_ivfpq_artifact_serves_bit_identical(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(f"{path}/vectors").count() == n
 
 
+def test_ivfpq_artifact_append_frozen_quantizers(spark, sf_smoke, tmp_path):
+    """write_ivfpq_artifact(mode='append'): building from a 90% slice and
+    appending the rest through the FROZEN persisted quantizers must leave
+    the quantizer tables byte-stable and the grown codes/vectors tables
+    equal to directly encoding the full corpus through those same frozen
+    quantizers; append without an existing artifact raises."""
+    import pytest
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    old = emb.filter("vec_id % 10 != 7")
+    new = emb.filter("vec_id % 10 = 7")
+    path = str(tmp_path / "ivfpq_incr")
+    similarity.write_ivfpq_artifact(old, path)
+    cents_before = sorted(map(tuple, spark.read.parquet(f"{path}/centroids").collect()))
+    cbs_before = sorted(map(tuple, spark.read.parquet(f"{path}/codebooks").collect()))
+    similarity.write_ivfpq_artifact(new, path, mode="append")
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/centroids").collect())) == cents_before
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/codebooks").collect())) == cbs_before
+    # grown tables == direct encode of the FULL corpus through the frozen
+    # quantizers (assignment/encoding are pure functions of them)
+    coarse = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    cells = similarity.assign_nearest(emb, coarse).select(
+        "vec_id", F.col("cid").alias("cell_id")
+    )
+    direct = (
+        similarity.pq_encode(emb, cb, m=32, dim=64)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+        .join(cells, "vec_id")
+    )
+    got = sorted(
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    expect = sorted((r.vec_id, tuple(r.codes), r.cell_id) for r in direct.collect())
+    assert got == expect
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
+    with pytest.raises(Exception):
+        similarity.write_ivfpq_artifact(
+            new, str(tmp_path / "missing"), mode="append"
+        )
+
+
 def test_ivfpq_residual_recall_bar_and_degeneracy(spark, sf_smoke, vectors):
     """Residual IVF-PQ holds the same certificate bar as the flat variant
     on real test data (mean recall@10 >= 0.9 at the declared budget), and

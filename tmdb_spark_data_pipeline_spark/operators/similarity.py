@@ -1890,6 +1890,7 @@ def write_ivfpq_artifact(
     dim: int = 64,
     ksub: int = 16,
     iters: int = 2,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the IVF-PQ index as a parquet ARTIFACT — the composed
     counterpart of ``write_ivf_artifact``, persisting all four serving
@@ -1900,10 +1901,41 @@ def write_ivfpq_artifact(
     partitioning — the exact re-rank reads only probed partitions). Both
     trainings are paid once here; serving never re-assigns or re-encodes.
     At 100 TB the codes table is the one scanned per query and is ~16×
-    smaller than the vectors; daily batches would append through frozen
-    centroids+codebooks exactly like ``write_ivf_artifact(mode="append")``
-    (appends are a pure function of the persisted quantizers)."""
+    smaller than the vectors; daily batches append through the FROZEN
+    centroids+codebooks via ``mode="append"``, exactly like
+    ``write_ivf_artifact(mode="append")``: both quantizers are read back
+    from the artifact (never retrained, never rewritten — assignment and
+    encoding are pure functions of (vector, quantizers), so appends can't
+    invalidate existing rows; re-training is an explicit rebuild), the
+    batch is assigned + encoded against them, and only the two
+    cell-partitioned tables grow. Append requires an existing artifact
+    and ignores the training parameters."""
     emb = corpus.select(F.col(id_col), F.col(vec_col))
+    if mode == "append":
+        spark = corpus.sparkSession
+        coarse = spark.read.parquet(f"{path}/centroids").localCheckpoint()
+        cb = spark.read.parquet(f"{path}/codebooks").localCheckpoint()
+        cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col), F.col("cid").alias("cell_id")
+        ).localCheckpoint()
+        packed = (
+            pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                    lambda s: s["cid"],
+                ).alias("codes")
+            )
+            .join(cells, id_col)
+        )
+        packed.repartition("cell_id").write.mode("append").partitionBy(
+            "cell_id"
+        ).parquet(f"{path}/codes")
+        emb.join(cells, id_col).repartition("cell_id").write.mode(
+            "append"
+        ).partitionBy("cell_id").parquet(f"{path}/vectors")
+        return
     # four write actions consume these; localCheckpoint the trained tables
     # (coarse_k rows / m*ksub rows) and the assignment (two consumers) so
     # neither training nor the assign pass re-executes per sink

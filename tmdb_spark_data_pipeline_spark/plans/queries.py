@@ -4351,7 +4351,7 @@ def ivf_artifact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_DIM, _PQ_KSUB = 32, 64, 16
 
 
-def _pq_train_ctes(src: str = "b", lead: str = "") -> str:
+def _pq_train_ctes(src: str = "b", lead: str = "", train_pred: str | None = None) -> str:
     """CTE chain replaying pq_train_codebooks + pq_encode in DuckDB SQL:
     b → sv (stacked subvectors) → c0 (init) → {a,ex,mu,c}×2 Lloyd
     iterations → enc (final assignment with quantization error). Chained
@@ -4362,7 +4362,11 @@ def _pq_train_ctes(src: str = "b", lead: str = "") -> str:
     CTEs right after ``b`` (e.g. the coarse chain + residual table for the
     residual-PQ oracle), and ``src`` is the (vec_id, embedding) CTE the
     subvector stack reads from — ``b`` for raw vectors, ``rb`` for
-    residuals."""
+    residuals. ``train_pred`` (a SQL predicate on vec_id) restricts the
+    TRAINING rows only — init and both Lloyd folds — while the final
+    ``enc`` assignment still encodes the full ``src`` through the trained
+    codebooks: the frozen-quantizer append contract of
+    ``write_ivfpq_artifact(mode="append")``."""
     dsub = _PQ_DIM // _PQ_M
 
     def _sqd(x: str, y: str) -> str:
@@ -4372,6 +4376,14 @@ def _pq_train_ctes(src: str = "b", lead: str = "") -> str:
             " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
         )
 
+    tsv = "svt" if train_pred else "sv"
+    svt = (
+        f""",
+    svt AS MATERIALIZED (SELECT * FROM sv WHERE {train_pred})"""
+        if train_pred
+        else ""
+    )
+    ids0_pred = f" WHERE {train_pred}" if train_pred else ""
     it = ""
     prev = "c0"
     for i in (1, 2):
@@ -4379,13 +4391,13 @@ def _pq_train_ctes(src: str = "b", lead: str = "") -> str:
     a{i} AS (
       SELECT vec_id, sub, cid FROM (
         SELECT sv.vec_id, sv.sub, c.cid, {_sqd('sv.subvec', 'c.cvec')} AS d2
-        FROM sv JOIN {prev} c USING (sub))
+        FROM {tsv} sv JOIN {prev} c USING (sub))
       QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                                  ORDER BY d2 ASC, cid ASC) = 1),
     ex{i} AS (
       SELECT sv.sub, a.cid, unnest(sv.subvec) AS val,
              generate_subscripts(sv.subvec, 1) AS pos
-      FROM sv JOIN a{i} a ON a.vec_id = sv.vec_id AND a.sub = sv.sub),
+      FROM {tsv} sv JOIN a{i} a ON a.vec_id = sv.vec_id AND a.sub = sv.sub),
     mu{i} AS (
       SELECT sub, cid, pos,
              CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mval
@@ -4400,8 +4412,8 @@ def _pq_train_ctes(src: str = "b", lead: str = "") -> str:
       SELECT t.vec_id, CAST(s.sub AS INTEGER) AS sub,
              t.embedding[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS subvec
       FROM {src} t CROSS JOIN
-           (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub) s),
-    ids0 AS (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {_PQ_KSUB}),
+           (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub) s){svt},
+    ids0 AS (SELECT vec_id FROM {src}{ids0_pred} ORDER BY vec_id LIMIT {_PQ_KSUB}),
     c0 AS (SELECT sv.sub, sv.vec_id AS cid, sv.subvec AS cvec
            FROM sv JOIN ids0 USING (vec_id)),{it}
     enc AS MATERIALIZED (
@@ -4544,11 +4556,20 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_coarse_ctes() -> str:
+def _ivfpq_coarse_ctes(train_pred: str | None = None) -> str:
     """Coarse-quantizer replay for ivfpq_topk: kmeans_centroids (k=25, 2
     Lloyd iterations, squared-L2 assignment) over the FULL vectors — the
     `g` chain, appended after _pq_train_ctes()'s `enc` so both trainings
-    share the `b` scan."""
+    share the `b` scan. ``train_pred`` restricts the TRAINING rows (init
+    + both Lloyd folds) for the frozen-quantizer append replay; the cell
+    assignment downstream still covers all of ``b``."""
+    tb = "bt" if train_pred else "b"
+    bt = (
+        f""",
+    bt AS MATERIALIZED (SELECT * FROM b WHERE {train_pred})"""
+        if train_pred
+        else ""
+    )
     it = ""
     prev = "g0"
     for i in (1, 2):
@@ -4556,13 +4577,13 @@ def _ivfpq_coarse_ctes() -> str:
     ga{i} AS (
       SELECT vec_id, cid FROM (
         SELECT b.vec_id, g.cid, {_pq_sqd('b.embedding', 'g.cvec')} AS d2
-        FROM b CROSS JOIN {prev} g)
+        FROM {tb} b CROSS JOIN {prev} g)
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d2 ASC, cid ASC) = 1),
     gex{i} AS (
       SELECT a.cid, unnest(b.embedding) AS val,
              generate_subscripts(b.embedding, 1) AS pos
-      FROM b JOIN ga{i} a USING (vec_id)),
+      FROM {tb} b JOIN ga{i} a USING (vec_id)),
     gmu{i} AS (
       SELECT cid, pos,
              CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mval
@@ -4570,14 +4591,20 @@ def _ivfpq_coarse_ctes() -> str:
     g{i} AS MATERIALIZED (
       SELECT cid, list(mval ORDER BY pos) AS cvec FROM gmu{i} GROUP BY cid)"""
         prev = f"g{i}"
-    return f""",
-    g0 AS (SELECT vec_id AS cid, embedding AS cvec FROM b ORDER BY vec_id LIMIT 25){it}"""
+    return f"""{bt},
+    g0 AS (SELECT vec_id AS cid, embedding AS cvec FROM {tb} ORDER BY vec_id LIMIT 25){it}"""
 
 
-_IVFPQ_ORACLE = (
-    _pq_train_ctes()
-    + _ivfpq_coarse_ctes()
-    + f""",
+def _ivfpq_oracle(train_pred: str | None = None) -> str:
+    """Full IVF-PQ serve replay. ``train_pred`` restricts BOTH trainings
+    (coarse + PQ) to a vec_id slice while encoding, cell assignment,
+    probing, ADC, refine, and the exact leg still cover the full corpus —
+    the frozen-quantizer append lifecycle of
+    ``write_ivfpq_artifact(mode=\"append\")``."""
+    return (
+        _pq_train_ctes(train_pred=train_pred)
+        + _ivfpq_coarse_ctes(train_pred=train_pred)
+        + f""",
     cells AS MATERIALIZED (
       SELECT vec_id AS neighbor_id, cid AS cell FROM (
         SELECT b.vec_id, g.cid, {_pq_sqd('b.embedding', 'g.cvec')} AS d2
@@ -4641,7 +4668,10 @@ _IVFPQ_ORACLE = (
                      AND e.neighbor_id = r.neighbor_id
     WHERE r.rnk <= 10
     """
-)
+    )
+
+
+_IVFPQ_ORACLE = _ivfpq_oracle()
 
 
 @query("similarity_topk_ivfpq", oracle=_IVFPQ_ORACLE)
@@ -4788,6 +4818,48 @@ def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFram
         q, emb, coarse_k=25, coarse_iters=2, nprobe=8,
         m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2, refine=150, k=10,
     )
+
+
+@query("ivfpq_artifact_incremental", oracle=_ivfpq_oracle("vec_id % 10 <> 7"))
+def ivfpq_artifact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ artifact INCREMENTAL append
+    (``write_ivfpq_artifact(mode="append")`` — the composed counterpart of
+    ``ivf_artifact_incremental``, closing the lifecycle the roundtrip
+    docstring promises): the index is built from the 90% slice (BOTH
+    quantizers train on it), the held-out 10% batch is appended THROUGH
+    the frozen persisted centroids+codebooks (read back from the artifact,
+    never retrained or rewritten — assignment and encoding are pure
+    functions of (vector, quantizers)), and queries are served from the
+    grown artifact. The oracle replays exactly that asymmetry: trainings
+    restricted to vec_id % 10 <> 7, encoding/assignment/serve/exact legs
+    over the FULL corpus — so the green row certifies the entire
+    append-don't-retrain contract end to end, including that out-of-
+    training-set vectors rank correctly through quantizers that never saw
+    them. Same graded (query_id, rank, neighbor_id, d2, hit) output as
+    ``similarity_topk_ivfpq``."""
+    import shutil
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") % 10 != 7)
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    path = _run_tmp(spark, "ivfpq_incr", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivfpq_artifact(
+        old, path, coarse_k=25, coarse_iters=2,
+        m=_PQ_M, dim=_PQ_DIM, ksub=_PQ_KSUB, iters=2,
+    )
+    similarity.write_ivfpq_artifact(
+        new, path, mode="append", m=_PQ_M, dim=_PQ_DIM,
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    served = similarity.ivfpq_topk_from_artifact(
+        spark, path, q, nprobe=8, m=_PQ_M, dim=_PQ_DIM, refine=150, k=10
+    )
+    qd = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    return similarity._ivfpq_hit_tail(served, qd, nv, k=10)
 
 
 @query("ivfpq_artifact_roundtrip", oracle=_IVFPQ_ORACLE)
@@ -16351,6 +16423,7 @@ _SWEEP_FRONT = (
     "cross_doc_substring_dedup",
     "cross_doc_substring_apply",
     "stream_cc_maintenance",
+    "ivfpq_artifact_incremental",
     # --- last verified r4 (the full stale tier; changed-in-r10 first) ---
     "minhash_artifact_roundtrip",
     "schema_evolution_roundtrip",
