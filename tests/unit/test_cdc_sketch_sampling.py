@@ -458,3 +458,40 @@ def test_conformal_intervals_coverage_and_partition(spark):
         assert r.n_train + r.n_calib + r.n_test == totals[r.event_type]
         assert r.qhat > 0
         assert 0.78 <= r.coverage <= 1.0, r
+
+
+def test_order_price_jackknife_matches_python_model(spark, sf_smoke):
+    """Replay the delete-one-stratum jackknife exactly in python (same
+    strata, same decimal→double rounding points) and compare; also pin
+    the J=10 stratum count and that SE > 0 wherever J > 1."""
+    from collections import defaultdict
+
+    from tmdb_spark_data_pipeline_spark.plans.queries import (
+        order_price_jackknife_se,
+    )
+    from tmdb_spark_data_pipeline_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_smoke, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    st = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
+    for r in rows:
+        cell = st[r.o_orderpriority][r.o_orderkey % 10]
+        cell[0] += float(r.o_totalprice)
+        cell[1] += 1
+    got = {r.o_orderpriority: r for r in order_price_jackknife_se(
+        spark, sf_smoke
+    ).collect()}
+    for prio, cells in st.items():
+        S = sum(c[0] for c in cells.values())
+        N = sum(c[1] for c in cells.values())
+        J = len(cells)
+        thetas = [round((S - c[0]) / (N - c[1]), 12) for c in cells.values()]
+        tbar = sum(thetas) / J
+        var = sum(round((t - tbar) ** 2, 12) for t in thetas) * (J - 1) / J
+        r = got[prio]
+        assert r.n_orders == N and r.n_strata == J
+        assert abs(r.mean_price - round(S / N, 6)) < 1e-4
+        assert abs(r.jack_se - round(var ** 0.5, 6)) < 1e-4
+        if J > 1:
+            assert r.jack_se > 0

@@ -602,6 +602,7 @@ def test_registry_wide_plan_invariants(spark, sf_smoke):
         "similarity_topk_ivfpq",       # broadcast-centroid assigns (coarse + PQ) + declared exact leg
         "ivfpq_artifact_roundtrip",    # same assign shapes at build + the same declared exact audit leg
         "similarity_topk_ivfpq_residual",  # residual variant: same assigns + declared exact leg
+        "ivfpq_artifact_incremental",  # frozen-quantizer append: same assign shapes + declared exact audit leg
     }
     from tmdb_spark_data_pipeline_spark.plans.queries import (
         STREAM_REPLAY_ONLY,

@@ -837,7 +837,7 @@ def connected_components(
         "comp", F.col("id")
     ).localCheckpoint()
     prev = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # min label among neighbors (one hop through edges)
         nbr = (
             edges.join(comp.select(F.col("id").alias("d"), "comp"), "d")
@@ -855,29 +855,29 @@ def connected_components(
         # count of Catalyst's BigInt estimate doubles per iteration, and on
         # a slow-converging graph (long chains need ~20+ rounds) the size
         # arithmetic alone grows to ~50 s/round and OOMs a default-sized
-        # driver (measured on the (u+v)%3 co-purchase subgraph). persist()
-        # on top of the checkpoint re-derives stats from the ACTUAL
-        # materialized bytes (InMemoryRelation.computeStats after the
-        # convergence count below), pinning the estimate to reality each
-        # round; superseded rounds are unpersisted explicitly.
-        jumped = (
-            stepped.join(
-                stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
-                "comp",
-            )
-            .select("id", F.least("comp", "comp2").alias("comp"))
-            .localCheckpoint()
-            .persist()
-        )
+        # driver (measured on the (u+v)%3 co-purchase subgraph). Every 6th
+        # round, persist() on top of the checkpoint re-derives stats from
+        # the ACTUAL materialized bytes (InMemoryRelation.computeStats
+        # after the convergence count below), resetting the estimate —
+        # digits between launderings stay ≤ ~40·2⁶, trivially cheap, and
+        # the near-dup clique graphs that converge in 2-4 rounds pay no
+        # second materialization at all. Superseded caches are unpersisted.
+        jumped = stepped.join(
+            stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
+            "comp",
+        ).select("id", F.least("comp", "comp2").alias("comp")).localCheckpoint()
+        if i % 6 == 5:
+            jumped = jumped.persist()
         changed = (
             jumped.alias("n")
             .join(comp.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = jumped
+        if i % 6 == 5:
+            if prev is not None:
+                prev.unpersist()
+            prev = jumped
         comp = jumped
         if changed == 0:
             return comp

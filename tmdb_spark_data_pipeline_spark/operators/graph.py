@@ -170,14 +170,18 @@ def kcore(
         sym = sym.join(dead, "src", "left_anti").join(
             dead.select(F.col("src").alias("dst")), "dst", "left_anti"
         )
-        # every-other-round truncation — see s_core / pagerank_fixed. The
-        # persist() on top launders Catalyst's size estimate: localCheckpoint
-        # INHERITS it, each anti-join round multiplies it, and on a deep peel
-        # cascade the BigInt size arithmetic would dominate planning long
-        # before data does (the connected_components lesson, dedup.py) —
-        # InMemoryRelation re-derives stats from real materialized bytes.
+        # every-other-round truncation — see s_core / pagerank_fixed. Every
+        # 6th round the persist() on top launders Catalyst's size estimate:
+        # localCheckpoint INHERITS it, each anti-join round multiplies it,
+        # and on a deep peel cascade the BigInt size arithmetic would
+        # dominate planning long before data does (the connected_components
+        # lesson, dedup.py) — InMemoryRelation re-derives stats from real
+        # materialized bytes. Shallow peels (the normal case) never pay the
+        # second materialization.
         if i % 2 == 1:
-            sym = sym.localCheckpoint().persist()
+            sym = sym.localCheckpoint()
+            if i % 6 == 5:
+                sym = sym.persist()
     if not converged and not (
         sym.groupBy("src").agg(F.count("*").alias("__d"))
         .filter(F.col("__d") < k)
@@ -246,10 +250,13 @@ def s_core(
         # rounds of broadcast-anti-join lineage is shallow and cheap to
         # recompute, while each eager localCheckpoint materializes the full
         # surviving edge list — halving them saves ~1/3 of the loop wall on
-        # a million-edge graph. persist() launders the inherited size
-        # estimate (the connected_components lesson, dedup.py).
+        # a million-edge graph. Every 6th round a persist() launders the
+        # inherited size estimate (the connected_components lesson,
+        # dedup.py); shallow peels never pay it.
         if i % 2 == 1:
-            sym = sym.localCheckpoint().persist()
+            sym = sym.localCheckpoint()
+            if i % 6 == 5:
+                sym = sym.persist()
     if not converged and not (
         sym.groupBy("src").agg(F.sum("w").alias("__d"))
         .filter(F.col("__d") < s)
@@ -677,19 +684,21 @@ def ktruss(
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).localCheckpoint()
     n = e.count()
     converged = False
-    for _ in range(max_iter):
+    for _r in range(max_iter):
         sup = _edge_support(e)
-        # persist() over the checkpoint launders the inherited size estimate
-        # — the support pass references the evolving edge set three times,
-        # so the estimate would otherwise cube per peel round (the
-        # connected_components lesson, dedup.py)
+        # every 3rd round, persist() over the checkpoint launders the
+        # inherited size estimate — the support pass references the
+        # evolving edge set three times, so the estimate would otherwise
+        # cube per peel round (the connected_components lesson, dedup.py);
+        # the typical 2-round peel never pays the second materialization
         e = (
             e.join(sup, ["u", "v"], "left")
             .filter(F.coalesce("__s", F.lit(0)) >= k - 2)
             .select("u", "v")
             .localCheckpoint()
-            .persist()
         )
+        if _r % 3 == 2:
+            e = e.persist()
         n2 = e.count()
         if n2 == n:
             converged = True

@@ -6851,6 +6851,105 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_jackknife_se",
+    oracle="""
+    WITH st AS (
+      SELECT o_orderpriority, o_orderkey % 10 AS j,
+             sum(CAST(o_totalprice AS DECIMAL(30,4))) AS sj,
+             count(*) AS nj
+      FROM orders GROUP BY 1, 2),
+    tot AS (
+      SELECT o_orderpriority, sum(sj) AS stot, sum(nj) AS ntot,
+             count(*) AS jn
+      FROM st GROUP BY 1),
+    loo AS (
+      SELECT st.o_orderpriority,
+             CAST(round(CAST(tot.stot - st.sj AS DOUBLE)
+                        / (tot.ntot - st.nj), 12) AS DECIMAL(30,12)) AS theta_j
+      FROM st JOIN tot USING (o_orderpriority)),
+    bar AS (
+      SELECT o_orderpriority,
+             CAST(sum(theta_j) AS DOUBLE) / count(*) AS tbar
+      FROM loo GROUP BY 1),
+    dev AS (
+      SELECT loo.o_orderpriority,
+             CAST(round((CAST(theta_j AS DOUBLE) - tbar)
+                        * (CAST(theta_j AS DOUBLE) - tbar), 12)
+                  AS DECIMAL(30,12)) AS d2
+      FROM loo JOIN bar USING (o_orderpriority))
+    SELECT tot.o_orderpriority, CAST(tot.ntot AS BIGINT) AS n_orders,
+           CAST(tot.jn AS BIGINT) AS n_strata,
+           round(CAST(tot.stot AS DOUBLE) / tot.ntot, 6) AS mean_price,
+           round(sqrt(CAST(sum(dev.d2) AS DOUBLE)
+                      * (tot.jn - 1) / tot.jn), 6) AS jack_se
+    FROM dev JOIN tot USING (o_orderpriority)
+    GROUP BY tot.o_orderpriority, tot.ntot, tot.jn, tot.stot
+    """,
+)
+def order_price_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-STRATUM JACKKNIFE standard error of mean order price per
+    priority — the third classic resampling method next to the Poisson
+    bootstrap (``order_price_bootstrap_ci``) and split-conformal
+    (``conformal_value_intervals``), and the one production metric
+    pipelines actually use for ratio metrics (delete-a-group jackknife:
+    what BigQuery/Trino A/B stacks compute because it needs ONE pass over
+    group partials, no per-replicate resample). Strata are o_orderkey
+    mod 10; θ₍ⱼ₎ = (S−Sⱼ)/(N−Nⱼ) from exact decimal partials, and
+    SE² = (J−1)/J · Σ (θ₍ⱼ₎−θ̄)² with each squared deviation
+    round-12 → decimal(30,12) before the sum — partial-agg order can't
+    move a digit (the house discipline). sqrt is correctly-rounded IEEE,
+    so engine-portable. Scale shape: ONE grouped pass over orders builds
+    the (priority × 10) stratum partials; everything after runs on ≤ 50
+    rows. Output: (priority, n_orders, n_strata, mean_price, jack_se)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
+    st = o.groupBy(
+        "o_orderpriority", (F.col("o_orderkey") % 10).alias("__j")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("__sj"),
+        F.count("*").alias("__nj"),
+    )
+    tot = st.groupBy("o_orderpriority").agg(
+        F.sum("__sj").alias("__stot"),
+        F.sum("__nj").alias("__ntot"),
+        F.count("*").alias("__jn"),
+    )
+    loo = st.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "__stot", "__ntot", "__jn",
+        F.round(
+            (F.col("__stot") - F.col("__sj")).cast("double")
+            / (F.col("__ntot") - F.col("__nj")),
+            12,
+        ).cast("decimal(30,12)").alias("__theta"),
+    )
+    bar = loo.groupBy("o_orderpriority").agg(
+        (F.sum("__theta").cast("double") / F.count("*")).alias("__tbar")
+    )
+    dev = loo.join(F.broadcast(bar), "o_orderpriority").select(
+        "o_orderpriority", "__stot", "__ntot", "__jn",
+        F.round(
+            (F.col("__theta").cast("double") - F.col("__tbar"))
+            * (F.col("__theta").cast("double") - F.col("__tbar")),
+            12,
+        ).cast("decimal(30,12)").alias("__d2"),
+    )
+    return dev.groupBy("o_orderpriority", "__stot", "__ntot", "__jn").agg(
+        F.sum("__d2").alias("__ssd")
+    ).select(
+        "o_orderpriority",
+        F.col("__ntot").cast("long").alias("n_orders"),
+        F.col("__jn").cast("long").alias("n_strata"),
+        F.round(F.col("__stot").cast("double") / F.col("__ntot"), 6).alias("mean_price"),
+        F.round(
+            F.sqrt(
+                F.col("__ssd").cast("double") * (F.col("__jn") - 1) / F.col("__jn")
+            ),
+            6,
+        ).alias("jack_se"),
+    )
+
+
+@query(
     "order_price_bootstrap_ci",
     oracle="""
     WITH reps AS (
@@ -16424,6 +16523,7 @@ _SWEEP_FRONT = (
     "cross_doc_substring_apply",
     "stream_cc_maintenance",
     "ivfpq_artifact_incremental",
+    "order_price_jackknife_se",
     # --- last verified r4 (the full stale tier; changed-in-r10 first) ---
     "minhash_artifact_roundtrip",
     "schema_evolution_roundtrip",
