@@ -793,6 +793,37 @@ def test_ivfpq_topk_audit_recall_and_shape(spark, sf_smoke):
     assert hits / (10 * len(per)) >= 0.9
 
 
+def test_ivfpq_serve_never_broadcasts_corpus(spark, sf_smoke, tmp_path):
+    """Scale-posture machine check (ADVICE_r09 medium, kept fixed): in the
+    artifact serve's physical plan, every BroadcastExchange subtree must
+    be query-bounded — none may contain the codes/vectors parquet scans
+    (a corpus-proportional broadcast OOMs at 100 TB). The cell-blocked
+    scan joins broadcast(probes) INTO the code scan, never the reverse."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivfpq_posture")
+    similarity.write_ivfpq_artifact(emb, path)
+    served = similarity.ivfpq_topk_from_artifact(spark, path, q)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # walk broadcast subtrees: capture each BroadcastExchange block by
+    # indentation and assert no corpus file scan appears inside it
+    lines = plan.splitlines()
+    in_bc, bc_depth = False, 0
+    offenders = []
+    for ln in lines:
+        depth = len(ln) - len(ln.lstrip(" :+-*"))
+        if "BroadcastExchange" in ln:
+            in_bc, bc_depth = True, depth
+            continue
+        if in_bc and depth <= bc_depth and ln.strip():
+            in_bc = False
+        if in_bc and ("/codes" in ln or "/vectors" in ln):
+            offenders.append(ln.strip()[:120])
+    assert not offenders, offenders
+    # and the serve still answers correctly end to end
+    assert served.count() == 50
+
+
 def test_ivfpq_full_probe_full_refine_equals_exact(spark, vectors):
     """With nprobe = coarse_k (no cell pruning) and refine = N (no ADC
     pruning), the composed path degenerates to the exact search: every
