@@ -724,3 +724,33 @@ def test_bpe_merge_rejoin_broadcasts(spark):
     plan = stream._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_run_tmp_cleanup_registration_and_stale_sweep(spark, tmp_path, monkeypatch):
+    """_run_tmp hygiene (ADVICE r10): the per-application scratch tree is
+    atexit-registered for removal, and stale leftovers from OTHER
+    application ids (>24h old) are swept on first use — while fresh foreign
+    directories (a live concurrent run) are never touched."""
+    import os
+    import time
+
+    import tempfile as _tempfile
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    app_id = spark.sparkContext.applicationId
+    # force re-registration under the patched tempdir
+    queries._TMP_CLEANUP_APPS.discard(app_id)
+
+    stale = tmp_path / "spark_graft_otherapp_oldtag_sf0"
+    fresh = tmp_path / "spark_graft_liveapp_tag_sf0"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - 2 * 86400
+    os.utime(stale, (old, old))
+
+    p = queries._run_tmp(spark, "t", "/root/testdata/sf0.001")
+    assert f"spark_graft_{app_id}_t_sf0.001" in p
+    assert not stale.exists()  # swept: foreign + >24h
+    assert fresh.exists()  # spared: foreign but fresh
+    # idempotent: second call doesn't re-register or error
+    assert queries._run_tmp(spark, "t", "/root/testdata/sf0.001") == p

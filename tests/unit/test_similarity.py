@@ -920,6 +920,15 @@ def test_ivfpq_artifact_append_frozen_quantizers(spark, sf_smoke, tmp_path):
         similarity.write_ivfpq_artifact(
             new, str(tmp_path / "missing"), mode="append"
         )
+    # geometry mismatch must raise BEFORE writing (ADVICE r10): an append
+    # with m/dim different from the build would silently land code arrays
+    # of the wrong length in the existing cell-partitioned codes table
+    codes_before = spark.read.parquet(f"{path}/codes").count()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        similarity.write_ivfpq_artifact(new, path, mode="append", m=16, dim=64)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        similarity.write_ivfpq_artifact(new, path, mode="append", m=32, dim=32)
+    assert spark.read.parquet(f"{path}/codes").count() == codes_before
 
 
 def test_ivfpq_residual_recall_bar_and_degeneracy(spark, sf_smoke, vectors):

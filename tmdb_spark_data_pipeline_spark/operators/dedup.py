@@ -880,7 +880,19 @@ def connected_components(
             prev = jumped
         comp = jumped
         if changed == 0:
+            # Drop the loop's laundering cache before returning — a caller
+            # that invokes this per epoch (stream_cc_maintenance's
+            # foreachBatch) would otherwise accumulate one cached label
+            # table per invocation for the life of the application. When
+            # convergence lands ON a laundering round (prev is comp), the
+            # returned DataFrame is still backed by its localCheckpoint RDD,
+            # so unpersisting only drops the stats-pinning cache — reads
+            # stay correct and cheap (the label table is tiny).
+            if prev is not None:
+                prev.unpersist()
             return comp
+    if prev is not None:
+        prev.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

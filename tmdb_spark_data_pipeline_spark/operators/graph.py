@@ -159,6 +159,7 @@ def kcore(
         .localCheckpoint()
     )
     converged = False
+    prev_cached = None
     for i in range(max_iter):
         deg = sym.groupBy("src").agg(F.count("*").alias("__d"))
         # three consumers of the tiny dead list (probe + both anti-join
@@ -234,6 +235,7 @@ def s_core(
         .localCheckpoint()
     )
     converged = False
+    prev_cached = None
     for i in range(max_iter):
         wd = sym.groupBy("src").agg(F.sum("w").alias("__d"))
         # the dead set has three consumers (the convergence probe + both
@@ -256,7 +258,14 @@ def s_core(
         if i % 2 == 1:
             sym = sym.localCheckpoint()
             if i % 6 == 5:
+                if prev_cached is not None:
+                    prev_cached.unpersist()
                 sym = sym.persist()
+                prev_cached = sym
+    if prev_cached is not None:
+        # drop the last laundering cache before returning (ADVICE r10) —
+        # sym stays backed by its localCheckpoint RDD.
+        prev_cached.unpersist()
     if not converged and not (
         sym.groupBy("src").agg(F.sum("w").alias("__d"))
         .filter(F.col("__d") < s)
@@ -684,6 +693,7 @@ def ktruss(
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).localCheckpoint()
     n = e.count()
     converged = False
+    prev_cached = None
     for _r in range(max_iter):
         sup = _edge_support(e)
         # every 3rd round, persist() over the checkpoint launders the
@@ -698,12 +708,19 @@ def ktruss(
             .localCheckpoint()
         )
         if _r % 3 == 2:
+            if prev_cached is not None:
+                prev_cached.unpersist()
             e = e.persist()
+            prev_cached = e
         n2 = e.count()
         if n2 == n:
             converged = True
             break
         n = n2
+    if prev_cached is not None:
+        # drop the last laundering cache before returning (ADVICE r10) —
+        # e stays backed by its localCheckpoint RDD.
+        prev_cached.unpersist()
     if not converged:
         raise RuntimeError(
             f"ktruss did not converge within max_iter={max_iter} rounds "

@@ -1908,13 +1908,37 @@ def write_ivfpq_artifact(
     encoding are pure functions of (vector, quantizers), so appends can't
     invalidate existing rows; re-training is an explicit rebuild), the
     batch is assigned + encoded against them, and only the two
-    cell-partitioned tables grow. Append requires an existing artifact
-    and ignores the training parameters."""
+    cell-partitioned tables grow. Append requires an existing artifact;
+    the TRAINING parameters (coarse_k/coarse_iters/ksub/iters) are unused,
+    and the GEOMETRY parameters (m, dim) are validated against the
+    persisted codebooks — a mismatch would silently append code arrays of
+    the wrong length into the existing cell-partitioned codes table
+    (ADVICE r10), so it raises instead."""
     emb = corpus.select(F.col(id_col), F.col(vec_col))
     if mode == "append":
         spark = corpus.sparkSession
         coarse = spark.read.parquet(f"{path}/centroids").localCheckpoint()
         cb = spark.read.parquet(f"{path}/codebooks").localCheckpoint()
+        # derive the build geometry from the persisted codebooks (m·ksub
+        # rows, already materialized — one cheap agg) and refuse to corrupt
+        # the artifact on mismatch
+        geo = cb.agg(
+            (F.max("sub") + 1).alias("__m"),
+            F.max(F.size("cvec")).alias("__dsub"),
+            F.min(F.size("cvec")).alias("__dsub_min"),
+        ).first()
+        persisted_m = int(geo["__m"])
+        persisted_dim = persisted_m * int(geo["__dsub"])
+        if int(geo["__dsub"]) != int(geo["__dsub_min"]) or (m, dim) != (
+            persisted_m,
+            persisted_dim,
+        ):
+            raise ValueError(
+                f"write_ivfpq_artifact(mode='append'): geometry mismatch — "
+                f"artifact at {path!r} was built with m={persisted_m}, "
+                f"dim={persisted_dim}, but append was called with m={m}, "
+                f"dim={dim}; appending would corrupt the codes table"
+            )
         cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
             F.col(id_col), F.col("cid").alias("cell_id")
         ).localCheckpoint()

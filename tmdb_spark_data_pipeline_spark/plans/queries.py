@@ -73,15 +73,56 @@ def _run_tmp(spark: SparkSession, tag: str, sf_dir: str) -> str:
     artifact mid-read, and a path pre-created by another local user can't
     collide (tmp hygiene). Stable within one application, so a query
     re-executed in the same session reuses — and overwrites — its own
-    location rather than littering."""
+    location rather than littering. The per-application scratch tree is
+    removed at interpreter exit (atexit), so runs don't accumulate stale
+    artifact/checkpoint directories in the system tempdir across
+    applications (ADVICE r10); leftovers from crashed prior runs (different
+    appId, untouched for >24 h — live concurrent applications are younger
+    than that by construction) are swept on this application's first call."""
     import os
     import tempfile
 
+    base = tempfile.gettempdir()
+    app_id = spark.sparkContext.applicationId
+    _register_tmp_cleanup(base, app_id)
     return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_{spark.sparkContext.applicationId}_{tag}_"
+        base,
+        f"spark_graft_{app_id}_{tag}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
+
+
+_TMP_CLEANUP_APPS: set[str] = set()
+
+
+def _register_tmp_cleanup(base: str, app_id: str) -> None:
+    """Once per application: (1) atexit-remove every spark_graft_<appId>_*
+    scratch directory this run created, (2) sweep stale leftovers of OTHER
+    application ids older than a day."""
+    if app_id in _TMP_CLEANUP_APPS:
+        return
+    _TMP_CLEANUP_APPS.add(app_id)
+    import atexit
+    import glob
+    import os
+    import shutil
+    import time
+
+    mine = os.path.join(base, f"spark_graft_{app_id}_*")
+
+    def _sweep_mine() -> None:
+        for p in glob.glob(mine):
+            shutil.rmtree(p, ignore_errors=True)
+
+    atexit.register(_sweep_mine)
+    now = time.time()
+    for p in glob.glob(os.path.join(base, "spark_graft_*")):
+        if not os.path.basename(p).startswith(f"spark_graft_{app_id}_"):
+            try:
+                if now - os.path.getmtime(p) > 86400:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
 
 # exact decimal sum of a double expression, surfaced as double (see module doc)
