@@ -727,6 +727,70 @@ def test_cross_doc_substring_apply_surviving_stream(spark):
     assert out[3].cleaned_text == "mixed case text stays but lowercased here"
 
 
+def test_cross_doc_substring_keep_one_canonical_copy_survives(spark):
+    """Keep-one policy: the globally FIRST copy (min (id, start)) of each
+    distinct extent content survives untouched, every other copy is
+    scrubbed — so unlike drop-all, the shared run's content never vanishes
+    from the corpus. Three-copy case: docs 1, 2, 7 share a 20-token run;
+    doc 1 (lowest id) keeps it, docs 2 and 7 lose it. kept_copies counts
+    the surviving canonical extents per doc."""
+    shared = " ".join(f"c{i}" for i in range(20))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    keep1, keep2 = filler("a", 7), filler("b", 5)
+    rows = [
+        (1, f"{keep1} {shared} {keep2}"),
+        (2, f"{filler('d', 3)} {shared} {filler('e', 9)}"),
+        (7, f"{shared} {filler('f', 6)}"),
+        (3, "untouched plain document with no duplicated material at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_doc_substring_keep_one(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    # canonical copy (doc 1) survives verbatim
+    assert (out[1].n_tokens, out[1].kept_tokens, out[1].kept_copies) == (32, 32, 1)
+    assert out[1].cleaned_text == f"{keep1} {shared} {keep2}"
+    # non-canonical copies are scrubbed
+    assert (out[2].kept_tokens, out[2].kept_copies) == (12, 0)
+    assert out[2].cleaned_text == f"{filler('d', 3)} {filler('e', 9)}"
+    assert (out[7].kept_tokens, out[7].kept_copies) == (6, 0)
+    # untouched doc keeps its full stream
+    assert out[3].kept_tokens == out[3].n_tokens and out[3].kept_copies == 0
+    # vs drop-all: keep-one retains strictly more tokens, and the shared
+    # content remains present in exactly one document
+    drop = {r.doc_id: r for r in dedup.cross_doc_substring_apply(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    assert drop[1].kept_tokens == 12  # drop-all removes even the canonical
+    assert sum(shared in out[d].cleaned_text for d in (1, 2, 7)) == 1
+
+
+def test_cross_doc_substring_keep_one_within_doc_copies(spark):
+    """Two copies of the same run INSIDE the canonical document: the
+    min-(id, start) ordering keeps only the first occurrence — the second
+    is scrubbed like any other copy (the content group is global, not
+    per-document)."""
+    shared = " ".join(f"c{i}" for i in range(18))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, f"{shared} {filler('a', 6)} {shared}"),
+        (2, f"{filler('d', 4)} {shared} {filler('e', 4)}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_doc_substring_keep_one(
+        df, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    ).collect()}
+    assert (out[1].n_tokens, out[1].kept_tokens, out[1].kept_copies) == (42, 24, 1)
+    assert out[1].cleaned_text == f"{shared} {filler('a', 6)}"
+    assert (out[2].kept_tokens, out[2].kept_copies) == (8, 0)
+
+
 def test_connected_components_long_chain_and_star_merge(spark):
     """Two regressions pinned: (1) CC must survive a LONG-DIAMETER graph
     (a 60-node path needs ~15+ pointer-jump rounds; the round self-join
@@ -749,3 +813,80 @@ def test_connected_components_long_chain_and_star_merge(spark):
         ddf = spark.createDataFrame(delta, "id_a long, id_b long")
         labels = {r.id: r.comp for r in dedup.connected_components(ddf).collect()}
     assert labels == full
+
+
+def test_incremental_minhash_cluster_fold_equals_batch(spark, tmp_path):
+    """The stream_minhash_cluster_maintenance epoch body, driver-free: per
+    batch (1) append signatures to the band artifact, (2) incremental
+    candidates = new-batch buckets x whole artifact (new-x-old + new-x-new
+    only — old-x-old pairs were emitted in their own epochs), (3) exact
+    verify, (4) star-fold into CC state. Final labels must equal batch CC
+    over the full exact-Jaccard pair set, and the per-epoch candidate
+    restriction must never lose a pair (the later-endpoint-epoch
+    completeness argument)."""
+    import itertools
+
+    base_text = " ".join(f"w{i}" for i in range(30))
+    variant = " ".join(f"w{i}" for i in range(29)) + " zz"
+    other = " ".join(f"q{i}" for i in range(30))
+    other_v = " ".join(f"q{i}" for i in range(29)) + " yy"
+    rows = [
+        (0, base_text), (3, base_text), (6, variant),     # cluster {0,3,6}
+        (1, other), (4, other_v),                          # cluster {1,4}
+        (2, " ".join(f"u{i}" for i in range(30))),         # singletons
+        (5, " ".join(f"v{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full_pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
+    want = {
+        r.id: r.comp for r in dedup.connected_components(full_pairs).collect()
+    }
+
+    art = str(tmp_path / "mh_art")
+    labels = None
+    for b in range(3):
+        bdf = docs.filter(F.col("doc_id") % 3 == b)
+        dedup.write_minhash_artifact(
+            bdf, "text", "doc_id", art, mode="overwrite" if b == 0 else "append"
+        )
+        buckets = spark.read.parquet(art)
+        new_ids = bdf.select(F.col("doc_id").alias("__id"))
+        nb = buckets.join(F.broadcast(new_ids), "__id", "left_semi")
+        cand = (
+            nb.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col("a.__id") != F.col("b.__id")),
+            )
+            .select(
+                F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand_docs = (
+            cand.select(F.col("id_a").alias("__id"))
+            .union(cand.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        sh = (
+            docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+            .join(F.broadcast(cand_docs), "__id", "left_semi")
+            .select("__id", F.explode(dedup.word_shingles("__t", 3)).alias("__s"))
+        )
+        verified = dedup._jaccard_from_shingles(sh, 0.5, persist=False).join(
+            cand, ["id_a", "id_b"], "left_semi"
+        )
+        fold = [(r.id_a, r.id_b) for r in verified.collect()]
+        if labels is not None:
+            fold += [(i, c) for i, c in labels.items() if i != c]
+        if not fold:
+            continue
+        fdf = spark.createDataFrame(fold, "u long, v long")
+        labels = {r.id: r.comp for r in dedup.connected_components(fdf, "u", "v").collect()}
+    assert labels == want
+    assert sorted(set(want.values())) == [0, 1]  # {0,3,6} -> 0, {1,4} -> 1

@@ -1713,3 +1713,110 @@ def cross_doc_substring_apply(
         F.size(kept).cast("long").alias("kept_tokens"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def cross_doc_substring_keep_one(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    context: int = 30,
+    min_len: int = 15,
+) -> DataFrame:
+    """KEEP-ONE twin of ``cross_doc_substring_apply`` (the curator policy
+    Lee et al. 2022 actually ship: deduplicate, don't eliminate): for each
+    distinct maximal-extent CONTENT (the exact token slice of a merged
+    cross-doc duplicated extent), the globally FIRST copy — min (id,
+    start) over every occurrence of that content — survives untouched;
+    every other copy is scrubbed. Returns ``(id, n_tokens, kept_tokens,
+    kept_copies, cleaned_text)`` where ``kept_copies`` counts this
+    document's surviving canonical extents.
+
+    The global copy ordering is the canonical-component convention used
+    throughout this module (``connected_components`` keeps min node id;
+    here min (id, start) per content group): total, data-independent, and
+    replayable in an external SQL engine — grouping is by the content
+    STRING, not a hash, so collisions cannot merge distinct contents
+    (the family's trusts-no-hash discipline). Invariant this policy
+    guarantees (and the unit test pins): no duplicated run's content ever
+    vanishes from the corpus — drop-all removes every copy, keep-one
+    leaves exactly one copy per distinct extent content.
+
+    Documented approximation, inherited from extent granularity: copies
+    group by the MERGED extent's content, so a run whose copies merged
+    into DIFFERENT maximal extents in different documents (one document
+    had adjacent duplicated material, the other didn't) lands in distinct
+    content groups and each group keeps its own canonical copy — keep-one
+    never over-deletes, it can only under-delete relative to the
+    (ill-posed) per-run ideal. 100 TB shape: one extra shuffle keyed on
+    the extent content string, carrying each duplicated extent exactly
+    once — the same cost class as the extend-and-verify join the family
+    already pays (total duplicated bytes, never the corpus), and the
+    grouped side is the MERGED extent list (≤ spans), never per-candidate
+    rows."""
+    base, merged = _cross_doc_extents(
+        df, text_col, id_col, k=k, window=window, context=context, min_len=min_len
+    )
+    # attach each merged extent's exact content (one join against the
+    # token arrays — merged extents are per-doc maximal, so each doc's
+    # array ships once here, as in the apply's cover join)
+    ext = merged.join(base, merged["__sid"] == base["__id"]).select(
+        "__sid",
+        "__ss",
+        "__se",
+        F.concat_ws(
+            " ", F.slice("__tok", F.col("__ss") + 1, F.col("__se") - F.col("__ss") + 1)
+        ).alias("__c"),
+    )
+    canon = ext.groupBy("__c").agg(
+        F.min(F.struct(F.col("__sid").alias("i"), F.col("__ss").alias("s"))).alias(
+            "__w"
+        )
+    )
+    tagged = ext.join(canon, "__c").select(
+        "__sid",
+        "__ss",
+        "__se",
+        (
+            (F.col("__sid") == F.col("__w.i")) & (F.col("__ss") == F.col("__w.s"))
+        ).alias("__keep"),
+    )
+    cover = (
+        tagged.filter(~F.col("__keep"))
+        .groupBy("__sid")
+        .agg(F.collect_list(F.struct("__ss", "__se")).alias("__cover"))
+    )
+    kept_copies = (
+        tagged.filter(F.col("__keep"))
+        .groupBy("__sid")
+        .agg(F.count("*").cast("long").alias("__kc"))
+    )
+    joined = (
+        base.join(cover, base["__id"] == cover["__sid"], "left")
+        .drop("__sid")
+        .join(kept_copies, base["__id"] == kept_copies["__sid"], "left")
+        .select(
+            "__id",
+            "__n",
+            "__tok",
+            F.coalesce(
+                "__cover", F.array().cast("array<struct<__ss:int,__se:int>>")
+            ).alias("__cover"),
+            F.coalesce("__kc", F.lit(0)).alias("__kc"),
+        )
+    )
+    kept = F.filter(
+        "__tok",
+        lambda tok, i: ~F.exists(
+            "__cover", lambda s: (i >= s["__ss"]) & (i <= s["__se"])
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.col("__kc").alias("kept_copies"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

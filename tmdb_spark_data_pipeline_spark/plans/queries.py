@@ -9815,6 +9815,150 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "stream_minhash_cluster_maintenance",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+    SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS component_id
+    FROM reach GROUP BY s
+    """,
+)
+def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-CLUSTER maintenance, driver-gated (VERDICT_r10 "Next
+    round" #4 — the composition of ``stream_minhash_index_maintenance``,
+    which proves the band ARTIFACT survives streaming, with
+    ``stream_cc_maintenance``'s star-fold, which proves CC label STATE
+    does): document batches arrive on a real file-source stream (3
+    single-file parquet batches, ``maxFilesPerTrigger=1`` +
+    ``Trigger.AvailableNow``) and each ``foreachBatch`` epoch (1) appends
+    the batch's signatures to the persisted band-bucket artifact, (2)
+    computes the INCREMENTAL candidate pairs — new-batch buckets joined
+    against the whole artifact, so new×old and new×new only, never a
+    full-history re-pair — (3) exact-Jaccard-verifies just those
+    candidates (unverified band collisions must not reach CC: clusters
+    can't unmerge), and (4) folds the verified pairs into the CC label
+    state via star(labels) ∪ pairs. Completeness: every pair (x, y)
+    is emitted in the LATER endpoint's epoch; CC is confluent, so
+    stream-maintained clusters == batch CC over the full exact-Jaccard
+    pair set — the identical transitive-closure oracle as
+    ``neardup_components``, which is what the green row certifies. Output:
+    (doc_id, component_id), min-id canonical labels."""
+    import os
+    import shutil
+    from glob import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import _jaccard_from_shingles, _spread, word_shingles
+    from ..streaming.windows import stream_from_parquet_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _run_tmp(spark, "mhcc_stream", sf_dir)
+    ckpt = _run_tmp(spark, "mhcc_ckpt", sf_dir)
+    art = _run_tmp(spark, "mhcc_art", sf_dir)
+    for d in (src, ckpt, art):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    for i in range(3):
+        bdir = f"{src}_b{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        os.rename(
+            _glob(f"{bdir}/part-*.parquet")[0],
+            os.path.join(src, f"batch_{i}.parquet"),
+        )
+        shutil.rmtree(bdir, ignore_errors=True)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state: dict = {"initialized": False, "labels": None}
+
+    def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        new_ids = bdf.select(F.col("doc_id").alias("__id")).localCheckpoint()
+        mode = "append" if state["initialized"] else "overwrite"
+        dedup.write_minhash_artifact(bdf, "text", "doc_id", art, mode=mode)
+        state["initialized"] = True
+        # incremental candidates: the NEW batch's bucket rows against the
+        # whole (just-grown) artifact — new×old and new×new, normalized to
+        # (least, greatest); pairs among old docs were emitted in their own
+        # epochs, so the union over epochs is the full candidate set
+        buckets = spark.read.parquet(art)
+        nb = buckets.join(F.broadcast(new_ids), "__id", "left_semi")
+        cand = (
+            nb.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col("a.__id") != F.col("b.__id")),
+            )
+            .select(
+                F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"),
+            )
+            .distinct()
+        )
+        # exact verification restricted to candidate endpoints (the static
+        # docs table only serves text for ids that have ALREADY streamed —
+        # candidates come from artifact buckets, which hold arrived docs)
+        cand_docs = (
+            cand.select(F.col("id_a").alias("__id"))
+            .union(cand.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        base = _spread(
+            docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        )
+        sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
+            "__id", F.explode(word_shingles("__t", 3)).alias("__s")
+        )
+        verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
+            cand, ["id_a", "id_b"], "left_semi"
+        )
+        fold = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        if state["labels"] is not None:
+            star = state["labels"].filter(F.col("id") != F.col("comp")).select(
+                F.col("id").alias("u"), F.col("comp").alias("v")
+            )
+            fold = fold.unionAll(star)
+        if fold.isEmpty():
+            return
+        state["labels"] = dedup.connected_components(fold, "u", "v").localCheckpoint()
+
+    q = (
+        stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_on_batch)
+        .queryName("mh_cluster_maintenance")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["labels"].select(
+        F.col("id").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+    )
+
+
 @query("minhash_artifact_roundtrip", oracle=_NEARDUP_ORACLE)
 def minhash_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup service's OPERATIONAL loop, driver-gated: 90% of the corpus
@@ -16538,6 +16682,122 @@ def cross_doc_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cross_doc_substring_keep_one",
+    oracle=r"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws
+      FROM documents),
+    meta AS (SELECT id, len(ws) AS n FROM w),
+    g AS (SELECT id, ws, unnest(range(0, len(ws) - 4)) AS p
+          FROM w WHERE len(ws) >= 5),
+    h AS (SELECT id, p,
+                 substr(md5(list_aggregate(ws[p+1:p+5], 'string_agg', ' ')), 1, 16)
+                   AS hh
+          FROM g),
+    a0 AS (SELECT id, p,
+                  min(struct_pack(h := hh, p := p))
+                    OVER (PARTITION BY id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS anc
+           FROM h),
+    anch AS MATERIALIZED (SELECT DISTINCT id, (anc).p AS ap FROM a0 WHERE p >= 3),
+    occ AS MATERIALIZED (SELECT anch.id, ap,
+                   list_aggregate(ws[ap+1:ap+5], 'string_agg', ' ') AS gr,
+                   list_aggregate(ws[ap+1:ap+30], 'string_agg', ' ') AS ctx
+            FROM anch JOIN w ON w.id = anch.id),
+    nb AS (SELECT id, ap, gr,
+                  lag(struct_pack(i := id, a := ap)) OVER wg AS p1,
+                  lead(struct_pack(i := id, a := ap)) OVER wg AS p2
+           FROM occ WINDOW wg AS (PARTITION BY gr ORDER BY ctx, id, ap)),
+    g1 AS MATERIALIZED (SELECT gr, min(struct_pack(i := id, a := ap)) AS o1 FROM occ GROUP BY gr),
+    g2 AS (SELECT occ.gr, min(struct_pack(i := occ.id, a := occ.ap)) AS o2
+           FROM occ JOIN g1 ON g1.gr = occ.gr
+           WHERE occ.id <> (g1.o1).i GROUP BY occ.gr),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT ia, pa, ib, pb FROM (
+        SELECT id AS ia, ap AS pa, (p1).i AS ib, (p1).a AS pb
+        FROM nb WHERE p1 IS NOT NULL
+        UNION ALL
+        SELECT id, ap, (p2).i, (p2).a FROM nb WHERE p2 IS NOT NULL
+        UNION ALL
+        SELECT o.id, o.ap,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).i ELSE (g2.o2).i END,
+               CASE WHEN o.id <> (g1.o1).i THEN (g1.o1).a ELSE (g2.o2).a END
+        FROM occ o JOIN g1 USING (gr) LEFT JOIN g2 USING (gr))
+      WHERE ib IS NOT NULL AND ib <> ia),
+    ex AS MATERIALIZED (
+      SELECT ia, pa,
+             coalesce(list_min([i FOR i IN
+                                range(1, least(A.n - (pa+5), B.n - (pb+5)) + 1)
+                                IF A.ws[pa+5+i] <> B.ws[pb+5+i]]) - 1,
+                      greatest(least(A.n - (pa+5), B.n - (pb+5)), 0)) AS re,
+             coalesce(list_min([i FOR i IN range(1, least(pa, pb) + 1)
+                                IF A.ws[pa-i+1] <> B.ws[pb-i+1]]) - 1,
+                      least(pa, pb)) AS le
+      FROM cand
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) A ON A.id = ia
+      JOIN (SELECT id, ws, len(ws) AS n FROM w) B ON B.id = ib),
+    spans AS MATERIALIZED (SELECT DISTINCT ia AS id, pa - le AS ss, pa + 4 + re AS se
+              FROM ex WHERE 5 + le + re >= 15),
+    isl AS (
+      SELECT id, ss, se,
+             sum(CASE WHEN ss > coalesce(pe, -2) + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY ss, se) AS grp
+      FROM (SELECT id, ss, se,
+                   max(se) OVER (PARTITION BY id ORDER BY ss, se
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pe
+            FROM spans)),
+    merged AS (SELECT id, grp, min(ss) AS ss, max(se) AS se FROM isl GROUP BY 1, 2),
+    extc AS MATERIALIZED (
+      SELECT m.id, m.ss, m.se,
+             list_aggregate(w.ws[m.ss+1:m.se+1], 'string_agg', ' ') AS c
+      FROM merged m JOIN w ON w.id = m.id),
+    keep AS (SELECT c, min(struct_pack(i := id, s := ss)) AS kk FROM extc GROUP BY c),
+    tagged AS MATERIALIZED (
+      SELECT extc.id, extc.ss, extc.se,
+             (extc.id = (keep.kk).i AND extc.ss = (keep.kk).s) AS kp
+      FROM extc JOIN keep USING (c)),
+    cover AS (
+      SELECT id, list(struct_pack(ss := ss, se := se)) AS cov
+      FROM tagged WHERE NOT kp GROUP BY 1),
+    kc AS (SELECT id, count(*) AS kc FROM tagged WHERE kp GROUP BY 1)
+    SELECT w.id AS doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(coalesce(kc.kc, 0) AS BIGINT) AS kept_copies,
+           coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS cleaned_text
+    FROM (
+      SELECT w.id, w.ws,
+             [w.ws[i+1] FOR i IN range(0, len(w.ws))
+              IF list_count(list_filter(
+                   coalesce(cover.cov, CAST([] AS STRUCT(ss INT, se INT)[])),
+                   c -> i BETWEEN c.ss AND c.se)) = 0] AS kept
+      FROM w LEFT JOIN cover ON cover.id = w.id) w
+    LEFT JOIN kc ON kc.id = w.id
+    """,
+)
+def cross_doc_substring_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-ONE leg of the ExactSubstr pass
+    (``dedup.cross_doc_substring_keep_one`` — VERDICT_r10 "Next round" #3,
+    completing the policy pair: ``cross_doc_substring_apply`` is the
+    order-free drop-all scrub, this is the curator's deduplicate-don't-
+    eliminate policy Lee et al. 2022 ship): per distinct maximal-extent
+    CONTENT, the globally first copy — min (id, start), the module's
+    canonical-representative convention — survives untouched; every other
+    copy is scrubbed. The hash gates the exact surviving token stream AND
+    the per-document count of surviving canonical extents, so both the
+    global copy ordering and the scrub replay exactly. Grouping is by the
+    extent content STRING (trusts-no-hash); the oracle replays anchor
+    selection, partnering, extension, island merge, content grouping, and
+    the keep-one filter verbatim in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cross_doc_substring_keep_one(
+        docs, "text", "doc_id", k=5, window=4, context=30, min_len=15
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming batch twins (VERDICT_r05 "Next round" #5)
 # ---------------------------------------------------------------------------
@@ -16554,6 +16814,7 @@ STREAM_REPLAY_ONLY: dict[str, str] = {
     "stream_pyds_jsonl_totals": "Python DataSource stream-writer epoch-commit protocol",
     "stream_cc_maintenance": "foreachBatch incremental graph-state maintenance protocol",
     "stream_minhash_index_maintenance": "foreachBatch incremental index-append protocol",
+    "stream_minhash_cluster_maintenance": "foreachBatch incremental index+cluster-state maintenance protocol",
     "stream_python_source_totals": "custom Python streaming DataSource",
     "stream_rest_ingest_audit": "custom REST streaming source",
     "stream_late_data_accounting": "watermark drop/evict semantics ARE the query",
@@ -16629,6 +16890,9 @@ _SWEEP_FRONT = (
     # tiers in prior front order (duplicates collapse via dict.fromkeys).
     # New-query slots push r4 names past the driver's 50-row cap from the
     # BOTTOM of the r4 block; whatever falls past rotates in round 11.
+    # --- new in round 11 (no driver row yet) ---
+    "cross_doc_substring_keep_one",
+    "stream_minhash_cluster_maintenance",
     # --- new in round 10 (no driver row yet) ---
     "cross_doc_substring_dedup",
     "cross_doc_substring_apply",
