@@ -16893,6 +16893,68 @@ _SWEEP_FRONT = (
     # --- new in round 11 (no driver row yet) ---
     "cross_doc_substring_keep_one",
     "stream_minhash_cluster_maintenance",
+    # --- round-11 rotation (VERDICT_r10 "Next round" #2): the 6 r4 names
+    # the round-10 50-row cap dropped lead, then the ENTIRE r5 tier (the
+    # stalest block — green since round 5); the 50-row cap covers the 2 new
+    # + 6 leftovers + the first 42 r5 names, and whatever falls past
+    # rotates in round 12 ---
+    "stream_python_source_totals",
+    "stream_rest_ingest_audit",
+    "trimmed_mean_event_values",
+    "unpivot_lineitem_measures",
+    "weighted_median_price",
+    "weighted_sample_docs",
+    # --- last verified r5 ---
+    "variant_events_profile",
+    "winnowed_doc_fingerprints",
+    "classifier_agreement_kappa",
+    "token_budget_waterfill",
+    "order_price_psi",
+    "above_customer_avg_orders",
+    "lateral_top2_orders",
+    "customer_order_distribution",
+    "gini_customer_spend",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
+    "knn_label_disagreement",
+    "temporal_split_embargo",
+    "kfold_balance_audit",
+    "quality_quantile_normalized",
+    "jl_projection_fidelity",
+    "video_frame_samples",
+    "neardup_keep_best_quality",
+    "winnowed_match_candidates",
+    "copurchase_triangle_stats",
+    "brand_label_propagation",
+    "corpus_curation_e2e",
+    "hybrid_search_rrf",
+    "benford_price_audit",
+    "lang_source_chisq",
+    "order_price_moments",
+    "incremental_join_maintenance",
+    "customer_golden_records",
+    "time_weighted_avg_value",
+    "hourly_ohlc_bars",
+    "unpivot_udtf_twin",
+    "copurchase_degree_assortativity",
+    "bm25_ndcg_eval",
+    "truncation_rank_stability",
+    "geo_customer_neighbor_pairs",
+    "hll_overlap_users",
+    "theta_segment_algebra",
+    "kll_quantile_sketch_gate",
+    "user_trend_robust",
+    "ab_test_welch",
+    "ab_conversion_ztest",
+    "daily_revenue_changepoint",
+    "time_to_purchase_km",
+    "peak_concurrent_sessions",
+    "truncation_rank_rbo",
+    "xml_roundtrip",
+    "doc_chunks_udtf",
+    "recursive_custkey_rollup",
+    "containment_neardups",
+    "neardup_dedup_apply",
     # --- new in round 10 (no driver row yet) ---
     "cross_doc_substring_dedup",
     "cross_doc_substring_apply",
@@ -16945,12 +17007,6 @@ _SWEEP_FRONT = (
     "sql_interface_market_share",
     "stream_cdc_last_state",
     "stream_hourly_users",
-    "stream_python_source_totals",
-    "stream_rest_ingest_audit",
-    "trimmed_mean_event_values",
-    "unpivot_lineitem_measures",
-    "weighted_median_price",
-    "weighted_sample_docs",
     # --- changed in round 10 since last green (recent green rows exist) ---
     "copurchase_ktruss",
     "conformal_value_intervals",
@@ -16969,57 +17025,6 @@ _SWEEP_FRONT = (
     "orc_roundtrip",
     "pyds_jsonl_roundtrip",
     "stream_pyds_jsonl_totals",
-    # --- last verified r5 ---
-    "variant_events_profile",
-    "winnowed_doc_fingerprints",
-    "classifier_agreement_kappa",
-    "token_budget_waterfill",
-    "order_price_psi",
-    "above_customer_avg_orders",
-    "lateral_top2_orders",
-    "customer_order_distribution",
-    "gini_customer_spend",
-    "stream_stream_full_join",
-    "stream_stream_semi_join",
-    "knn_label_disagreement",
-    "temporal_split_embargo",
-    "kfold_balance_audit",
-    "quality_quantile_normalized",
-    "jl_projection_fidelity",
-    "video_frame_samples",
-    "neardup_keep_best_quality",
-    "winnowed_match_candidates",
-    "copurchase_triangle_stats",
-    "brand_label_propagation",
-    "corpus_curation_e2e",
-    "hybrid_search_rrf",
-    "benford_price_audit",
-    "lang_source_chisq",
-    "order_price_moments",
-    "incremental_join_maintenance",
-    "customer_golden_records",
-    "time_weighted_avg_value",
-    "hourly_ohlc_bars",
-    "unpivot_udtf_twin",
-    "copurchase_degree_assortativity",
-    "bm25_ndcg_eval",
-    "truncation_rank_stability",
-    "geo_customer_neighbor_pairs",
-    "hll_overlap_users",
-    "theta_segment_algebra",
-    "kll_quantile_sketch_gate",
-    "user_trend_robust",
-    "ab_test_welch",
-    "ab_conversion_ztest",
-    "daily_revenue_changepoint",
-    "time_to_purchase_km",
-    "peak_concurrent_sessions",
-    "truncation_rank_rbo",
-    "xml_roundtrip",
-    "doc_chunks_udtf",
-    "recursive_custkey_rollup",
-    "containment_neardups",
-    "neardup_dedup_apply",
     # --- last verified r6 ---
     "embedding_knn_label_spread",
     "k_anonymity_audit",
