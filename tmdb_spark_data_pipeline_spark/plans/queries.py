@@ -15262,7 +15262,11 @@ def event_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % 7
     return (
         ev.groupBy(
-            dow.cast("long").alias("dow"), F.hour("ts").alias("hour")
+            dow.cast("long").alias("dow"),
+            # long, not Spark's int default: DuckDB's extract(hour) is
+            # BIGINT and the typecheck tool flags the skew (benign for the
+            # value-hash compare, but zero skews beats one)
+            F.hour("ts").cast("long").alias("hour"),
         )
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -17025,6 +17029,9 @@ _SWEEP_FRONT = (
     "orc_roundtrip",
     "pyds_jsonl_roundtrip",
     "stream_pyds_jsonl_totals",
+    # --- changed in round 11 since last green (hour int→long cast to close
+    # the one benign typecheck skew; mimic re-verified at sf0.01) ---
+    "event_seasonality_heatmap",
     # --- last verified r6 ---
     "embedding_knn_label_spread",
     "k_anonymity_audit",
