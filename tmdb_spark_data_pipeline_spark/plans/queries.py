@@ -9941,6 +9941,11 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
                 F.col("id").alias("u"), F.col("comp").alias("v")
             )
             fold = fold.unionAll(star)
+        # materialize ONCE before the emptiness probe: isEmpty() on the raw
+        # plan runs the verify leg's shuffle stages, and connected_components
+        # would re-run them — the checkpoint makes the probe free and the CC
+        # input pre-materialized (measured ~2 s/epoch at sf0.1)
+        fold = fold.localCheckpoint()
         if fold.isEmpty():
             return
         state["labels"] = dedup.connected_components(fold, "u", "v").localCheckpoint()
