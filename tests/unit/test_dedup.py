@@ -890,3 +890,21 @@ def test_incremental_minhash_cluster_fold_equals_batch(spark, tmp_path):
         labels = {r.id: r.comp for r in dedup.connected_components(fdf, "u", "v").collect()}
     assert labels == want
     assert sorted(set(want.values())) == [0, 1]  # {0,3,6} -> 0, {1,4} -> 1
+
+
+def test_connected_components_leaves_no_cache_entries(spark):
+    """ADVICE_r10: connected_components must unpersist its laundering cache
+    on return — per-epoch callers (stream_cc_maintenance, the cluster
+    maintenance) used to accumulate one cached label table per invocation.
+    A 60-node path needs ~15+ rounds (several launderings); after
+    materializing the labels the CacheManager must be as empty as before
+    (localCheckpoint blocks are NOT CacheManager entries — the leak was
+    specifically the persist() on top)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    path_edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(path_edges, "id_a long, id_b long")
+    comp = dedup.connected_components(df)
+    assert comp.count() == 61
+    assert cm.isEmpty(), "connected_components left a laundering cache behind"

@@ -372,3 +372,36 @@ def test_ktruss_matches_python_model_random_graphs(spark):
             continue
         got = {(r.u, r.v): r.support for r in graph.ktruss(df, k).collect()}
         assert got == expect, (trial, k)
+
+
+def test_deep_peel_leaves_no_cache_entries(spark):
+    """ADVICE_r10: the estimate-laundering persist() caches in kcore (and
+    the CC loop) must be unpersisted when superseded AND on return — a
+    long peel cascade used to leave one cached edge-list copy per
+    laundering round alive for the life of the application. A 24-node
+    path peels one layer from each end per round (~12 rounds, crossing
+    the i%6==5 laundering rounds twice); after materializing the result
+    the CacheManager must be exactly as empty as before."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    edges = spark.createDataFrame([(i, i + 1) for i in range(24)], "u long, v long")
+    out = graph.kcore(edges, 2)
+    assert out.count() == 0  # a path has no 2-core
+    assert cm.isEmpty(), "kcore left laundering caches behind"
+    # s_core: unit weights, s=2 — endpoints (strength 1) peel two per
+    # round, the same deep cascade through the i%6==5 laundering rounds
+    wedges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(24)], "u long, v long, w long"
+    )
+    assert graph.s_core(wedges, 2).count() == 0
+    assert cm.isEmpty(), "s_core left laundering caches behind"
+    # ktruss: a chain of 12 vertex-sharing triangles — end edges sit in
+    # one triangle each, so a 4-truss peels inward over ~6 rounds,
+    # crossing the every-3rd-round laundering persists
+    tri = []
+    for i in range(12):
+        tri += [(i, i + 1), (i, i + 2), (i + 1, i + 2)]
+    tedges = spark.createDataFrame(sorted(set(tri)), "u long, v long")
+    assert graph.ktruss(tedges, 4).count() == 0
+    assert cm.isEmpty(), "ktruss left laundering caches behind"

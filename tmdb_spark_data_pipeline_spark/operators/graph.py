@@ -182,7 +182,15 @@ def kcore(
         if i % 2 == 1:
             sym = sym.localCheckpoint()
             if i % 6 == 5:
+                if prev_cached is not None:
+                    prev_cached.unpersist()
                 sym = sym.persist()
+                prev_cached = sym
+    if prev_cached is not None:
+        # drop the last laundering cache before returning (ADVICE r10) —
+        # sym stays backed by its localCheckpoint RDD; pinned by
+        # test_deep_peel_leaves_no_cache_entries.
+        prev_cached.unpersist()
     if not converged and not (
         sym.groupBy("src").agg(F.count("*").alias("__d"))
         .filter(F.col("__d") < k)
