@@ -727,10 +727,13 @@ def test_bpe_merge_rejoin_broadcasts(spark):
 
 
 def test_run_tmp_cleanup_registration_and_stale_sweep(spark, tmp_path, monkeypatch):
-    """_run_tmp hygiene (ADVICE r10): the per-application scratch tree is
-    atexit-registered for removal, and stale leftovers from OTHER
-    application ids (>24h old) are swept on first use — while fresh foreign
-    directories (a live concurrent run) are never touched."""
+    """_run_tmp hygiene (ADVICE r10 + r11): the per-application scratch tree
+    is atexit-registered for removal, and foreign leftovers are swept on
+    first use ONLY when provably idle — a dir whose top-level mtime is old
+    is still spared if (a) a shallow walk finds recent activity two levels
+    down (a live streaming checkpointLocation writes there without bumping
+    the top-level mtime), or (b) its owning application advertises a fresh
+    heartbeat (a live app whose artifact is read-only since startup)."""
     import os
     import time
 
@@ -741,16 +744,32 @@ def test_run_tmp_cleanup_registration_and_stale_sweep(spark, tmp_path, monkeypat
     # force re-registration under the patched tempdir
     queries._TMP_CLEANUP_APPS.discard(app_id)
 
+    old = time.time() - 2 * 86400
     stale = tmp_path / "spark_graft_otherapp_oldtag_sf0"
     fresh = tmp_path / "spark_graft_liveapp_tag_sf0"
+    # live streaming checkpoint shape: old top-level dir, fresh write two
+    # levels down (ckpt/commits/42) — only `commits`'s mtime moves
+    deepfresh = tmp_path / "spark_graft_streamapp_ckpt_sf0"
+    (deepfresh / "commits").mkdir(parents=True)
+    (deepfresh / "commits" / "42").write_text("x")
+    os.utime(deepfresh, (old, old))
+    # read-only-since-startup artifact, owner heartbeat fresh (YARN-style
+    # appId with underscores — prefix matching must still find it)
+    hb_owned = tmp_path / "spark_graft_application_123_0001_art_sf0"
+    hb_owned.mkdir()
+    os.utime(hb_owned, (old, old))
+    (tmp_path / "spark_graft_application_123_0001_heartbeat").write_text("")
     stale.mkdir()
     fresh.mkdir()
-    old = time.time() - 2 * 86400
     os.utime(stale, (old, old))
 
     p = queries._run_tmp(spark, "t", "/root/testdata/sf0.001")
     assert f"spark_graft_{app_id}_t_sf0.001" in p
-    assert not stale.exists()  # swept: foreign + >24h
+    assert not stale.exists()  # swept: foreign + idle >24h, no heartbeat
     assert fresh.exists()  # spared: foreign but fresh
+    assert deepfresh.exists()  # spared: fresh activity found by shallow walk
+    assert hb_owned.exists()  # spared: owner heartbeat is fresh
+    # this application's own heartbeat beacon is touched per call
+    assert (tmp_path / f"spark_graft_{app_id}_heartbeat").exists()
     # idempotent: second call doesn't re-register or error
     assert queries._run_tmp(spark, "t", "/root/testdata/sf0.001") == p

@@ -931,6 +931,27 @@ def test_ivfpq_artifact_append_frozen_quantizers(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(f"{path}/codes").count() == codes_before
 
 
+def test_ivfpq_append_derives_geometry_from_artifact(spark, sf_smoke, tmp_path):
+    """ADVICE r11: append with the sentinel defaults (m=dim=None) against a
+    NON-default-geometry artifact must succeed — geometry is derived from
+    the persisted codebooks, never assumed from library defaults — and the
+    appended code arrays must carry the artifact's m, not the default 32."""
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    old = emb.filter("vec_id % 10 != 3")
+    new = emb.filter("vec_id % 10 = 3")
+    path = str(tmp_path / "ivfpq_m16")
+    similarity.write_ivfpq_artifact(old, path, m=16, dim=64)
+    similarity.write_ivfpq_artifact(new, path, mode="append")  # no m/dim
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    lens = codes.select(F.size("codes").alias("n")).distinct().collect()
+    assert [r.n for r in lens] == [16]
+    # an EXPLICITLY passed wrong geometry (the old library default, even)
+    # still raises before any write
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        similarity.write_ivfpq_artifact(new, path, mode="append", m=32, dim=64)
+
+
 def test_ivfpq_residual_recall_bar_and_degeneracy(spark, sf_smoke, vectors):
     """Residual IVF-PQ holds the same certificate bar as the flat variant
     on real test data (mean recall@10 >= 0.9 at the declared budget), and

@@ -174,3 +174,50 @@ def test_progress_capture_listener_records_batches(spark, sf_smoke):
     assert all(r[4] >= 0 for r in mine)  # trigger latency present
     df = cap.to_df(spark)
     assert df.filter(df.query_name == "t_listener_probe").count() == len(mine)
+
+
+def test_free_local_checkpoint_drops_blocks(spark):
+    """ADVICE r11: per-epoch maintenance state must not accumulate one
+    block-manager copy per epoch. ``free_local_checkpoint`` deterministically
+    unpersists the RDD backing a superseded ``localCheckpoint`` (ContextCleaner
+    would only reclaim it after nondeterministic Py4J + JVM GC), and is a
+    safe no-op on a plain, non-checkpointed frame."""
+    from tmdb_spark_data_pipeline_spark.session import free_local_checkpoint
+
+    def persistent_ids() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    before = persistent_ids()
+    ck = spark.range(100).selectExpr("id", "id * 2 AS y").localCheckpoint()
+    assert len(persistent_ids() - before) == 1
+    free_local_checkpoint(ck)
+    assert persistent_ids() - before == set()
+    plain = spark.range(10)
+    free_local_checkpoint(plain)  # not a checkpoint: must not raise
+    assert plain.count() == 10
+
+
+def test_epoch_state_supersede_holds_one_live_checkpoint(spark):
+    """The epoch-loop discipline used by stream_cc_maintenance /
+    stream_minhash_cluster_maintenance: checkpoint the new state, free the
+    superseded one — block-manager storage carries exactly ONE state copy
+    at every point of a multi-epoch run, and the live copy stays readable
+    after its predecessor is freed."""
+    from tmdb_spark_data_pipeline_spark.session import free_local_checkpoint
+
+    def persistent_ids() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    before = persistent_ids()
+    state = None
+    for epoch in range(4):
+        new = spark.range(epoch * 10, epoch * 10 + 10).localCheckpoint()
+        if state is not None:
+            free_local_checkpoint(state)
+        state = new
+        assert len(persistent_ids() - before) == 1  # the live copy, only
+    assert state.count() == 10  # survivor readable after all frees
+    free_local_checkpoint(state)
+    assert persistent_ids() - before == set()

@@ -1886,8 +1886,8 @@ def write_ivfpq_artifact(
     vec_col: str = "embedding",
     coarse_k: int = 25,
     coarse_iters: int = 2,
-    m: int = 32,
-    dim: int = 64,
+    m: int | None = None,
+    dim: int | None = None,
     ksub: int = 16,
     iters: int = 2,
     mode: str = "overwrite",
@@ -1909,11 +1909,17 @@ def write_ivfpq_artifact(
     invalidate existing rows; re-training is an explicit rebuild), the
     batch is assigned + encoded against them, and only the two
     cell-partitioned tables grow. Append requires an existing artifact;
-    the TRAINING parameters (coarse_k/coarse_iters/ksub/iters) are unused,
-    and the GEOMETRY parameters (m, dim) are validated against the
-    persisted codebooks — a mismatch would silently append code arrays of
-    the wrong length into the existing cell-partitioned codes table
-    (ADVICE r10), so it raises instead."""
+    the TRAINING parameters (coarse_k/coarse_iters/ksub/iters) are unused.
+    The GEOMETRY parameters (m, dim) default to ``None`` = "use the
+    artifact's own geometry": on append they are DERIVED from the
+    persisted codebooks, so a caller never has to restate them, and an
+    EXPLICITLY passed value is validated against the derivation — a
+    mismatch would silently append code arrays of the wrong length into
+    the existing cell-partitioned codes table (ADVICE r10), so it raises
+    before any write (sentinel refinement: ADVICE r11 — the old
+    always-validate contract made the library defaults themselves a
+    foot-gun against non-default artifacts). On overwrite, ``None`` means
+    the build defaults m=32, dim=64."""
     emb = corpus.select(F.col(id_col), F.col(vec_col))
     if mode == "append":
         spark = corpus.sparkSession
@@ -1929,9 +1935,10 @@ def write_ivfpq_artifact(
         ).first()
         persisted_m = int(geo["__m"])
         persisted_dim = persisted_m * int(geo["__dsub"])
-        if int(geo["__dsub"]) != int(geo["__dsub_min"]) or (m, dim) != (
-            persisted_m,
-            persisted_dim,
+        if (
+            int(geo["__dsub"]) != int(geo["__dsub_min"])
+            or (m is not None and m != persisted_m)
+            or (dim is not None and dim != persisted_dim)
         ):
             raise ValueError(
                 f"write_ivfpq_artifact(mode='append'): geometry mismatch — "
@@ -1939,6 +1946,10 @@ def write_ivfpq_artifact(
                 f"dim={persisted_dim}, but append was called with m={m}, "
                 f"dim={dim}; appending would corrupt the codes table"
             )
+        # encode with the artifact's own geometry (derived above) — the
+        # sentinel default means callers never restate what the artifact
+        # already knows (ADVICE r11)
+        m, dim = persisted_m, persisted_dim
         cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
             F.col(id_col), F.col("cid").alias("cell_id")
         ).localCheckpoint()
@@ -1960,6 +1971,8 @@ def write_ivfpq_artifact(
             "append"
         ).partitionBy("cell_id").parquet(f"{path}/vectors")
         return
+    m = 32 if m is None else m
+    dim = 64 if dim is None else dim
     # four write actions consume these; localCheckpoint the trained tables
     # (coarse_k rows / m*ksub rows) and the assignment (two consumers) so
     # neither training nor the assign pass re-executes per sink

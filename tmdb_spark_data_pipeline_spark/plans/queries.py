@@ -77,14 +77,31 @@ def _run_tmp(spark: SparkSession, tag: str, sf_dir: str) -> str:
     removed at interpreter exit (atexit), so runs don't accumulate stale
     artifact/checkpoint directories in the system tempdir across
     applications (ADVICE r10); leftovers from crashed prior runs (different
-    appId, untouched for >24 h — live concurrent applications are younger
-    than that by construction) are swept on this application's first call."""
+    appId, provably idle for >24 h) are swept on this application's first
+    call. Liveness of a foreign tree is judged by the NEWEST mtime of a
+    shallow walk plus the owner's heartbeat file — a directory's own mtime
+    only reflects direct-child changes, so a live streaming
+    checkpointLocation (whose writes land two levels down) would look idle
+    at the top level (ADVICE r11); every ``_run_tmp`` call also touches
+    ``spark_graft_<appId>_heartbeat`` so an application that only READS
+    its scratch after startup still advertises liveness each time any of
+    its queries runs."""
     import os
     import tempfile
 
     base = tempfile.gettempdir()
     app_id = spark.sparkContext.applicationId
     _register_tmp_cleanup(base, app_id)
+    # refresh this application's liveness beacon on every call (cheap):
+    # the foreign-sweep below spares any appId whose heartbeat is fresh,
+    # even if its scratch artifacts have old mtimes (written once at
+    # startup, read-only since — reads never touch mtime)
+    hb = os.path.join(base, f"spark_graft_{app_id}_heartbeat")
+    try:
+        with open(hb, "a"):
+            os.utime(hb, None)
+    except OSError:
+        pass
     return os.path.join(
         base,
         f"spark_graft_{app_id}_{tag}_"
@@ -95,10 +112,41 @@ def _run_tmp(spark: SparkSession, tag: str, sf_dir: str) -> str:
 _TMP_CLEANUP_APPS: set[str] = set()
 
 
+def _newest_mtime_shallow(path: str, depth: int = 2) -> float:
+    """Newest mtime over ``path`` and a shallow walk of its contents
+    (``depth`` levels of scandir). Depth 2 is enough to see a live
+    streaming checkpoint: a commit written at ``ckpt/commits/42`` bumps
+    ``ckpt/commits``'s mtime, which level 1 observes."""
+    import os
+
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return newest
+    if depth <= 0 or not os.path.isdir(path):
+        return newest
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    newest = max(newest, e.stat().st_mtime)
+                    if e.is_dir(follow_symlinks=False) and depth > 1:
+                        newest = max(
+                            newest, _newest_mtime_shallow(e.path, depth - 1)
+                        )
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
+
+
 def _register_tmp_cleanup(base: str, app_id: str) -> None:
     """Once per application: (1) atexit-remove every spark_graft_<appId>_*
-    scratch directory this run created, (2) sweep stale leftovers of OTHER
-    application ids older than a day."""
+    scratch directory this run created (heartbeat included), (2) sweep
+    leftovers of OTHER application ids that are provably idle — newest
+    shallow-walk mtime AND owner heartbeat both older than a day."""
     if app_id in _TMP_CLEANUP_APPS:
         return
     _TMP_CLEANUP_APPS.add(app_id)
@@ -113,16 +161,42 @@ def _register_tmp_cleanup(base: str, app_id: str) -> None:
     def _sweep_mine() -> None:
         for p in glob.glob(mine):
             shutil.rmtree(p, ignore_errors=True)
+            if os.path.isfile(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     atexit.register(_sweep_mine)
     now = time.time()
+    # fresh heartbeat prefixes ("spark_graft_<owner>_") — prefix matching
+    # instead of parsing the owner out of the dirname, because appIds may
+    # themselves contain underscores (YARN: application_168..._0001)
+    live_prefixes = []
+    for h in glob.glob(os.path.join(base, "spark_graft_*_heartbeat")):
+        try:
+            if now - os.path.getmtime(h) <= 86400:
+                live_prefixes.append(os.path.basename(h)[: -len("heartbeat")])
+        except OSError:
+            pass
     for p in glob.glob(os.path.join(base, "spark_graft_*")):
-        if not os.path.basename(p).startswith(f"spark_graft_{app_id}_"):
-            try:
-                if now - os.path.getmtime(p) > 86400:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        name = os.path.basename(p)
+        if name.startswith(f"spark_graft_{app_id}_"):
+            continue
+        try:
+            if now - _newest_mtime_shallow(p) <= 86400:
+                continue
+            # the tree looks idle — spare it if its owner advertises a
+            # fresh heartbeat (live app whose scratch is read-only since
+            # startup: reads never touch mtime)
+            if any(name.startswith(pref) for pref in live_prefixes):
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+        except OSError:
+            pass
 
 
 # exact decimal sum of a double expression, surfaced as double (see module doc)
@@ -8706,6 +8780,7 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from ..session import free_local_checkpoint
     from ..streaming.windows import stream_from_parquet_dir
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -8746,9 +8821,13 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id").alias("u"), F.col("comp").alias("v")
             )
             delta = delta.unionAll(star)
-        state["labels"] = dedup.connected_components(
-            delta, "u", "v"
-        ).localCheckpoint()
+        new_labels = dedup.connected_components(delta, "u", "v").localCheckpoint()
+        # free the superseded epoch's label checkpoint the moment the new
+        # one is materialized (ADVICE r11 leak class: one block-manager
+        # label-table copy per epoch for the life of the stream otherwise)
+        if state["labels"] is not None:
+            free_local_checkpoint(state["labels"])
+        state["labels"] = new_labels
 
     q = (
         stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
@@ -9753,10 +9832,15 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     file-source stream (3 single-file parquet batches,
     ``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``) and a
     ``foreachBatch`` handler signs each batch ONCE into the persisted
-    minhash band-bucket artifact (epoch 0 creates it; later epochs go
-    through ``write_minhash_artifact(mode="append")`` — signatures are
-    pure functions of text, so appends never invalidate existing rows and
-    no accepted document is ever re-shingled). Near-dup pairs are then
+    minhash band-bucket artifact through the exactly-once sink's dynamic
+    partition overwrite of ``__epoch=<id>`` (ADVICE r11: keying the append
+    on driver-local state made a replayed epoch — foreachBatch's
+    at-least-once contract after a transient failure — append its bucket
+    rows twice; the epoch-keyed partition overwrite is idempotent under
+    replay — ``write_epoch_overwrite``'s unit-pinned contract — and
+    signatures are pure functions of text, so epochs never invalidate each
+    other's partitions and no accepted document is ever re-shingled).
+    Near-dup pairs are then
     answered FROM the stream-built artifact and checked against the same
     exact-Jaccard oracle as ``minhash_neardups``: the green row certifies
     that an index maintained by a stream equals one built in batch —
@@ -9769,6 +9853,8 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 
     from pyspark.sql import types as T
 
+    from ..operators.dedup import _spread as _dspread
+    from ..streaming.sinks import write_epoch_overwrite
     from ..streaming.windows import stream_from_parquet_dir
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9791,14 +9877,19 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    state = {"initialized": False}
 
     def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
-        mode = "append" if state["initialized"] else "overwrite"
-        dedup.write_minhash_artifact(bdf, "text", "doc_id", art, mode=mode)
-        state["initialized"] = True
+        # idempotent epoch write (ADVICE r11): the batch's bucket rows land
+        # via the exactly-once sink's dynamic partition overwrite of
+        # `__epoch=<id>` — a foreachBatch replay after a transient failure
+        # rewrites the same partition instead of appending its rows twice;
+        # no driver-local initialized flag to get out of sync
+        base = _dspread(
+            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        )
+        write_epoch_overwrite(dedup.minhash_band_buckets(base), epoch_id, art)
 
     q = (
         stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
@@ -9847,18 +9938,30 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
     ``stream_cc_maintenance``'s star-fold, which proves CC label STATE
     does): document batches arrive on a real file-source stream (3
     single-file parquet batches, ``maxFilesPerTrigger=1`` +
-    ``Trigger.AvailableNow``) and each ``foreachBatch`` epoch (1) appends
-    the batch's signatures to the persisted band-bucket artifact, (2)
-    computes the INCREMENTAL candidate pairs — new-batch buckets joined
-    against the whole artifact, so new×old and new×new only, never a
-    full-history re-pair — (3) exact-Jaccard-verifies just those
-    candidates (unverified band collisions must not reach CC: clusters
-    can't unmerge), and (4) folds the verified pairs into the CC label
-    state via star(labels) ∪ pairs. Completeness: every pair (x, y)
-    is emitted in the LATER endpoint's epoch; CC is confluent, so
-    stream-maintained clusters == batch CC over the full exact-Jaccard
-    pair set — the identical transitive-closure oracle as
-    ``neardup_components``, which is what the green row certifies. Output:
+    ``Trigger.AvailableNow``) and each ``foreachBatch`` epoch (1) lands
+    the batch's signatures through the exactly-once sink's dynamic
+    partition overwrite of ``__epoch=<id>`` in the band-bucket artifact
+    (ADVICE r11: idempotent under foreachBatch's at-least-once epoch
+    replay — a replayed epoch rewrites the same rows instead of appending
+    them twice), (2) computes the
+    INCREMENTAL candidate pairs — the epoch's own bucket PARTITION
+    (partition-pruned scan, no semi-join needed) joined against the whole
+    artifact, so new×old and new×new only, never a full-history re-pair —
+    (3) exact-Jaccard-verifies just those candidates (unverified band
+    collisions must not reach CC: clusters can't unmerge), and (4) folds
+    the verified pairs into the CC label state via star(labels) ∪ pairs.
+    The epoch is idempotent END-TO-END: the artifact write by partition
+    overwrite, the fold because CC is confluent (re-folding a replayed
+    epoch's pairs over state that already contains them is a no-op).
+    Completeness: every pair (x, y) is emitted in the LATER endpoint's
+    epoch; CC is confluent, so stream-maintained clusters == batch CC over
+    the full exact-Jaccard pair set — the identical transitive-closure
+    oracle as ``neardup_components``, which is what the green row
+    certifies. Per-epoch driver-memory hygiene (ADVICE r11):
+    superseded localCheckpoints (the previous epoch's label table, the
+    consumed fold input) are freed via ``free_local_checkpoint`` the
+    moment the new labels materialize — block-manager storage carries ONE
+    label table across the life of the stream, not one per epoch. Output:
     (doc_id, component_id), min-id canonical labels."""
     import os
     import shutil
@@ -9867,6 +9970,8 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
     from pyspark.sql import types as T
 
     from ..operators.dedup import _jaccard_from_shingles, _spread, word_shingles
+    from ..session import free_local_checkpoint
+    from ..streaming.sinks import write_epoch_overwrite
     from ..streaming.windows import stream_from_parquet_dir
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9889,21 +9994,27 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    state: dict = {"initialized": False, "labels": None}
+    state: dict = {"labels": None}
 
     def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
-        new_ids = bdf.select(F.col("doc_id").alias("__id")).localCheckpoint()
-        mode = "append" if state["initialized"] else "overwrite"
-        dedup.write_minhash_artifact(bdf, "text", "doc_id", art, mode=mode)
-        state["initialized"] = True
+        # idempotent epoch write (ADVICE r11): the exactly-once sink's
+        # dynamic partition overwrite of `__epoch=<id>` — replay-safe
+        # (write_epoch_overwrite's unit-pinned contract), and the epoch's
+        # own bucket rows come back via partition PRUNING below (cheaper
+        # than the broadcast semi-join on new ids it replaces: the pruned
+        # scan reads one partition's files, period)
+        nb_base = _spread(
+            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        )
+        write_epoch_overwrite(dedup.minhash_band_buckets(nb_base), epoch_id, art)
         # incremental candidates: the NEW batch's bucket rows against the
         # whole (just-grown) artifact — new×old and new×new, normalized to
         # (least, greatest); pairs among old docs were emitted in their own
         # epochs, so the union over epochs is the full candidate set
         buckets = spark.read.parquet(art)
-        nb = buckets.join(F.broadcast(new_ids), "__id", "left_semi")
+        nb = buckets.filter(F.col("__epoch") == int(epoch_id))
         cand = (
             nb.alias("a")
             .join(
@@ -9947,8 +10058,18 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
         # input pre-materialized (measured ~2 s/epoch at sf0.1)
         fold = fold.localCheckpoint()
         if fold.isEmpty():
+            free_local_checkpoint(fold)
             return
-        state["labels"] = dedup.connected_components(fold, "u", "v").localCheckpoint()
+        new_labels = dedup.connected_components(fold, "u", "v").localCheckpoint()
+        # the new label table is materialized — deterministically free the
+        # superseded per-epoch checkpoints (ADVICE r11): the consumed fold
+        # input and the PREVIOUS epoch's label table; without this the
+        # block manager grows one label-table copy per epoch for the life
+        # of the stream (the same leak class ADVICE r10 closed in graph.py)
+        free_local_checkpoint(fold)
+        if state["labels"] is not None:
+            free_local_checkpoint(state["labels"])
+        state["labels"] = new_labels
 
     q = (
         stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)

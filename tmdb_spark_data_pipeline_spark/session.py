@@ -89,6 +89,33 @@ def get_spark(
     return spark
 
 
+def free_local_checkpoint(df) -> None:
+    """Deterministically drop the block-manager blocks backing a
+    ``localCheckpoint``-ed DataFrame.
+
+    ``localCheckpoint`` persists the materialized RDD in the block manager
+    and Spark only reclaims it when the JVM object is garbage-collected
+    (ContextCleaner) — nondeterministic through the Py4J reference chain, so
+    a ``foreachBatch`` epoch loop that checkpoints per-epoch state
+    accumulates one superseded copy per epoch for the life of the stream
+    (ADVICE r11). This frees the blocks the moment the caller knows the
+    checkpoint is dead. ONLY call it on a checkpoint that will never be
+    read again: a locally checkpointed RDD has no lineage to recompute
+    from, so any later read of ``df`` fails.
+
+    Best-effort by design: the analyzed plan of a checkpointed DataFrame is
+    a ``LogicalRDD`` whose ``rdd()`` accessor is the persisted RDD; if the
+    plan is anything else (caller passed a non-checkpointed frame) this is
+    a no-op and the ContextCleaner path still applies.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # fall back to GC-driven ContextCleaner reclamation
+
+
 @contextmanager
 def cache_scope(spark: SparkSession) -> Iterator[SparkSession]:
     """Bound the lifetime of operator-internal ``persist()`` calls.
