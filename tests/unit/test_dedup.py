@@ -892,6 +892,112 @@ def test_incremental_minhash_cluster_fold_equals_batch(spark, tmp_path):
     assert sorted(set(want.values())) == [0, 1]  # {0,3,6} -> 0, {1,4} -> 1
 
 
+def test_incremental_keepone_survivor_fold(spark, tmp_path):
+    """The stream_keepone_maintenance survivor fold, driver-free: per epoch
+    the candidate-endpoint quality keys (-quality, id) join the new labels,
+    union the PREVIOUS survivors relabeled through the new label table, and
+    min per component keeps the running best. Three subtleties pinned:
+    (1) quality beats arrival/id order — doc 9 (higher quality) survives
+    over the lower-id doc 1 in its cluster; (2) the canonical copy FLIPS
+    when a later epoch streams an earlier-ordered equal-quality copy (doc 2
+    arrives last, takes over cluster {2,4,6} from doc 4) — the confluence
+    subtlety VERDICT_r11 flagged; (3) component relabeling carries an
+    untouched cluster's survivor through a merge-free epoch. Final state
+    must equal the batch neardup_keep_best_quality policy."""
+    from tmdb_spark_data_pipeline_spark.operators import text
+
+    base30 = " ".join(f"w{i}" for i in range(30))
+    b_best = "the a " + " ".join(f"q{i}" for i in range(28))   # 2 stopwords
+    b_worse = "q0 q0 " + " ".join(f"q{i}" for i in range(28))  # lower diversity
+    rows = [
+        (6, base30), (4, base30), (2, base30),  # cluster A: equal quality
+        (9, b_best), (1, b_worse),              # cluster B: quality differs
+        (7, " ".join(f"u{i}" for i in range(30))),  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    art = str(tmp_path / "ko_art")
+    labels = None  # id -> comp
+    surv = None    # comp -> (nq, id)
+    surv_history = []
+    for b in range(3):
+        bdf = docs.filter(F.col("doc_id") % 3 == b)
+        dedup.write_minhash_artifact(
+            bdf, "text", "doc_id", art, mode="overwrite" if b == 0 else "append"
+        )
+        buckets = spark.read.parquet(art)
+        new_ids = bdf.select(F.col("doc_id").alias("__id"))
+        nb = buckets.join(F.broadcast(new_ids), "__id", "left_semi")
+        cand = (
+            nb.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col("a.__id") != F.col("b.__id")),
+            )
+            .select(
+                F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand_docs = (
+            cand.select(F.col("id_a").alias("__id"))
+            .union(cand.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        served = docs.select(
+            F.col("doc_id").alias("__id"), F.col("text").alias("__t")
+        ).join(F.broadcast(cand_docs), "__id", "left_semi")
+        sh = served.select("__id", F.explode(dedup.word_shingles("__t", 3)).alias("__s"))
+        verified = dedup._jaccard_from_shingles(sh, 0.5, persist=False).join(
+            cand, ["id_a", "id_b"], "left_semi"
+        )
+        fold = [(r.id_a, r.id_b) for r in verified.collect()]
+        if labels is not None:
+            fold += [(i, c) for i, c in labels.items() if i != c]
+        if not fold:
+            continue
+        fdf = spark.createDataFrame(fold, "u long, v long")
+        labels = {
+            r.id: r.comp for r in dedup.connected_components(fdf, "u", "v").collect()
+        }
+        kq = {
+            r.id: (float(r.nq), r.id)
+            for r in served.select(
+                F.col("__id").alias("id"), (-text.quality_score("__t")).alias("nq")
+            ).collect()
+        }
+        members: dict = {}
+        for i, k in kq.items():
+            if i in labels:  # unverified endpoints drop out of the inner join
+                members.setdefault(labels[i], []).append(k)
+        if surv is not None:
+            for old_c, k in surv.items():
+                members.setdefault(labels[old_c], []).append(k)
+        surv = {c: min(ks) for c, ks in members.items()}
+        surv_history.append({c: k[1] for c, k in surv.items()})
+    # epoch b0 (docs 6, 9) has no pairs -> no state; b1 clusters {4,6} and
+    # {1,9}; b2 merges 2 into {2,4,6} and the survivor flips 4 -> 2 while
+    # cluster B's survivor 9 is carried through the relabel
+    assert surv_history == [{4: 4, 1: 9}, {2: 2, 1: 9}]
+    # final state == the batch keep-best policy over the full corpus
+    full_pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.5, persist_shingles=False
+    )
+    comp = dedup.connected_components(full_pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"), text.quality_score("text").alias("qs")
+    )
+    want: dict = {}
+    for r in comp.join(q, "id").collect():
+        k = (-float(r.qs), r.id)
+        if r.comp not in want or k < want[r.comp]:
+            want[r.comp] = k
+    assert {c: k[1] for c, k in want.items()} == {c: k[1] for c, k in surv.items()}
+    assert set(labels) == {2, 4, 6, 1, 9}  # singleton 7 never enters state
+
+
 def test_connected_components_leaves_no_cache_entries(spark):
     """ADVICE_r10: connected_components must unpersist its laundering cache
     on return — per-epoch callers (stream_cc_maintenance, the cluster

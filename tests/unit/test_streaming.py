@@ -221,3 +221,49 @@ def test_epoch_state_supersede_holds_one_live_checkpoint(spark):
     assert state.count() == 10  # survivor readable after all frees
     free_local_checkpoint(state)
     assert persistent_ids() - before == set()
+
+
+def test_minhash_cluster_stream_survivors_end_to_end(spark, tmp_path):
+    """The shared stream helper behind stream_minhash_cluster_maintenance /
+    stream_keepone_maintenance, survivors=True, on a REAL AvailableNow
+    file-source stream: (a) final labels equal batch CC and final survivors
+    equal the batch keep-best-quality policy — doc 2 (last batch, equal
+    quality, lower id) takes over cluster {2,4,6}, doc 9 (higher quality
+    than lower-id doc 1) holds cluster {1,9}; (b) after the stream the
+    block manager holds exactly TWO live checkpoints (current labels +
+    current survivors) — the per-epoch frees (ADVICE r11) leave no
+    superseded copies behind."""
+    from pyspark.sql import functions as F
+
+    from tmdb_spark_data_pipeline_spark.plans.queries import _minhash_cluster_stream
+    from tmdb_spark_data_pipeline_spark.session import free_local_checkpoint
+
+    def persistent_ids() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    base30 = " ".join(f"w{i}" for i in range(30))
+    b_best = "the a " + " ".join(f"q{i}" for i in range(28))
+    b_worse = "q0 q0 " + " ".join(f"q{i}" for i in range(28))
+    rows = [
+        (6, base30), (4, base30), (2, base30),
+        (9, b_best), (1, b_worse),
+        (7, " ".join(f"u{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    before = persistent_ids()
+    state = _minhash_cluster_stream(
+        spark, docs, str(tmp_path), "ko_stream_test", survivors=True
+    )
+    labels = {r.id: r.comp for r in state["labels"].collect()}
+    surv = {
+        r.comp: r.si
+        for r in state["surv"].select("comp", F.col("__k.i").alias("si")).collect()
+    }
+    assert labels == {2: 2, 4: 2, 6: 2, 1: 1, 9: 1}
+    assert surv == {2: 2, 1: 9}
+    live = persistent_ids() - before
+    assert len(live) == 2  # current labels + current survivors, nothing else
+    free_local_checkpoint(state["labels"])
+    free_local_checkpoint(state["surv"])
+    assert persistent_ids() - before == set()

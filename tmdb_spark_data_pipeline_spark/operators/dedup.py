@@ -826,7 +826,21 @@ def connected_components(
     "Connected Components in MapReduce") is the same number of shuffles per
     round with better skew behavior on giant components; swap in if one
     component ever spans a meaningful fraction of the corpus.
+
+    Checkpoint hygiene (round 12): each superseded round's localCheckpoint
+    and the edges table are freed DETERMINISTICALLY (``free_local_
+    checkpoint``) the moment the next round's checkpoint is materialized —
+    previously they waited for Py4J + ContextCleaner GC, which a per-epoch
+    caller (the streaming maintenance family) cannot rely on: block-manager
+    storage carried O(rounds) label-table copies per epoch until some
+    nondeterministic later GC. Laundering rounds (1 in 6) keep their
+    checkpoint RDD until GC — their DataFrame cache is the stats pin, and
+    unpersisting the RDD under a live cache entry risks a recompute of a
+    lineage-truncated plan. The RETURNED frame stays backed by its own
+    localCheckpoint; callers that hold state across epochs free it
+    themselves when superseded.
     """
+    from ..session import free_local_checkpoint
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -837,6 +851,7 @@ def connected_components(
         "comp", F.col("id")
     ).localCheckpoint()
     prev = None
+    comp_pinned = False  # True when comp is a laundering round's persist()
     for i in range(max_iter):
         # min label among neighbors (one hop through edges)
         nbr = (
@@ -878,7 +893,14 @@ def connected_components(
             if prev is not None:
                 prev.unpersist()
             prev = jumped
+        # jumped is materialized and the convergence count has read comp —
+        # the superseded round's checkpoint blocks are dead; free them now
+        # instead of waiting for Py4J + ContextCleaner GC (laundering-round
+        # tables are exempt: their DF cache is the stats pin)
+        if not comp_pinned:
+            free_local_checkpoint(comp)
         comp = jumped
+        comp_pinned = i % 6 == 5
         if changed == 0:
             # Drop the loop's laundering cache before returning — a caller
             # that invokes this per epoch (stream_cc_maintenance's
@@ -890,9 +912,11 @@ def connected_components(
             # stay correct and cheap (the label table is tiny).
             if prev is not None:
                 prev.unpersist()
+            free_local_checkpoint(edges)
             return comp
     if prev is not None:
         prev.unpersist()
+    free_local_checkpoint(edges)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -8821,7 +8821,9 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id").alias("u"), F.col("comp").alias("v")
             )
             delta = delta.unionAll(star)
-        new_labels = dedup.connected_components(delta, "u", "v").localCheckpoint()
+        # CC's return is already backed by its own final localCheckpoint
+        # (round-12 hygiene contract) — no second checkpoint on top
+        new_labels = dedup.connected_components(delta, "u", "v")
         # free the superseded epoch's label checkpoint the moment the new
         # one is materialized (ADVICE r11 leak class: one block-manager
         # label-table copy per epoch for the life of the stream otherwise)
@@ -9906,6 +9908,198 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_cluster_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    sf_dir: str,
+    tag: str,
+    *,
+    survivors: bool = False,
+) -> dict:
+    """Shared foreachBatch epoch protocol behind
+    ``stream_minhash_cluster_maintenance`` and (with ``survivors=True``)
+    ``stream_keepone_maintenance``: 3 single-file parquet batches arrive on
+    a real file-source stream (``maxFilesPerTrigger=1`` +
+    ``Trigger.AvailableNow``) and each epoch (1) lands the batch's minhash
+    band signatures through the exactly-once sink's dynamic partition
+    overwrite of ``__epoch=<id>`` (ADVICE r11: idempotent under
+    foreachBatch's at-least-once epoch replay — a replayed epoch rewrites
+    the same rows instead of appending them twice), (2) computes the
+    INCREMENTAL candidate pairs — the epoch's own bucket PARTITION
+    (partition-pruned scan, no semi-join needed) joined against the whole
+    artifact, so new×old and new×new only, never a full-history re-pair —
+    (3) exact-Jaccard-verifies just those candidates (unverified band
+    collisions must not reach CC: clusters can't unmerge), and (4) folds
+    the verified pairs into the CC label state via star(labels) ∪ pairs.
+    Completeness: every pair (x, y) is emitted in the LATER endpoint's
+    epoch; CC is confluent, so stream-maintained clusters == batch CC over
+    the full exact-Jaccard pair set.
+
+    With ``survivors=True`` each epoch ALSO folds the SURVIVORSHIP
+    decision (the ``neardup_keep_best_quality`` policy — max quality,
+    min-id tiebreak — expressed as the MIN-struct semilattice
+    ``struct(-quality, id)``): candidate-endpoint quality keys join the
+    epoch's new labels (an endpoint not in any fold edge simply drops out
+    of the inner join — unverified collisions never contribute a key),
+    union with the PREVIOUS epoch's survivors RELABELED through the new
+    label table (an old component's representative id is always one of its
+    member nodes and every prior member reappears via star edges, so the
+    relabel join can never drop a component), and a per-component ``min``
+    keeps the running best. The fold is confluent — min is associative,
+    commutative, idempotent — so the canonical copy correctly CHANGES when
+    a later epoch streams a better-quality (or tie-breaking lower-id) copy
+    into an existing cluster, and a replayed epoch's re-fold is a no-op.
+    Every CC node's key is folded in the epoch where it first appears as a
+    verified-pair endpoint; nodes present later only via star edges were
+    folded in their own epochs — so survivor(comp) == min over ALL final
+    members, which is what the full-corpus-replay oracle certifies.
+
+    Per-epoch driver-memory hygiene (ADVICE r11): superseded
+    localCheckpoints (the consumed fold input, the previous epoch's label
+    table and survivor table) are freed via ``free_local_checkpoint`` the
+    moment the new state materializes — block-manager storage carries ONE
+    copy of each state table across the life of the stream. Returns
+    ``{"labels": DataFrame, "surv": DataFrame | None}`` (min-id canonical
+    labels; survivors keyed by component)."""
+    import os
+    import shutil
+    from glob import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import _jaccard_from_shingles, _spread, word_shingles
+    from ..session import free_local_checkpoint
+    from ..streaming.sinks import write_epoch_overwrite
+    from ..streaming.windows import stream_from_parquet_dir
+
+    src = _run_tmp(spark, f"{tag}_stream", sf_dir)
+    ckpt = _run_tmp(spark, f"{tag}_ckpt", sf_dir)
+    art = _run_tmp(spark, f"{tag}_art", sf_dir)
+    for d in (src, ckpt, art):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    for i in range(3):
+        bdir = f"{src}_b{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        os.rename(
+            _glob(f"{bdir}/part-*.parquet")[0],
+            os.path.join(src, f"batch_{i}.parquet"),
+        )
+        shutil.rmtree(bdir, ignore_errors=True)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state: dict = {"labels": None, "surv": None}
+
+    def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        nb_base = _spread(
+            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        )
+        write_epoch_overwrite(dedup.minhash_band_buckets(nb_base), epoch_id, art)
+        buckets = spark.read.parquet(art)
+        nb = buckets.filter(F.col("__epoch") == int(epoch_id))
+        cand = (
+            nb.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col("a.__id") != F.col("b.__id")),
+            )
+            .select(
+                F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"),
+            )
+            .distinct()
+        )
+        # exact verification restricted to candidate endpoints (the static
+        # docs table only serves text for ids that have ALREADY streamed —
+        # candidates come from artifact buckets, which hold arrived docs)
+        cand_docs = (
+            cand.select(F.col("id_a").alias("__id"))
+            .union(cand.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        base = _spread(
+            docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        )
+        served = base.join(F.broadcast(cand_docs), "__id", "left_semi")
+        sh = served.select("__id", F.explode(word_shingles("__t", 3)).alias("__s"))
+        verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
+            cand, ["id_a", "id_b"], "left_semi"
+        )
+        fold = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        if state["labels"] is not None:
+            star = state["labels"].filter(F.col("id") != F.col("comp")).select(
+                F.col("id").alias("u"), F.col("comp").alias("v")
+            )
+            fold = fold.unionAll(star)
+        # materialize ONCE before the emptiness probe: isEmpty() on the raw
+        # plan runs the verify leg's shuffle stages, and connected_components
+        # would re-run them — the checkpoint makes the probe free and the CC
+        # input pre-materialized (measured ~2 s/epoch at sf0.1)
+        fold = fold.localCheckpoint()
+        if fold.isEmpty():
+            free_local_checkpoint(fold)
+            return
+        # CC's return is already backed by its own final localCheckpoint (the
+        # round-12 hygiene pass made that a documented contract) — wrapping
+        # another localCheckpoint on top would leave the inner one to GC
+        new_labels = dedup.connected_components(fold, "u", "v")
+        new_surv = state["surv"]
+        if survivors:
+            keys = served.select(
+                F.col("__id").alias("id"),
+                F.struct(
+                    (-text.quality_score("__t")).alias("nq"),
+                    F.col("__id").alias("i"),
+                ).alias("__k"),
+            )
+            members = keys.join(new_labels, "id").select("comp", "__k")
+            if state["surv"] is not None:
+                relab = (
+                    state["surv"]
+                    .alias("s")
+                    .join(new_labels.alias("l"), F.col("s.comp") == F.col("l.id"))
+                    .select(
+                        F.col("l.comp").alias("comp"), F.col("s.__k").alias("__k")
+                    )
+                )
+                members = members.unionAll(relab)
+            new_surv = (
+                members.groupBy("comp")
+                .agg(F.min("__k").alias("__k"))
+                .localCheckpoint()
+            )
+        # the new state is materialized — deterministically free the
+        # superseded per-epoch checkpoints (ADVICE r11): the consumed fold
+        # input and the PREVIOUS epoch's label/survivor tables; without this
+        # the block manager grows one state copy per epoch for the life of
+        # the stream (the same leak class ADVICE r10 closed in graph.py)
+        free_local_checkpoint(fold)
+        if state["labels"] is not None:
+            free_local_checkpoint(state["labels"])
+        if survivors and state["surv"] is not None:
+            free_local_checkpoint(state["surv"])
+        state["labels"] = new_labels
+        state["surv"] = new_surv
+
+    q = (
+        stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_on_batch)
+        .queryName(f"{tag}_maintenance")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
 @query(
     "stream_minhash_cluster_maintenance",
     oracle=r"""
@@ -9962,126 +10156,102 @@ def stream_minhash_cluster_maintenance(spark: SparkSession, sf_dir: str) -> Data
     consumed fold input) are freed via ``free_local_checkpoint`` the
     moment the new labels materialize — block-manager storage carries ONE
     label table across the life of the stream, not one per epoch. Output:
-    (doc_id, component_id), min-id canonical labels."""
-    import os
-    import shutil
-    from glob import glob as _glob
-
-    from pyspark.sql import types as T
-
-    from ..operators.dedup import _jaccard_from_shingles, _spread, word_shingles
-    from ..session import free_local_checkpoint
-    from ..streaming.sinks import write_epoch_overwrite
-    from ..streaming.windows import stream_from_parquet_dir
-
+    (doc_id, component_id), min-id canonical labels. The epoch protocol
+    lives in ``_minhash_cluster_stream`` (shared with
+    ``stream_keepone_maintenance``, which extends it with the survivorship
+    fold)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src = _run_tmp(spark, "mhcc_stream", sf_dir)
-    ckpt = _run_tmp(spark, "mhcc_ckpt", sf_dir)
-    art = _run_tmp(spark, "mhcc_art", sf_dir)
-    for d in (src, ckpt, art):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src)
-    for i in range(3):
-        bdir = f"{src}_b{i}"
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bdir)
-        os.rename(
-            _glob(f"{bdir}/part-*.parquet")[0],
-            os.path.join(src, f"batch_{i}.parquet"),
-        )
-        shutil.rmtree(bdir, ignore_errors=True)
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
-    )
-    state: dict = {"labels": None}
-
-    def _on_batch(bdf: DataFrame, epoch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        # idempotent epoch write (ADVICE r11): the exactly-once sink's
-        # dynamic partition overwrite of `__epoch=<id>` — replay-safe
-        # (write_epoch_overwrite's unit-pinned contract), and the epoch's
-        # own bucket rows come back via partition PRUNING below (cheaper
-        # than the broadcast semi-join on new ids it replaces: the pruned
-        # scan reads one partition's files, period)
-        nb_base = _spread(
-            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
-        )
-        write_epoch_overwrite(dedup.minhash_band_buckets(nb_base), epoch_id, art)
-        # incremental candidates: the NEW batch's bucket rows against the
-        # whole (just-grown) artifact — new×old and new×new, normalized to
-        # (least, greatest); pairs among old docs were emitted in their own
-        # epochs, so the union over epochs is the full candidate set
-        buckets = spark.read.parquet(art)
-        nb = buckets.filter(F.col("__epoch") == int(epoch_id))
-        cand = (
-            nb.alias("a")
-            .join(
-                buckets.alias("b"),
-                (F.col("a.__band") == F.col("b.__band"))
-                & (F.col("a.__sig") == F.col("b.__sig"))
-                & (F.col("a.__id") != F.col("b.__id")),
-            )
-            .select(
-                F.least("a.__id", "b.__id").alias("id_a"),
-                F.greatest("a.__id", "b.__id").alias("id_b"),
-            )
-            .distinct()
-        )
-        # exact verification restricted to candidate endpoints (the static
-        # docs table only serves text for ids that have ALREADY streamed —
-        # candidates come from artifact buckets, which hold arrived docs)
-        cand_docs = (
-            cand.select(F.col("id_a").alias("__id"))
-            .union(cand.select(F.col("id_b").alias("__id")))
-            .distinct()
-        )
-        base = _spread(
-            docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
-        )
-        sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
-            "__id", F.explode(word_shingles("__t", 3)).alias("__s")
-        )
-        verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
-            cand, ["id_a", "id_b"], "left_semi"
-        )
-        fold = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        if state["labels"] is not None:
-            star = state["labels"].filter(F.col("id") != F.col("comp")).select(
-                F.col("id").alias("u"), F.col("comp").alias("v")
-            )
-            fold = fold.unionAll(star)
-        # materialize ONCE before the emptiness probe: isEmpty() on the raw
-        # plan runs the verify leg's shuffle stages, and connected_components
-        # would re-run them — the checkpoint makes the probe free and the CC
-        # input pre-materialized (measured ~2 s/epoch at sf0.1)
-        fold = fold.localCheckpoint()
-        if fold.isEmpty():
-            free_local_checkpoint(fold)
-            return
-        new_labels = dedup.connected_components(fold, "u", "v").localCheckpoint()
-        # the new label table is materialized — deterministically free the
-        # superseded per-epoch checkpoints (ADVICE r11): the consumed fold
-        # input and the PREVIOUS epoch's label table; without this the
-        # block manager grows one label-table copy per epoch for the life
-        # of the stream (the same leak class ADVICE r10 closed in graph.py)
-        free_local_checkpoint(fold)
-        if state["labels"] is not None:
-            free_local_checkpoint(state["labels"])
-        state["labels"] = new_labels
-
-    q = (
-        stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
-        .writeStream.foreachBatch(_on_batch)
-        .queryName("mh_cluster_maintenance")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    state = _minhash_cluster_stream(spark, docs, sf_dir, "mhcc")
     return state["labels"].select(
         F.col("id").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+    )
+
+
+@query(
+    "stream_keepone_maintenance",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+      FROM docs WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s, d FROM edges
+              UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS component_id
+      FROM reach GROUP BY s),
+    q AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN len(tok) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) *
+               (0.5 * least(len(list_filter(tok, x -> list_contains(
+                        ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+                      / len(tok) * 5, 1.0)
+                + 0.5 * len(list_distinct(tok)) / len(tok)),
+               6) AS quality
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)),
+    ranked AS (
+      SELECT l.doc_id, l.component_id, q.quality,
+             row_number() OVER (PARTITION BY l.component_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+      FROM labels l JOIN q ON q.doc_id = l.doc_id),
+    surv AS (SELECT component_id, doc_id AS survivor_id, quality
+             FROM ranked WHERE rn = 1)
+    SELECT l.doc_id,
+           CAST(l.component_id AS BIGINT) AS component_id,
+           CAST(s.survivor_id AS BIGINT) AS survivor_id,
+           l.doc_id = s.survivor_id AS is_survivor,
+           round(s.quality, 6) AS survivor_quality
+    FROM labels l JOIN surv s ON s.component_id = l.component_id
+    """,
+)
+def stream_keepone_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup SURVIVORSHIP maintenance, driver-gated (VERDICT_r11
+    "Next round" #3 — the third maintenance leg: index (r10) → clusters
+    (r11) → keep-one policy (r12)): the stream maintains not just WHICH
+    documents cluster but WHICH COPY SURVIVES each cluster, under the
+    ``neardup_keep_best_quality`` policy (max ``text.quality_score``,
+    min-doc-id tiebreak). Each ``_minhash_cluster_stream`` epoch appends
+    the batch's band signatures idempotently, incrementally candidates +
+    exact-verifies, folds verified pairs into CC state, and THEN folds the
+    survivorship decision: endpoint quality keys ``struct(-quality, id)``
+    union the previous survivors relabeled through the new label table,
+    min per component. The fold keeps the RUNNING min, which is confluent
+    — the canonical copy correctly changes when a later epoch streams a
+    better-quality or earlier-ordered copy into an existing cluster (the
+    subtlety VERDICT_r11 flagged), and component merges take the min of
+    the merged survivors, which equals the min over all members. Output:
+    one row per clustered doc — (doc_id, component_id, survivor_id,
+    is_survivor, survivor_quality) — checked against an oracle that
+    replays the FULL-corpus keep-one in batch (exact-Jaccard transitive
+    closure + per-component argmax by quality desc, id asc), so the green
+    row certifies batching, epoch boundaries, relabeling, and the
+    survivor fold are all invisible in the result."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    state = _minhash_cluster_stream(spark, docs, sf_dir, "mhko", survivors=True)
+    lab = state["labels"].select(F.col("id").alias("doc_id"), F.col("comp").alias("__c"))
+    sv = state["surv"].select(
+        F.col("comp").alias("__c"),
+        F.col("__k.i").alias("__si"),
+        F.round(-F.col("__k.nq"), 6).alias("survivor_quality"),
+    )
+    return lab.join(sv, "__c").select(
+        "doc_id",
+        F.col("__c").cast("long").alias("component_id"),
+        F.col("__si").cast("long").alias("survivor_id"),
+        (F.col("doc_id") == F.col("__si")).alias("is_survivor"),
+        "survivor_quality",
     )
 
 
@@ -16945,6 +17115,7 @@ STREAM_REPLAY_ONLY: dict[str, str] = {
     "stream_cc_maintenance": "foreachBatch incremental graph-state maintenance protocol",
     "stream_minhash_index_maintenance": "foreachBatch incremental index-append protocol",
     "stream_minhash_cluster_maintenance": "foreachBatch incremental index+cluster-state maintenance protocol",
+    "stream_keepone_maintenance": "foreachBatch incremental cluster+survivor-state maintenance protocol",
     "stream_python_source_totals": "custom Python streaming DataSource",
     "stream_rest_ingest_audit": "custom REST streaming source",
     "stream_late_data_accounting": "watermark drop/evict semantics ARE the query",
@@ -17006,77 +17177,46 @@ def stream_batch_twins() -> dict[str, QueryFn]:
 # least when they fall past the cap). Every query is additionally verified
 # locally — all SFs — by tests/oracle/test_duckdb_oracle.py.
 _SWEEP_FRONT = (
-    # round-10 rotation (VERDICT_r09 "Next round" #2): new round-10 queries
-    # first (no driver row yet — names are PREPENDED to this block as they
-    # land), then the ENTIRE 50-name tier whose latest green driver row is
-    # round 4 (the stalest tier in the r1-r9 union; the 5 of them whose
-    # implementation ALSO changed in round 10 — the _run_tmp scratch-path
-    # keying — lead the block so a short sweep still covers them), then the
-    # non-r4 queries whose implementation changed in round 10 after their
-    # last green row (the ADVICE_r09 batch: IVF-PQ candidate-join
-    # de-broadcast, ktruss oracle fixpoint guard, conformal rank clamp,
-    # viterbi NULL contract, _run_tmp — every one re-verified by the local
-    # driver mimic at sf0.01 before its commit), then the r5-and-later
-    # tiers in prior front order (duplicates collapse via dict.fromkeys).
-    # New-query slots push r4 names past the driver's 50-row cap from the
-    # BOTTOM of the r4 block; whatever falls past rotates in round 11.
-    # --- new in round 11 (no driver row yet) ---
-    "cross_doc_substring_keep_one",
+    # --- new in round 12 (no driver row yet — names are PREPENDED to this
+    # block as they land) ---
+    "stream_keepone_maintenance",
+    # --- changed in round 12 since last green (the ADVICE_r11 closures:
+    # epoch-keyed idempotent artifact writes + per-epoch checkpoint frees
+    # in the three streaming maintenance queries, IVF-PQ append geometry
+    # derivation; the shared _minhash_cluster_stream refactor; and the
+    # connected_components deterministic checkpoint-free pass, which
+    # touches every CC-dependent query — each re-verified by the local
+    # driver mimic at sf0.01 before its commit; VERDICT_r11 item #1:
+    # changed-code names outrank stale time-tiers) ---
     "stream_minhash_cluster_maintenance",
-    # --- round-11 rotation (VERDICT_r10 "Next round" #2): the 6 r4 names
-    # the round-10 50-row cap dropped lead, then the ENTIRE r5 tier (the
-    # stalest block — green since round 5); the 50-row cap covers the 2 new
-    # + 6 leftovers + the first 42 r5 names, and whatever falls past
-    # rotates in round 12 ---
-    "stream_python_source_totals",
-    "stream_rest_ingest_audit",
-    "trimmed_mean_event_values",
-    "unpivot_lineitem_measures",
-    "weighted_median_price",
-    "weighted_sample_docs",
-    # --- last verified r5 ---
-    "variant_events_profile",
-    "winnowed_doc_fingerprints",
-    "classifier_agreement_kappa",
-    "token_budget_waterfill",
-    "order_price_psi",
-    "above_customer_avg_orders",
-    "lateral_top2_orders",
-    "customer_order_distribution",
-    "gini_customer_spend",
-    "stream_stream_full_join",
-    "stream_stream_semi_join",
-    "knn_label_disagreement",
-    "temporal_split_embargo",
-    "kfold_balance_audit",
-    "quality_quantile_normalized",
-    "jl_projection_fidelity",
-    "video_frame_samples",
+    "stream_cc_maintenance",
+    "stream_minhash_index_maintenance",
+    "ivfpq_artifact_incremental",
+    "ivfpq_artifact_roundtrip",
+    "neardup_components",
+    "neardup_dedup_apply",
     "neardup_keep_best_quality",
-    "winnowed_match_candidates",
-    "copurchase_triangle_stats",
-    "brand_label_propagation",
+    "winnow_match_clusters",
+    "neardup_cluster_delta",
+    "embedding_dbscan_clusters",
+    "embedding_mutual_reach_clusters",
+    "embedding_mutual_reach_ann",
+    "embedding_mutual_reach_hierarchy",
+    "embedding_mutual_reach_hierarchy_ann",
     "corpus_curation_e2e",
-    "hybrid_search_rrf",
-    "benford_price_audit",
-    "lang_source_chisq",
-    "order_price_moments",
-    "incremental_join_maintenance",
     "customer_golden_records",
-    "time_weighted_avg_value",
-    "hourly_ohlc_bars",
-    "unpivot_udtf_twin",
-    "copurchase_degree_assortativity",
-    "bm25_ndcg_eval",
-    "truncation_rank_stability",
-    "geo_customer_neighbor_pairs",
-    "hll_overlap_users",
-    "theta_segment_algebra",
-    "kll_quantile_sketch_gate",
-    "user_trend_robust",
-    "ab_test_welch",
-    "ab_conversion_ztest",
-    "daily_revenue_changepoint",
+    # --- changed in round 11 since last green (VERDICT_r11 item #1 list:
+    # the kcore/s_core/ktruss + CC unpersist fixes, the heatmap hour cast,
+    # the minhash-artifact path; all mimic-green at sf0.01) ---
+    "event_seasonality_heatmap",
+    "copurchase_kcore",
+    "copurchase_score",
+    "copurchase_ktruss",
+    "kcore_incremental_maintenance",
+    "neardup_components",
+    "minhash_artifact_roundtrip",
+    # --- round-12 rotation: the 8 r5-tier names the r11 50-row cap
+    # dropped ---
     "time_to_purchase_km",
     "peak_concurrent_sessions",
     "truncation_rank_rbo",
@@ -17085,80 +17225,8 @@ _SWEEP_FRONT = (
     "recursive_custkey_rollup",
     "containment_neardups",
     "neardup_dedup_apply",
-    # --- new in round 10 (no driver row yet) ---
-    "cross_doc_substring_dedup",
-    "cross_doc_substring_apply",
-    "stream_cc_maintenance",
-    "ivfpq_artifact_incremental",
-    "order_price_jackknife_se",
-    "stream_minhash_index_maintenance",
-    # --- last verified r4 (the full stale tier; changed-in-r10 first) ---
-    "minhash_artifact_roundtrip",
-    "schema_evolution_roundtrip",
-    "corrupt_record_quarantine",
-    "stream_exactly_once_totals",
-    "stream_late_data_accounting",
-    "approx_distinct_parts",
-    "approx_percentile_gate",
-    "asof_cogroup_last_click",
-    "basket_item_lift",
-    "bigram_heldout_logprob",
-    "bucketed_join_revenue",
-    "cdc_last_state",
-    "chunk_dedup_stats",
-    "daily_new_users_cume",
-    "daily_revenue_decomposition",
-    "dq_expectations_orders",
-    "embedding_centroid_drift",
-    "embedding_label_dispersion",
-    "embedding_truncation_fidelity",
-    "event_type_hour_mutual_info",
-    "event_value_mad_outliers",
-    "ewma_daily_revenue",
-    "heavy_hitter_tokens",
-    "incremental_rollup_merge",
-    "language_id_confusion",
-    "last_touch_attribution",
-    "pit_join_event_state",
-    "pmi_collocations_top20",
-    "quality_isotonic_calibration",
-    "revenue_pareto_deciles",
-    "rfm_segments",
-    "ridge_value_model",
-    "seasonal_hour_outliers",
-    "semantic_dedup_pairs",
-    "session_overlap_pairs",
-    "session_path_trigrams",
-    "simhash_fingerprints",
-    "simhash_neardups",
-    "similarity_topk_pandas",
-    "snapshot_diff_counts",
-    "split_leakage_audit",
-    "sql_interface_market_share",
-    "stream_cdc_last_state",
-    "stream_hourly_users",
-    # --- changed in round 10 since last green (recent green rows exist) ---
-    "copurchase_ktruss",
-    "conformal_value_intervals",
-    "similarity_topk_ivfpq",
-    "ivfpq_artifact_roundtrip",
-    "similarity_topk_ivfpq_residual",
-    "unigram_viterbi_stats",
-    "unigram_em_round",
-    "ivf_artifact_roundtrip",
-    "ivf_artifact_incremental",
-    "similarity_topk_lsh_pruned",
-    "json_roundtrip",
-    "partitioned_roundtrip",
-    "csv_roundtrip",
-    "xml_roundtrip",
-    "orc_roundtrip",
-    "pyds_jsonl_roundtrip",
-    "stream_pyds_jsonl_totals",
-    # --- changed in round 11 since last green (hour int→long cast to close
-    # the one benign typecheck skew; mimic re-verified at sf0.01) ---
-    "event_seasonality_heatmap",
-    # --- last verified r6 ---
+    # --- last verified r6 (the stalest time tier — green since round 6;
+    # the 50-row cap reaches ~29 of these, the rest rotate in round 13) ---
     "embedding_knn_label_spread",
     "k_anonymity_audit",
     "l_diversity_audit",
@@ -17257,6 +17325,130 @@ _SWEEP_FRONT = (
     "large_volume_customers",
     "waiting_supplier_orders",
     "similarity_topk_ivf",
+    # --- r10-green tiers below (next-stalest after r6/r7): the round-10
+    # additions, the r4 tier re-verified in r10, the changed-in-r10 batch
+    # ---
+    "cross_doc_substring_dedup",
+    "cross_doc_substring_apply",
+    "stream_cc_maintenance",
+    "ivfpq_artifact_incremental",
+    "order_price_jackknife_se",
+    "stream_minhash_index_maintenance",
+    "minhash_artifact_roundtrip",
+    "schema_evolution_roundtrip",
+    "corrupt_record_quarantine",
+    "stream_exactly_once_totals",
+    "stream_late_data_accounting",
+    "approx_distinct_parts",
+    "approx_percentile_gate",
+    "asof_cogroup_last_click",
+    "basket_item_lift",
+    "bigram_heldout_logprob",
+    "bucketed_join_revenue",
+    "cdc_last_state",
+    "chunk_dedup_stats",
+    "daily_new_users_cume",
+    "daily_revenue_decomposition",
+    "dq_expectations_orders",
+    "embedding_centroid_drift",
+    "embedding_label_dispersion",
+    "embedding_truncation_fidelity",
+    "event_type_hour_mutual_info",
+    "event_value_mad_outliers",
+    "ewma_daily_revenue",
+    "heavy_hitter_tokens",
+    "incremental_rollup_merge",
+    "language_id_confusion",
+    "last_touch_attribution",
+    "pit_join_event_state",
+    "pmi_collocations_top20",
+    "quality_isotonic_calibration",
+    "revenue_pareto_deciles",
+    "rfm_segments",
+    "ridge_value_model",
+    "seasonal_hour_outliers",
+    "semantic_dedup_pairs",
+    "session_overlap_pairs",
+    "session_path_trigrams",
+    "simhash_fingerprints",
+    "simhash_neardups",
+    "similarity_topk_pandas",
+    "snapshot_diff_counts",
+    "split_leakage_audit",
+    "sql_interface_market_share",
+    "stream_cdc_last_state",
+    "stream_hourly_users",
+    "copurchase_ktruss",
+    "conformal_value_intervals",
+    "similarity_topk_ivfpq",
+    "ivfpq_artifact_roundtrip",
+    "similarity_topk_ivfpq_residual",
+    "unigram_viterbi_stats",
+    "unigram_em_round",
+    "ivf_artifact_roundtrip",
+    "ivf_artifact_incremental",
+    "similarity_topk_lsh_pruned",
+    "json_roundtrip",
+    "partitioned_roundtrip",
+    "csv_roundtrip",
+    "xml_roundtrip",
+    "orc_roundtrip",
+    "pyds_jsonl_roundtrip",
+    "stream_pyds_jsonl_totals",
+    # --- r11-green tier (freshest rows — round-11 sweep window):
+    # the 2 round-11 additions, the 6 r4 leftovers, the first 42 r5-tier
+    # names (duplicates with the blocks above collapse via dict.fromkeys)
+    # ---
+    "cross_doc_substring_keep_one",
+    "stream_minhash_cluster_maintenance",
+    "stream_python_source_totals",
+    "stream_rest_ingest_audit",
+    "trimmed_mean_event_values",
+    "unpivot_lineitem_measures",
+    "weighted_median_price",
+    "weighted_sample_docs",
+    "variant_events_profile",
+    "winnowed_doc_fingerprints",
+    "classifier_agreement_kappa",
+    "token_budget_waterfill",
+    "order_price_psi",
+    "above_customer_avg_orders",
+    "lateral_top2_orders",
+    "customer_order_distribution",
+    "gini_customer_spend",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
+    "knn_label_disagreement",
+    "temporal_split_embargo",
+    "kfold_balance_audit",
+    "quality_quantile_normalized",
+    "jl_projection_fidelity",
+    "video_frame_samples",
+    "neardup_keep_best_quality",
+    "winnowed_match_candidates",
+    "copurchase_triangle_stats",
+    "brand_label_propagation",
+    "corpus_curation_e2e",
+    "hybrid_search_rrf",
+    "benford_price_audit",
+    "lang_source_chisq",
+    "order_price_moments",
+    "incremental_join_maintenance",
+    "customer_golden_records",
+    "time_weighted_avg_value",
+    "hourly_ohlc_bars",
+    "unpivot_udtf_twin",
+    "copurchase_degree_assortativity",
+    "bm25_ndcg_eval",
+    "truncation_rank_stability",
+    "geo_customer_neighbor_pairs",
+    "hll_overlap_users",
+    "theta_segment_algebra",
+    "kll_quantile_sketch_gate",
+    "user_trend_robust",
+    "ab_test_welch",
+    "ab_conversion_ztest",
+    "daily_revenue_changepoint",
 )
 
 
