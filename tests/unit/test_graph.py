@@ -405,3 +405,51 @@ def test_deep_peel_leaves_no_cache_entries(spark):
     tedges = spark.createDataFrame(sorted(set(tri)), "u long, v long")
     assert graph.ktruss(tedges, 4).count() == 0
     assert cm.isEmpty(), "ktruss left laundering caches behind"
+
+
+def test_deep_peel_bounds_live_checkpoints(spark):
+    """Round-12 hygiene: the peel loops (and CC) free superseded round
+    checkpoints DETERMINISTICALLY, so a deep cascade leaves a BOUNDED
+    number of live persistent RDDs — the final edge/label table the
+    returned plan reads, at most one unconsumed dead list, at most one
+    laundering pin — not one edge-list + dead-list copy per round.
+    ``getPersistentRDDs`` is the probe the CacheManager test above cannot
+    provide: localCheckpoint registers an RDD persist, never a DF cache
+    entry, so ``cm.isEmpty()`` is blind to this leak class. Same deep
+    graphs as the cache test: the 24-node path cascades ~12 kcore/s_core
+    rounds (≈19 checkpoints before the fix), the triangle chain ~6 ktruss
+    rounds, the 60-node path ~15+ CC rounds."""
+    from tmdb_spark_data_pipeline_spark.operators import dedup
+
+    def live() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    spark.catalog.clearCache()
+    seen = live()
+    edges = spark.createDataFrame([(i, i + 1) for i in range(24)], "u long, v long")
+    assert graph.kcore(edges, 2).count() == 0
+    kc = live() - seen
+    assert len(kc) <= 5, f"kcore left {len(kc)} live checkpoints"
+    seen |= kc
+    wedges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(24)], "u long, v long, w long"
+    )
+    assert graph.s_core(wedges, 2).count() == 0
+    sc = live() - seen
+    assert len(sc) <= 5, f"s_core left {len(sc)} live checkpoints"
+    seen |= sc
+    tri = []
+    for i in range(12):
+        tri += [(i, i + 1), (i, i + 2), (i + 1, i + 2)]
+    tedges = spark.createDataFrame(sorted(set(tri)), "u long, v long")
+    assert graph.ktruss(tedges, 4).count() == 0
+    kt = live() - seen
+    assert len(kt) <= 5, f"ktruss left {len(kt)} live checkpoints"
+    seen |= kt
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    assert dedup.connected_components(path).count() == 61
+    cc = live() - seen
+    assert len(cc) <= 3, f"connected_components left {len(cc)} live checkpoints"

@@ -892,6 +892,7 @@ def connected_components(
         if i % 6 == 5:
             if prev is not None:
                 prev.unpersist()
+                free_local_checkpoint(prev)  # 6 rounds stale, fully consumed
             prev = jumped
         # jumped is materialized and the convergence count has read comp —
         # the superseded round's checkpoint blocks are dead; free them now

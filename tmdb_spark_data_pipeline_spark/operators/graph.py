@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import free_local_checkpoint
+
 
 def _closed_wedges(e0: DataFrame, deg: DataFrame) -> DataFrame:
     """Degree-oriented closed-wedge (triangle) enumeration: direct every
@@ -160,14 +162,19 @@ def kcore(
     )
     converged = False
     prev_cached = None
+    prev_sym = sym
+    prev_pinned = False
+    pending_dead: list[DataFrame] = []
     for i in range(max_iter):
         deg = sym.groupBy("src").agg(F.count("*").alias("__d"))
         # three consumers of the tiny dead list (probe + both anti-join
         # sides) — materialize once, not three degree aggregates per round
         dead = deg.filter(F.col("__d") < k).select("src").localCheckpoint()
         if dead.isEmpty():
+            free_local_checkpoint(dead)  # empty probe list, consumed by nothing
             converged = True
             break
+        pending_dead.append(dead)
         sym = sym.join(dead, "src", "left_anti").join(
             dead.select(F.col("src").alias("dst")), "dst", "left_anti"
         )
@@ -181,9 +188,24 @@ def kcore(
         # second materialization.
         if i % 2 == 1:
             sym = sym.localCheckpoint()
+            # the new checkpoint materialized every pending anti-join — the
+            # superseded edge-list checkpoint and the consumed dead lists
+            # are dead blocks; free them deterministically instead of
+            # leaving O(peel-depth) copies to Py4J+ContextCleaner GC (the
+            # round-12 connected_components hygiene discipline). Laundering
+            # rounds are exempt while live — their DF cache is the stats
+            # pin — and are freed when the NEXT laundering supersedes them.
+            if not prev_pinned:
+                free_local_checkpoint(prev_sym)
+            for d in pending_dead:
+                free_local_checkpoint(d)
+            pending_dead.clear()
+            prev_sym = sym
+            prev_pinned = i % 6 == 5
             if i % 6 == 5:
                 if prev_cached is not None:
                     prev_cached.unpersist()
+                    free_local_checkpoint(prev_cached)  # 6 rounds stale
                 sym = sym.persist()
                 prev_cached = sym
     if prev_cached is not None:
@@ -244,6 +266,9 @@ def s_core(
     )
     converged = False
     prev_cached = None
+    prev_sym = sym
+    prev_pinned = False
+    pending_dead: list[DataFrame] = []
     for i in range(max_iter):
         wd = sym.groupBy("src").agg(F.sum("w").alias("__d"))
         # the dead set has three consumers (the convergence probe + both
@@ -251,8 +276,10 @@ def s_core(
         # re-running the full-edge-list strength aggregate three times
         dead = wd.filter(F.col("__d") < s).select("src").localCheckpoint()
         if dead.isEmpty():
+            free_local_checkpoint(dead)  # empty probe list, consumed by nothing
             converged = True
             break
+        pending_dead.append(dead)
         sym = sym.join(dead, "src", "left_anti").join(
             dead.select(F.col("src").alias("dst")), "dst", "left_anti"
         )
@@ -265,9 +292,20 @@ def s_core(
         # dedup.py); shallow peels never pay it.
         if i % 2 == 1:
             sym = sym.localCheckpoint()
+            # free the superseded edge-list checkpoint + consumed dead
+            # lists deterministically (round-12 hygiene — see kcore);
+            # laundering rounds exempt while live, freed when superseded
+            if not prev_pinned:
+                free_local_checkpoint(prev_sym)
+            for d in pending_dead:
+                free_local_checkpoint(d)
+            pending_dead.clear()
+            prev_sym = sym
+            prev_pinned = i % 6 == 5
             if i % 6 == 5:
                 if prev_cached is not None:
                     prev_cached.unpersist()
+                    free_local_checkpoint(prev_cached)  # 6 rounds stale
                 sym = sym.persist()
                 prev_cached = sym
     if prev_cached is not None:
@@ -702,6 +740,8 @@ def ktruss(
     n = e.count()
     converged = False
     prev_cached = None
+    prev_e = e
+    prev_pinned = False
     for _r in range(max_iter):
         sup = _edge_support(e)
         # every 3rd round, persist() over the checkpoint launders the
@@ -715,9 +755,18 @@ def ktruss(
             .select("u", "v")
             .localCheckpoint()
         )
+        # the new checkpoint materialized the support pass — free the
+        # superseded round's edge checkpoint deterministically (round-12
+        # hygiene — see kcore); laundering rounds exempt while live,
+        # freed when the next laundering supersedes them
+        if not prev_pinned:
+            free_local_checkpoint(prev_e)
+        prev_e = e
+        prev_pinned = _r % 3 == 2
         if _r % 3 == 2:
             if prev_cached is not None:
                 prev_cached.unpersist()
+                free_local_checkpoint(prev_cached)  # 3 rounds stale
             e = e.persist()
             prev_cached = e
         n2 = e.count()
