@@ -6735,14 +6735,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = rfm.select(
         "monetary",
+        # cast long: DuckDB ntile is BIGINT — keep the oracle types aligned
+        # (the event_seasonality_heatmap r11 discipline)
         F.ntile(4)
         .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+        .cast("long")
         .alias("r_score"),
         F.ntile(4)
         .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .cast("long")
         .alias("f_score"),
         F.ntile(4)
         .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .cast("long")
         .alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
@@ -7475,8 +7480,10 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("revenue"))
     dec = cr.select(
         "revenue",
+        # cast long: DuckDB ntile is BIGINT (oracle type alignment)
         F.ntile(10)
         .over(Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()))
+        .cast("long")
         .alias("decile"),
     )
     agg = dec.groupBy("decile").agg(
@@ -10682,7 +10689,7 @@ def variant_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "xml_roundtrip",
     oracle="""
-    SELECT s_nationkey, count(*) AS n_suppliers,
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers,
            round(CAST(sum(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal
     FROM supplier GROUP BY 1
     """,
@@ -13953,8 +13960,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(
             "doc_id",
-            F.col("rank1").alias("bm25_rank"),
-            F.col("rank2").alias("cos_rank"),
+            # cast long: DuckDB row_number is BIGINT (oracle type alignment)
+            F.col("rank1").cast("long").alias("bm25_rank"),
+            F.col("rank2").cast("long").alias("cos_rank"),
             F.round("rrf", 8).alias("rrf_score"),
         )
     )
@@ -17205,6 +17213,13 @@ _SWEEP_FRONT = (
     "embedding_mutual_reach_hierarchy_ann",
     "corpus_curation_e2e",
     "customer_golden_records",
+    # --- changed in round 12: oracle type-skew closures (ntile/row_number
+    # int -> long casts, xml nationkey BIGINT — the heatmap r11 precedent;
+    # all 4 re-mimicked green, typecheck now 0 skews on them) ---
+    "rfm_segments",
+    "revenue_pareto_deciles",
+    "hybrid_search_rrf",
+    "xml_roundtrip",
     # --- changed in round 11 since last green (VERDICT_r11 item #1 list:
     # the kcore/s_core/ktruss + CC unpersist fixes, the heatmap hour cast,
     # the minhash-artifact path; all mimic-green at sf0.01) ---
