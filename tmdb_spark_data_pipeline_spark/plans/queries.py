@@ -10035,6 +10035,13 @@ def _minhash_cluster_stream(
             docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
         )
         served = base.join(F.broadcast(cand_docs), "__id", "left_semi")
+        if survivors:
+            # the survivor fold reads the candidate text a SECOND time (the
+            # shingle verify leg and the quality keys are separate jobs) —
+            # materialize the bounded candidate-endpoint serve once so the
+            # corpus scan behind it isn't paid twice per epoch; freed below
+            # once both consumers have materialized
+            served = served.localCheckpoint()
         sh = served.select("__id", F.explode(word_shingles("__t", 3)).alias("__s"))
         verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
             cand, ["id_a", "id_b"], "left_semi"
@@ -10052,6 +10059,8 @@ def _minhash_cluster_stream(
         fold = fold.localCheckpoint()
         if fold.isEmpty():
             free_local_checkpoint(fold)
+            if survivors:
+                free_local_checkpoint(served)
             return
         # CC's return is already backed by its own final localCheckpoint (the
         # round-12 hygiene pass made that a documented contract) — wrapping
@@ -10088,6 +10097,8 @@ def _minhash_cluster_stream(
         # the block manager grows one state copy per epoch for the life of
         # the stream (the same leak class ADVICE r10 closed in graph.py)
         free_local_checkpoint(fold)
+        if survivors:
+            free_local_checkpoint(served)  # both consumers materialized
         if state["labels"] is not None:
             free_local_checkpoint(state["labels"])
         if survivors and state["surv"] is not None:
