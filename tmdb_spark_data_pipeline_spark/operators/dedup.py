@@ -25,7 +25,7 @@ from ..functions import ColumnOrName, _col
 from .cleaning import dedup_by_key
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, gate: DataFrame | None = None) -> DataFrame:
     """Repartition to the session's default parallelism before expensive
     per-row projections.
 
@@ -34,9 +34,17 @@ def _spread(df: DataFrame) -> DataFrame:
     Gated: inputs already at/above the session's parallelism pass through
     untouched — at real scale (thousands of input splits) repartitioning here
     would be a gratuitous full shuffle of document payloads.
+
+    ``gate`` (optional) is the frame whose partition count decides, in place
+    of ``df`` itself. Pass the underlying SCAN when ``df`` carries joins:
+    under AQE, ``.rdd`` on a plan WITH exchanges materializes its query
+    stages eagerly (broadcast builds included) just to answer the partition
+    probe — a thrown-away execution per call (measured ~+1 s/epoch on the
+    streaming cluster maintenance). A scan-only probe is plan-only.
     """
+    probe = df if gate is None else gate
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if probe.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -404,10 +412,15 @@ def minhash_pairs_from_artifact(
     cand_docs = (
         buckets.join(crowded, ["__band", "__sig"], "left_semi").select("__id").distinct()
     )
-    base = _spread(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
-    sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
-        "__id", F.explode(word_shingles("__t", n)).alias("__s")
-    )
+    # semi-join BEFORE the parallelism repartition: each of the verify leg's
+    # consumers re-evaluates this subtree (no caching here by design), and
+    # the broadcast semi-join at the scan means every evaluation shuffles
+    # only candidate documents, never the whole corpus (guide §2.3)
+    _docs_scan = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    sh = _spread(
+        _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
+        gate=_docs_scan,
+    ).select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     verified = _jaccard_from_shingles(sh, min_jaccard, persist=False)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
@@ -472,9 +485,16 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    sh = base.join(F.broadcast(cand_docs), "__id", "left_semi").select(
-        "__id", F.explode(word_shingles("__t", n)).alias("__s")
-    )
+    # semi-join BEFORE the parallelism repartition: the broadcast semi-join
+    # applies at the scan, so the exchange carries only candidate documents'
+    # payloads instead of the whole corpus (guide §2.3 — filter before the
+    # exchange); `base` above still spreads the full corpus because the
+    # signature pass genuinely reads every document
+    _docs_scan = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    sh = _spread(
+        _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
+        gate=_docs_scan,
+    ).select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     verified = _jaccard_from_shingles(sh, min_jaccard)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
@@ -815,11 +835,14 @@ def connected_components(
     Iterative min-label propagation with a pointer-jumping step (labels
     propagate one hop through edges AND one hop through the current labels
     per round) — converges in O(log diameter) rounds; near-dup clusters have
-    tiny diameters, so this is 2-4 rounds in practice. Each round is two
-    shuffles on node id (join + groupBy) over (id, label) pairs only — never
-    the document payloads. ``localCheckpoint`` truncates the plan each round
-    (iterative lineage otherwise grows exponentially; a cluster job would use
-    reliable ``checkpoint`` instead). The per-round convergence ``count()``
+    tiny diameters, so this is 2-4 rounds in practice. Each round is one
+    grouped min over (neighbor labels ∪ own label) plus the pointer-jump
+    self-join, over (id, label) pairs only — never the document payloads —
+    and the previous label rides through the round so the convergence test
+    is a scan of the fresh checkpoint, not a join against the old table.
+    ``localCheckpoint`` truncates the plan each round (iterative lineage
+    otherwise grows exponentially; a cluster job would use reliable
+    ``checkpoint`` instead). The per-round convergence ``count()``
     is the documented exception to the no-driver-collect rule: one scalar
     per iteration, the same contract as any Pregel-style loop. The
     alternating large-star/small-star formulation (Kiveris et al.,
@@ -851,9 +874,19 @@ def connected_components(
         "comp", F.col("id")
     ).localCheckpoint()
     prev = None
+    comp_ckpt = comp  # the checkpointed frame backing `comp` (freed per round)
     comp_pinned = False  # True when comp is a laundering round's persist()
     for i in range(max_iter):
-        # min label among neighbors (one hop through edges)
+        # min label among neighbors (one hop through edges); the node's own
+        # previous label rides through the round as `old`, so the convergence
+        # test below is a scan of this round's checkpoint instead of a join
+        # back against the previous table (guide §2.4 — the per-round
+        # convergence join was two extra exchanges). A fused
+        # union-then-one-groupBy form of this step was tried and reverted:
+        # it shuffles |neighbor contribs| + |nodes| rows where this shape's
+        # grouped min partial-aggs the join output and the left join stays
+        # on the small label table — floors read ~1.5-2 s worse per query
+        # on the CC-heavy family.
         nbr = (
             edges.join(comp.select(F.col("id").alias("d"), "comp"), "d")
             .groupBy("s")
@@ -861,7 +894,9 @@ def connected_components(
             .select(F.col("s").alias("id"), "nbr_comp")
         )
         stepped = comp.join(nbr, "id", "left").select(
-            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+            "id",
+            F.col("comp").alias("old"),
+            F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
         # pointer jump: comp <- comp(comp), halving chain lengths.
         # localCheckpoint truncates LINEAGE but INHERITS the source plan's
@@ -880,27 +915,25 @@ def connected_components(
         jumped = stepped.join(
             stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
             "comp",
-        ).select("id", F.least("comp", "comp2").alias("comp")).localCheckpoint()
+        ).select("id", "old", F.least("comp", "comp2").alias("comp")).localCheckpoint()
         if i % 6 == 5:
             jumped = jumped.persist()
-        changed = (
-            jumped.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # convergence: label != previous label, read straight off the
+        # just-materialized checkpoint — no join, no shuffle
+        changed = jumped.filter(F.col("comp") != F.col("old")).count()
         if i % 6 == 5:
             if prev is not None:
                 prev.unpersist()
                 free_local_checkpoint(prev)  # 6 rounds stale, fully consumed
             prev = jumped
-        # jumped is materialized and the convergence count has read comp —
+        # jumped is materialized and the convergence count has read it —
         # the superseded round's checkpoint blocks are dead; free them now
         # instead of waiting for Py4J + ContextCleaner GC (laundering-round
         # tables are exempt: their DF cache is the stats pin)
         if not comp_pinned:
-            free_local_checkpoint(comp)
-        comp = jumped
+            free_local_checkpoint(comp_ckpt)
+        comp_ckpt = jumped
+        comp = jumped.select("id", "comp")
         comp_pinned = i % 6 == 5
         if changed == 0:
             # Drop the loop's laundering cache before returning — a caller
@@ -910,7 +943,11 @@ def connected_components(
             # convergence lands ON a laundering round (prev is comp), the
             # returned DataFrame is still backed by its localCheckpoint RDD,
             # so unpersisting only drops the stats-pinning cache — reads
-            # stay correct and cheap (the label table is tiny).
+            # stay correct and cheap (the label table is tiny). The RETURN
+            # is an (id, comp) projection of the final round's checkpoint
+            # (the `old` column stays internal); free_local_checkpoint
+            # descends through projections, so per-epoch callers free it
+            # exactly as before.
             if prev is not None:
                 prev.unpersist()
             free_local_checkpoint(edges)

@@ -321,7 +321,12 @@ def assign_ivf_cells(
     # exchange. cent_id is negated inside the struct so the lexicographic max
     # breaks cos ties toward the LOWEST id; the other corpus columns are
     # constant within a group (same row replicated per centroid), so first()
-    # is value-deterministic.
+    # is value-deterministic. (An optimization round tried the row-local
+    # array_max-over-broadcast-array form here: bit-identical, zero
+    # exchanges — and measurably SLOWER, because the nested HOF evaluates
+    # interpreted while this replicated shape stays inside codegen with a
+    # partial-agg'd fold; floors 5.3 s → 7.1 s on ivf_recall_trained. Keep
+    # the replicate-and-regroup shape.)
     rest = [col for col in corpus.columns if col != id_col]
     base = corpus.withColumn("__norm", l2_norm(vec_col))
     scored = base.join(F.broadcast(c), F.lit(True)).select(
@@ -526,12 +531,16 @@ def ivf_recall_curve(
         "__pr",
         (dot("__qv", "__cvv") / (F.col("__qn") * F.col("__cnn"))).alias("cos"),
     )
+    # two consumers (workload counts + the per-level top-k) and no exchange
+    # reuse between them — materialize the level-replicated candidate list
+    # once (query-stratum-bounded: |q|·candidates·levels rows) instead of
+    # paying the probe join + scoring pass per consumer
     lev = scored.select(
         "query_id",
         "neighbor_id",
         "cos",
         F.explode(F.sequence(F.col("__pr"), F.lit(max_nprobe))).alias("nprobe"),
-    )
+    ).localCheckpoint()
     cand_per = lev.groupBy("nprobe").agg(F.count("*").alias("__n_cand"))
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -673,6 +682,14 @@ def assign_nearest(
     argmin is a ``min(struct(d2, cid))`` aggregate rather than a window, so
     there's no per-vector row_number sort, just a partial-agg'd groupBy on
     the (unique) vector id. Output: (id_col, cid, d2).
+
+    (An optimization round tried the row-local argmin — fold the centroids
+    into one broadcast array row and ``array_min`` a ``transform``-scored
+    struct array per corpus row: bit-identical values, zero exchanges, and
+    measurably SLOWER, because nested higher-order functions evaluate
+    interpreted per element while this replicated shape keeps the scoring
+    inside whole-stage codegen and partial aggregation collapses the ×k
+    replication map-side. Keep the replicate-and-regroup shape.)
     """
     c = centroids.select(F.col(cent_id).alias("__cid"), F.col(cent_vec).alias("__cv"))
     scored = corpus.join(F.broadcast(c), F.lit(True)).select(
@@ -736,6 +753,13 @@ def kmeans_centroids(
     Returns ``(cid, cvec)``: the centroids after ``iters`` Lloyd updates.
     Cells that end an iteration empty are dropped (their cid disappears),
     matching what any engine computing a join-based group mean produces.
+
+    The returned frame is ``localCheckpoint``-backed (k·dim doubles — tiny
+    by construction): trained centroids feed ≥2 consumers in every serving
+    path (cell assignment + probe ranking, or multiple artifact sinks), and
+    without the checkpoint each consumer re-executes the full multi-
+    iteration training chain (measured: the IVF-PQ audit plans carried the
+    training subtree 2-4×).
     """
     emb = df.select(F.col(id_col), F.col(vec_col))
     cents = (
@@ -760,7 +784,7 @@ def kmeans_centroids(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cvec")
         )
-    return cents
+    return cents.localCheckpoint()
 
 
 def int8_quant_stats(
@@ -1089,7 +1113,13 @@ def _all_pairs_cosine_dist(
     the exact mutual-reachability family. localCheckpointed: every caller
     has ≥2 consumers (core-distance window + edge join), and the audit
     query reuses ONE pair list for both its exact and ANN legs.
-    ContextCleaner frees the blocks on GC."""
+    ContextCleaner frees the blocks on GC.
+
+    The distance is symmetric and bit-identical in either direction (the
+    per-element multiply is commutative, the fold order is the element
+    order), so only the qa < qb HALF is computed and checkpointed; the
+    mirrored direction is a projection of the materialized half — the
+    dominant cost (|N|²·dim dot products) halves with identical doubles."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -1101,14 +1131,17 @@ def _all_pairs_cosine_dist(
     b = base.select(
         F.col("__id").alias("qb"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
     )
-    dist = (
-        a.join(b, F.col("qa") != F.col("qb"))
+    half = (
+        a.join(b, F.col("qa") < F.col("qb"))
         .select(
             "qa",
             "qb",
             (1.0 - dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("__d"),
         )
         .localCheckpoint()
+    )
+    dist = half.unionAll(
+        half.select(F.col("qb").alias("qa"), F.col("qa").alias("qb"), "__d")
     )
     return base, dist
 
@@ -1546,14 +1579,19 @@ def pq_train_codebooks(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cvec")
         )
-    return cents
+    # checkpoint the trained table (m·ksub rows): every serving path reads
+    # the codebooks ≥2× (encode + ADC LUT) and would otherwise re-train
+    return cents.localCheckpoint()
 
 
 def _pq_assign(sv: DataFrame, codebooks: DataFrame, *, id_col: str) -> DataFrame:
     """Nearest-codeword assignment per (vector, subspace): squared L2, ties
     to the lowest cid — ``assign_nearest``'s min-struct argmin with the
     ``sub`` equi-join key. Codebooks broadcast; the stacked corpus never
-    shuffles. Returns ``(id_col, sub, cid, d2)``."""
+    shuffles. Returns ``(id_col, sub, cid, d2)``. (The row-local
+    array_min-over-broadcast-arrays form was tried and reverted — see
+    ``assign_nearest``: nested HOFs evaluate interpreted and measured
+    slower than this codegen'd replicate-and-regroup shape.)"""
     scored = sv.join(F.broadcast(codebooks), "sub").select(
         F.col(id_col),
         "sub",
@@ -1665,11 +1703,18 @@ def pq_adc_recall_audit(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dec").asc(), F.col("neighbor_id").asc()
     )
-    ranked = adc.withColumn("__rn", F.row_number().over(w))
-    adc_topk = ranked.filter(F.col("__rn") <= k).select("query_id", "neighbor_id")
-    refine_cand = ranked.filter(F.col("__rn") <= refine).select(
-        "query_id", "neighbor_id"
+    # ONE ADC scan + ranking pass: the top-k and the refine shortlist are
+    # both slices of the same ranked list (k ≤ refine), so materialize the
+    # |queries|·refine-row shortlist once (query-stratum-bounded) instead of
+    # executing the ADC scan+window once per consumer
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id", "__rn")
+        .localCheckpoint()
     )
+    adc_topk = shortlist.filter(F.col("__rn") <= k).select("query_id", "neighbor_id")
+    refine_cand = shortlist.select("query_id", "neighbor_id")
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     rw = Window.partitionBy("query_id").orderBy(
@@ -1682,12 +1727,15 @@ def pq_adc_recall_audit(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id")
     )
+    # the exact leg grades BOTH the ADC and refined sets — |queries|·k rows,
+    # checkpointed so the bounded all-pairs baseline runs once, not twice
     exact = (
         nv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sq_l2("__qv", "__nv").alias("__td"))
         .withColumn("__rn", F.row_number().over(rw))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     ha = (
         adc_topk.join(exact, ["query_id", "neighbor_id"])
@@ -1863,7 +1911,8 @@ def ivfpq_topk_audit(
     # attach each vector's coarse cell to its codes at build time (one
     # co-partitioned id join — the artifact path gets this for free from
     # its cell-partitioned layout), so the serve never touches a
-    # corpus-sized join side again
+    # corpus-sized join side again; both trainings read their checkpointed
+    # quantizer tables instead of re-training per consumer
     codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), "sub", "cid"
     ).join(cells, "neighbor_id")
@@ -1973,15 +2022,16 @@ def write_ivfpq_artifact(
         return
     m = 32 if m is None else m
     dim = 64 if dim is None else dim
-    # four write actions consume these; localCheckpoint the trained tables
-    # (coarse_k rows / m*ksub rows) and the assignment (two consumers) so
-    # neither training nor the assign pass re-executes per sink
+    # four write actions consume these; the trainers return localCheckpoint-
+    # backed tables (coarse_k rows / m·ksub rows) and the assignment gets its
+    # own checkpoint (two consumers) so neither training nor the assign pass
+    # re-executes per sink
     coarse = kmeans_centroids(
         emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
-    ).localCheckpoint()
+    )
     cb = pq_train_codebooks(
         emb, id_col=id_col, vec_col=vec_col, m=m, dim=dim, ksub=ksub, iters=iters
-    ).localCheckpoint()
+    )
     cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col("cid").alias("cell_id")
     ).localCheckpoint()
@@ -2087,10 +2137,19 @@ def ivfpq_residual_topk_audit(
     coarse = kmeans_centroids(
         emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
     )
-    cellsraw = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col), F.col("cid").alias("__cell")
-    )
     cc = coarse.select(F.col("cid").alias("__cell"), F.col("cvec").alias("__ccv"))
+    # the cell assignment feeds residualization AND the serve's cell carry —
+    # checkpoint the narrow (id, cell) table once (at 100 TB this is the
+    # cell-partitioned layout the artifact path persists anyway) so the
+    # broadcast-assign pass over the checkpointed coarse table runs once,
+    # and the residual table below is materialized once for its two
+    # consumers (PQ training input + encode input) instead of re-deriving
+    # emb ⋈ cells ⋈ centroids per consumer
+    cellsraw = (
+        assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col)
+        .select(F.col(id_col), F.col("cid").alias("__cell"))
+        .localCheckpoint()
+    )
     res = (
         emb.join(cellsraw, id_col)
         .join(F.broadcast(cc), "__cell")

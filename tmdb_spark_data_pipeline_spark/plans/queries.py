@@ -8793,6 +8793,10 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # materialize the co-purchase edge table ONCE before slicing it into
+    # the three batch files — the per-batch filter writes would otherwise
+    # each re-run the orderkey self-join + pair aggregate (3× the heaviest
+    # part of the setup); freed after the last slice lands
     edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -8800,6 +8804,7 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= 2)
         .select("u", "v")
+        .localCheckpoint()
     )
     src = _run_tmp(spark, "cc_stream", sf_dir)
     ckpt = _run_tmp(spark, "cc_stream_ckpt", sf_dir)
@@ -8816,6 +8821,7 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src, f"batch_{i}.parquet"),
         )
         shutil.rmtree(bdir, ignore_errors=True)
+    free_local_checkpoint(edges)
     schema = T.StructType(
         [T.StructField("u", T.LongType()), T.StructField("v", T.LongType())]
     )
@@ -10009,6 +10015,10 @@ def _minhash_cluster_stream(
         write_epoch_overwrite(dedup.minhash_band_buckets(nb_base), epoch_id, art)
         buckets = spark.read.parquet(art)
         nb = buckets.filter(F.col("__epoch") == int(epoch_id))
+        # the candidate pair list has TWO consumers (endpoint serve + the
+        # verify semi-join) — materialize the tiny list once so the band-
+        # bucket join against the whole artifact runs once per epoch, not
+        # once per consumer; freed below alongside the fold
         cand = (
             nb.alias("a")
             .join(
@@ -10022,6 +10032,7 @@ def _minhash_cluster_stream(
                 F.greatest("a.__id", "b.__id").alias("id_b"),
             )
             .distinct()
+            .localCheckpoint()
         )
         # exact verification restricted to candidate endpoints (the static
         # docs table only serves text for ids that have ALREADY streamed —
@@ -10031,17 +10042,20 @@ def _minhash_cluster_stream(
             .union(cand.select(F.col("id_b").alias("__id")))
             .distinct()
         )
-        base = _spread(
-            docs.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        # the bounded candidate-endpoint text serve: semi-join at the SCAN
+        # (broadcast), so only candidate documents' payloads ever reach the
+        # parallelism repartition (guide §2.3 — the earlier shape shuffled
+        # the FULL corpus), then materialize once — the shingle verify leg
+        # reads it three times (sizes + both self-join sides) and the
+        # survivor fold a fourth; freed below once every consumer has
+        # materialized
+        _docs_scan = docs.select(
+            F.col("doc_id").alias("__id"), F.col("text").alias("__t")
         )
-        served = base.join(F.broadcast(cand_docs), "__id", "left_semi")
-        if survivors:
-            # the survivor fold reads the candidate text a SECOND time (the
-            # shingle verify leg and the quality keys are separate jobs) —
-            # materialize the bounded candidate-endpoint serve once so the
-            # corpus scan behind it isn't paid twice per epoch; freed below
-            # once both consumers have materialized
-            served = served.localCheckpoint()
+        served = _spread(
+            _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
+            gate=_docs_scan,
+        ).localCheckpoint()
         sh = served.select("__id", F.explode(word_shingles("__t", 3)).alias("__s"))
         verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
             cand, ["id_a", "id_b"], "left_semi"
@@ -10059,8 +10073,8 @@ def _minhash_cluster_stream(
         fold = fold.localCheckpoint()
         if fold.isEmpty():
             free_local_checkpoint(fold)
-            if survivors:
-                free_local_checkpoint(served)
+            free_local_checkpoint(served)
+            free_local_checkpoint(cand)
             return
         # CC's return is already backed by its own final localCheckpoint (the
         # round-12 hygiene pass made that a documented contract) — wrapping
@@ -10097,8 +10111,8 @@ def _minhash_cluster_stream(
         # the block manager grows one state copy per epoch for the life of
         # the stream (the same leak class ADVICE r10 closed in graph.py)
         free_local_checkpoint(fold)
-        if survivors:
-            free_local_checkpoint(served)  # both consumers materialized
+        free_local_checkpoint(served)  # every consumer materialized
+        free_local_checkpoint(cand)
         if state["labels"] is not None:
             free_local_checkpoint(state["labels"])
         if survivors and state["surv"] is not None:
@@ -11926,7 +11940,12 @@ def winnowed_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in ``ngram_jaccard_neardups``); pair work is Σ|bucket|² over
     fingerprint buckets, never N²."""
     docs = _t(spark, sf_dir, "documents")
-    fp = text.winnowed_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    # both self-join sides read the fingerprint table — checkpoint it once
+    # instead of running the winnowing pipeline per side (see
+    # winnow_match_clusters)
+    fp = text.winnowed_fingerprints(
+        docs, "text", "doc_id", k=3, window=4
+    ).localCheckpoint()
     a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("id_b"), "fingerprint")
     return (
@@ -11982,7 +12001,14 @@ def winnow_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label/pointer-jump discipline as ``neardup_components``); cluster
     stats are one grouped pass over the labels."""
     docs = _t(spark, sf_dir, "documents")
-    fp = text.winnowed_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    # the fingerprint table feeds BOTH sides of the sharing self-join; no
+    # exchange is reused across the sides, so without a materialization the
+    # whole winnowing pipeline (tokenize → k-gram hash → window min) runs
+    # twice — checkpoint the ~rows-per-doc fingerprint list once (exactly
+    # the artifact a MOSS service persists)
+    fp = text.winnowed_fingerprints(
+        docs, "text", "doc_id", k=3, window=4
+    ).localCheckpoint()
     a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("id_b"), "fingerprint")
     pairs = (
@@ -14529,6 +14555,9 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 0)
         .select("c_custkey", "c_name", "c_acctbal")
     )
+    # the verified pair list feeds the symmetric union (both directions),
+    # the reciprocal-best window, and the mutual self-join — materialize the
+    # tiny list once instead of re-running the 3-pass blocked ER per consumer
     pairs = dedup.edit_distance_pairs(
         c,
         "c_name",
@@ -14539,7 +14568,7 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("c_name", 16, 3),
         ],
         max_dist=2,
-    ).select("id_a", "id_b", "dist")
+    ).select("id_a", "id_b", "dist").localCheckpoint()
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "dist"
     ).unionAll(
@@ -14672,15 +14701,18 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("ka", "kb", "na", "nb")
         cand = leg if cand is None else cand.unionAll(leg)
     cand = cand.distinct()
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_hit = (
-        cand.filter(F.levenshtein("na", "nb") <= 2)
-        .agg(F.count("*").alias("n_true_candidates"))
+    # ONE pass over the candidate set for both counters: the total and the
+    # levenshtein-verified subset are a single aggregate (a conditional
+    # count), so the 3-leg union + distinct isn't executed once per counter
+    counts = cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.levenshtein("na", "nb") <= 2, 1)).alias(
+            "n_true_candidates"
+        ),
     )
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        n_truth.crossJoin(F.broadcast(counts))
         .select(
             "n_truth",
             "n_candidates",

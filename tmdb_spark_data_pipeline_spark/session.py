@@ -104,14 +104,25 @@ def free_local_checkpoint(df) -> None:
     from, so any later read of ``df`` fails.
 
     Best-effort by design: the analyzed plan of a checkpointed DataFrame is
-    a ``LogicalRDD`` whose ``rdd()`` accessor is the persisted RDD; if the
-    plan is anything else (caller passed a non-checkpointed frame) this is
-    a no-op and the ContextCleaner path still applies.
+    a ``LogicalRDD`` whose ``rdd()`` accessor is the persisted RDD; a pure
+    column PROJECTION of a checkpointed frame (``connected_components``
+    returns one) is a ``Project``/``SubqueryAlias`` chain over the
+    ``LogicalRDD`` — descend through those single-child wrappers so callers
+    holding the projection can still free the blocks. If the plan is
+    anything else (caller passed a non-checkpointed frame) this is a no-op
+    and the ContextCleaner path still applies.
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        for _ in range(8):  # bounded descent through projection wrappers
+            name = plan.getClass().getSimpleName()
+            if name == "LogicalRDD":
+                plan.rdd().unpersist(False)
+                return
+            if name in ("Project", "SubqueryAlias") and plan.children().size() == 1:
+                plan = plan.children().head()
+            else:
+                return
     except Exception:
         pass  # fall back to GC-driven ContextCleaner reclamation
 
