@@ -1014,3 +1014,45 @@ def test_connected_components_leaves_no_cache_entries(spark):
     comp = dedup.connected_components(df)
     assert comp.count() == 61
     assert cm.isEmpty(), "connected_components left a laundering cache behind"
+
+
+def test_sig_agg_exprs_memoized_and_equal_to_naive_form(corpus):
+    # the memoized F.expr construction (r13: ~20× cheaper to build, reused
+    # across queries/epochs) must be value-identical to the naive Column
+    # construction it replaced
+    assert dedup._sig_agg_exprs(32, 7) is dedup._sig_agg_exprs(32, 7)
+    assert dedup._band_bucket_array(8, 4) is dedup._band_bucket_array(8, 4)
+    base = dedup._spread(
+        corpus.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t")),
+        by="__id",
+    )
+    exploded = base.select(
+        "__id", F.explode(dedup.word_shingles("__t", 3)).alias("__s")
+    )
+    new = dedup.minhash_signatures_agg(exploded, num_hashes=32)
+    h = F.pmod(F.xxhash64(F.col("__s")), F.lit(dedup._MERSENNE31))
+    ex = exploded.withColumn("__h", h)
+    aggs = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(dedup._MERSENNE31))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(dedup._permutation_params(32, 7))
+    ]
+    old = ex.groupBy("__id").agg(*aggs)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+
+
+def test_connected_components_dedup_edges_off_same_labels(spark):
+    # a distinct normalized (src<dst) pair list must produce identical
+    # labels with the dedup exchange skipped — including when a pair's
+    # mirror collides with a star-style edge (duplicates are harmless)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 1)], ["id_a", "id_b"]
+    )
+    a = dedup.connected_components(pairs).orderBy("id").collect()
+    b = dedup.connected_components(pairs, dedup_edges=False).orderBy("id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert {(r.id, r.comp) for r in a} == {
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5)
+    }

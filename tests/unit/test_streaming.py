@@ -267,3 +267,32 @@ def test_minhash_cluster_stream_survivors_end_to_end(spark, tmp_path):
     free_local_checkpoint(state["labels"])
     free_local_checkpoint(state["surv"])
     assert persistent_ids() - before == set()
+
+
+def test_stage_stream_batches_one_pass_layout(spark, tmp_path):
+    # the single partitioned staging write must produce the same batch
+    # files the old 3-filter-write loop did: one file per batch index,
+    # full coverage, strictly increasing mtimes (stream replay order)
+    import os
+
+    from tmdb_spark_data_pipeline_spark.plans.queries import _stage_stream_batches
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_stream_batches(df, F.col("doc_id") % 3, src)
+    files = sorted(os.listdir(src))
+    assert files == ["batch_0.parquet", "batch_1.parquet", "batch_2.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    back = spark.read.parquet(src)
+    assert back.count() == 30
+    assert sorted(back.columns) == ["doc_id", "text"]
+    for i in range(3):
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(src, f"batch_{i}.parquet")).collect()
+        }
+        assert ids == {x for x in range(30) if x % 3 == i}

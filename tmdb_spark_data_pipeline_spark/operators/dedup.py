@@ -25,7 +25,9 @@ from ..functions import ColumnOrName, _col
 from .cleaning import dedup_by_key
 
 
-def _spread(df: DataFrame, gate: DataFrame | None = None) -> DataFrame:
+def _spread(
+    df: DataFrame, gate: DataFrame | None = None, by: str | None = None
+) -> DataFrame:
     """Repartition to the session's default parallelism before expensive
     per-row projections.
 
@@ -41,11 +43,22 @@ def _spread(df: DataFrame, gate: DataFrame | None = None) -> DataFrame:
     stages eagerly (broadcast builds included) just to answer the partition
     probe — a thrown-away execution per call (measured ~+1 s/epoch on the
     streaming cluster maintenance). A scan-only probe is plan-only.
+
+    ``by`` (optional): hash-partition on this column instead of round-robin.
+    When the downstream pipeline's first aggregation is keyed on ``by``
+    (the minhash signature groupBy, the shingle-size groupBy), the grouped
+    aggregate reuses this exchange's partitioning (guide §2.4: repartition
+    on the key followed by groupBy on the key shares one exchange) — and a
+    keyed repartition also skips round-robin's sort-before-repartition
+    pass (guide §2.5). Results are key-grouped either way; only partition
+    ASSIGNMENT changes, never values.
     """
     probe = df if gate is None else gate
     target = df.sparkSession.sparkContext.defaultParallelism
     if probe.rdd.getNumPartitions() >= target:
         return df
+    if by is not None:
+        return df.repartition(target, F.col(by))
     return df.repartition(target)
 
 
@@ -121,7 +134,10 @@ def ngram_jaccard_pairs(
     role is the exact-baseline oracle twin; a Zipfian corpus at scale sets
     ``max_df`` (or routes to the MinHash path).
     """
-    sh = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+    sh = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        by="__id",
+    ).select(
         "__id",
         F.explode(word_shingles("__t", n)).alias("__s"),
     )
@@ -281,6 +297,54 @@ def _permutation_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
 
 
+#: Memoized signature-aggregate expression lists, keyed (num_hashes, seed).
+#: Building 128 ``F.min(F.pmod(col*a+b, p))`` Columns costs ~800 ms of Py4J
+#: round-trips PER CALL (measured; ~6 JVM calls per Column) and the minhash
+#: family rebuilds the list for every query — and the streaming maintenance
+#: protocols once per EPOCH. A single-parse ``F.expr`` string is ~20× cheaper
+#: to build, and the memo makes repeat construction free. Columns are
+#: immutable unresolved expression trees, safe to reuse across DataFrames
+#: and sessions within one JVM gateway. The ``L`` suffixes pin long literals
+#: (the old ``F.lit(int)`` literals were int32 and promoted to long inside
+#: the arithmetic — same values, same result type).
+_SIG_AGG_EXPRS: dict[tuple[int, int], list[Column]] = {}
+
+
+def _sig_agg_exprs(num_hashes: int, seed: int) -> list[Column]:
+    key = (num_hashes, seed)
+    cols = _SIG_AGG_EXPRS.get(key)
+    if cols is None:
+        cols = [
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE31}L)) AS mh_{i}")
+            for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
+        ]
+        _SIG_AGG_EXPRS[key] = cols
+    return cols
+
+
+#: Memoized LSH band arrays, keyed (bands, rows-per-band, fold): the
+#: ``array(struct(band, fold(mh_...)))`` expression over a signature row
+#: (same Py4J-construction argument as ``_SIG_AGG_EXPRS``).
+_BAND_ARRAYS: dict[tuple[int, int, str], Column] = {}
+
+
+def _band_bucket_array(bands: int, r: int, fold: str = "xxhash64") -> Column:
+    key = (bands, r, fold)
+    col = _BAND_ARRAYS.get(key)
+    if col is None:
+        def _one(band: int) -> str:
+            cols = ", ".join(f"mh_{band * r + j}" for j in range(r))
+            if fold == "xxhash64":
+                sig = f"xxhash64({cols})"
+            else:  # concat_ws string fold (the portable oracle-replayable form)
+                sig = f"concat_ws('_', {cols})"
+            return f"struct({band} AS band, {sig} AS sig)"
+
+        col = F.expr(f"array({', '.join(_one(b) for b in range(bands))})")
+        _BAND_ARRAYS[key] = col
+    return col
+
+
 def minhash_signatures_agg(
     exploded: DataFrame,
     *,
@@ -303,10 +367,7 @@ def minhash_signatures_agg(
     """
     h = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_MERSENNE31))
     ex = exploded.withColumn("__h", h)
-    aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
-    ]
+    aggs = _sig_agg_exprs(num_hashes, seed)
     return ex.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
@@ -331,15 +392,8 @@ def minhash_band_buckets(
     r = num_hashes // bands
     exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     with_sig = minhash_signatures_agg(exploded, num_hashes=num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("sig"),
-        )
-        for band in range(bands)
-    ]
     return with_sig.select(
-        "__id", F.explode(F.array(*band_cols)).alias("__b")
+        "__id", F.explode(_band_bucket_array(bands, r)).alias("__b")
     ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
 
 
@@ -360,7 +414,9 @@ def write_minhash_artifact(
     documents again. ``mode="append"`` is the incremental maintenance path
     (new batch → new bucket rows); signatures are pure functions of the
     text, so appends never invalidate existing rows."""
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    base = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), by="__id"
+    )
     minhash_band_buckets(base, n=n, num_hashes=num_hashes, bands=bands).write.mode(
         mode
     ).parquet(path)
@@ -420,6 +476,7 @@ def minhash_pairs_from_artifact(
     sh = _spread(
         _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
         gate=_docs_scan,
+        by="__id",
     ).select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     verified = _jaccard_from_shingles(sh, min_jaccard, persist=False)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
@@ -445,7 +502,9 @@ def minhash_lsh_pairs(
     Pipeline: shingle → 128-col signature → explode to (band_id, band_hash)
     → groupBy bucket → pairs within bucket → distinct → exact verify.
     """
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    base = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), by="__id"
+    )
     buckets = minhash_band_buckets(base, n=n, num_hashes=num_hashes, bands=bands)
 
     # The self-join below consumes `buckets` twice, and Spark does NOT reuse
@@ -494,6 +553,7 @@ def minhash_lsh_pairs(
     sh = _spread(
         _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
         gate=_docs_scan,
+        by="__id",
     ).select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     verified = _jaccard_from_shingles(sh, min_jaccard)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
@@ -538,29 +598,16 @@ def minhash_band_pairs_portable(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    base = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), by="__id"
+    )
     exploded = base.select("__id", F.explode(word_shingles("__t", n)).alias("__s"))
     ex = exploded.withColumn(
         "__h", F.pmod(_token_hash(F.col("__s"), "md5_60"), F.lit(_MERSENNE31))
     )
-    aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
-            f"mh_{i}"
-        )
-        for i, (a, b) in enumerate(_permutation_params(num_hashes, seed))
-    ]
-    sig = ex.groupBy("__id").agg(*aggs)
-    band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh_{band * r + j}") for j in range(r)]).alias(
-                "sig"
-            ),
-        )
-        for band in range(bands)
-    ]
+    sig = ex.groupBy("__id").agg(*_sig_agg_exprs(num_hashes, seed))
     buckets = (
-        sig.select("__id", F.explode(F.array(*band_cols)).alias("__b"))
+        sig.select("__id", F.explode(_band_bucket_array(bands, r, "concat_ws")).alias("__b"))
         .select("__id", F.col("__b.band").alias("__band"), F.col("__b.sig").alias("__sig"))
         # two join sides read this; localCheckpoint (not persist) so the
         # blocks are ContextCleaner-owned — no CacheManager entry for the
@@ -648,7 +695,7 @@ def minhash_lsh_pairs_incremental(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(True).alias("__is_new")
         )
     )
-    base = _spread(tagged)
+    base = _spread(tagged, by="__id")
     exploded = base.select("__id", "__is_new", F.explode(word_shingles("__t", n)).alias("__s"))
     sig = minhash_signatures_agg(exploded, num_hashes=num_hashes, carry_cols=("__is_new",))
     band_cols = [
@@ -748,7 +795,7 @@ def simhash_fingerprints(
     ``use_bits<=60``) the fingerprints are portable across engines — see
     ``_token_hash``.
     """
-    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    base = _spread(df.select(F.col(id_col), F.col(text_col)), by=id_col)
     ex = base.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
     ).withColumn("__h", _token_hash(F.col("__tok"), hasher))
@@ -826,6 +873,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 50,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id,
     component_id)`` with ``component_id`` = min node id in the component (the
@@ -864,17 +912,19 @@ def connected_components(
     themselves when superseded.
     """
     from ..session import free_local_checkpoint
-    edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .localCheckpoint()
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    comp = edges.select(F.col("s").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
-    ).localCheckpoint()
+    if dedup_edges:
+        # duplicates never change the labels (min is idempotent) but they
+        # inflate every round's neighbor join; callers whose pair list is
+        # distinct and normalized (src < dst) can skip this exchange —
+        # the two symmetrized directions cannot collide (dedup_edges=False)
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
+    comp = None
     prev = None
-    comp_ckpt = comp  # the checkpointed frame backing `comp` (freed per round)
+    comp_ckpt = None  # the checkpointed frame backing `comp` (freed per round)
     comp_pinned = False  # True when comp is a laundering round's persist()
     for i in range(max_iter):
         # min label among neighbors (one hop through edges); the node's own
@@ -887,17 +937,35 @@ def connected_components(
         # grouped min partial-aggs the join output and the left join stays
         # on the small label table — floors read ~1.5-2 s worse per query
         # on the CC-heavy family.
-        nbr = (
-            edges.join(comp.select(F.col("id").alias("d"), "comp"), "d")
-            .groupBy("s")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .select(F.col("s").alias("id"), "nbr_comp")
-        )
-        stepped = comp.join(nbr, "id", "left").select(
-            "id",
-            F.col("comp").alias("old"),
-            F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-        )
+        if comp is None:
+            # round 1 fused (guide §2.4): with the identity labeling
+            # comp₀(id) = id, the neighbor min is just min(d) per s — the
+            # materialized identity table (a distinct + localCheckpoint per
+            # CC call) and round 1's join against it collapse into one
+            # grouped min over the edge list. Labels are identical: every
+            # node appears as `s` (edges are symmetric by construction), so
+            # least(s, min(d)) == least(comp₀, coalesce(nbr_min, comp₀)).
+            stepped = (
+                edges.groupBy("s")
+                .agg(F.min("d").alias("nbr_comp"))
+                .select(
+                    F.col("s").alias("id"),
+                    F.col("s").alias("old"),
+                    F.least("s", "nbr_comp").alias("comp"),
+                )
+            )
+        else:
+            nbr = (
+                edges.join(comp.select(F.col("id").alias("d"), "comp"), "d")
+                .groupBy("s")
+                .agg(F.min("comp").alias("nbr_comp"))
+                .select(F.col("s").alias("id"), "nbr_comp")
+            )
+            stepped = comp.join(nbr, "id", "left").select(
+                "id",
+                F.col("comp").alias("old"),
+                F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
         # pointer jump: comp <- comp(comp), halving chain lengths.
         # localCheckpoint truncates LINEAGE but INHERITS the source plan's
         # size ESTIMATE — and because this round SELF-JOINS the evolving
@@ -930,7 +998,7 @@ def connected_components(
         # the superseded round's checkpoint blocks are dead; free them now
         # instead of waiting for Py4J + ContextCleaner GC (laundering-round
         # tables are exempt: their DF cache is the stats pin)
-        if not comp_pinned:
+        if not comp_pinned and comp_ckpt is not None:
             free_local_checkpoint(comp_ckpt)
         comp_ckpt = jumped
         comp = jumped.select("id", "comp")

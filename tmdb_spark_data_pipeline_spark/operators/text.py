@@ -190,7 +190,8 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str, *, n: int = 3) -
     from .dedup import _spread, word_shingles
 
     grams = _spread(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        by="__id",
     ).select(
         "__id",
         F.explode(word_shingles("__t", n, distinct=False)).alias("__g"),

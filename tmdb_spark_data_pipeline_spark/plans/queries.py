@@ -199,6 +199,40 @@ def _register_tmp_cleanup(base: str, app_id: str) -> None:
             pass
 
 
+def _stage_stream_batches(df: DataFrame, key, src: str, *, n: int = 3) -> None:
+    """Slice ``df`` into ``n`` single-file batch parquets under ``src`` in
+    ONE pass: a single partitioned write (one scan + one shuffle on the
+    batch key) replaces ``n`` filtered ``coalesce(1)`` writes (``n`` full
+    scans of the source subtree — guide §2.4). ``key`` must be an integer
+    column expression in ``[0, n)``; each value's lone output file is moved
+    to ``src/batch_<i>.parquet`` with strictly increasing mtimes so the
+    file-source stream (which orders by timestamp) replays batches in
+    index order, exactly as the old per-batch write loop did."""
+    import os
+    import shutil
+    import time
+    from glob import glob as _glob
+
+    staged = f"{src}_staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        df.withColumn("__b", key)
+        .repartition(n, "__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(staged)
+    )
+    now = time.time()
+    for i in range(n):
+        files = _glob(f"{staged}/__b={i}/part-*.parquet")
+        if len(files) != 1:  # pragma: no cover - staging invariant
+            raise RuntimeError(f"expected 1 file for batch {i}, got {files}")
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(files[0], dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 # exact decimal sum of a double expression, surfaced as double (see module doc)
 def _dsum(c) -> F.Column:
     return F.sum(c.cast("decimal(30,4)")).cast("double")
@@ -8783,7 +8817,6 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch. Output: (component_id, n_nodes) per final cluster."""
     import os
     import shutil
-    from glob import glob as _glob
 
     from pyspark.sql import types as T
 
@@ -8793,10 +8826,10 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    # materialize the co-purchase edge table ONCE before slicing it into
-    # the three batch files — the per-batch filter writes would otherwise
-    # each re-run the orderkey self-join + pair aggregate (3× the heaviest
-    # part of the setup); freed after the last slice lands
+    # the co-purchase edge table is consumed exactly once now: the single
+    # partitioned staging write slices all three batch files in one pass
+    # (_stage_stream_batches), so the per-batch localCheckpoint the old
+    # 3-filter-write loop needed is gone with the loop
     edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -8804,24 +8837,13 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= 2)
         .select("u", "v")
-        .localCheckpoint()
     )
     src = _run_tmp(spark, "cc_stream", sf_dir)
     ckpt = _run_tmp(spark, "cc_stream_ckpt", sf_dir)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     os.makedirs(src)
-    for i in range(3):
-        bdir = f"{src}_b{i}"
-        edges.filter((F.col("u") + F.col("v")) % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bdir)
-        os.rename(
-            _glob(f"{bdir}/part-*.parquet")[0],
-            os.path.join(src, f"batch_{i}.parquet"),
-        )
-        shutil.rmtree(bdir, ignore_errors=True)
-    free_local_checkpoint(edges)
+    _stage_stream_batches(edges, (F.col("u") + F.col("v")) % 3, src)
     schema = T.StructType(
         [T.StructField("u", T.LongType()), T.StructField("v", T.LongType())]
     )
@@ -8835,8 +8857,12 @@ def stream_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             delta = delta.unionAll(star)
         # CC's return is already backed by its own final localCheckpoint
-        # (round-12 hygiene contract) — no second checkpoint on top
-        new_labels = dedup.connected_components(delta, "u", "v")
+        # (round-12 hygiene contract) — no second checkpoint on top.
+        # dedup_edges=False: the batch edges are distinct with u < v and the
+        # star edges distinct with u > v, so the symmetrized union carries
+        # (at most) the bounded pair/star overlap — CC labels are identical
+        # with or without the dedup exchange (min is idempotent)
+        new_labels = dedup.connected_components(delta, "u", "v", dedup_edges=False)
         # free the superseded epoch's label checkpoint the moment the new
         # one is materialized (ADVICE r11 leak class: one block-manager
         # label-table copy per epoch for the life of the stream otherwise)
@@ -9864,7 +9890,6 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     drives the same lifecycle from batch code)."""
     import os
     import shutil
-    from glob import glob as _glob
 
     from pyspark.sql import types as T
 
@@ -9879,16 +9904,7 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     for d in (src, ckpt, art):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src)
-    for i in range(3):
-        bdir = f"{src}_b{i}"
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bdir)
-        os.rename(
-            _glob(f"{bdir}/part-*.parquet")[0],
-            os.path.join(src, f"batch_{i}.parquet"),
-        )
-        shutil.rmtree(bdir, ignore_errors=True)
+    _stage_stream_batches(docs, F.col("doc_id") % 3, src)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -9902,7 +9918,8 @@ def stream_minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         # rewrites the same partition instead of appending its rows twice;
         # no driver-local initialized flag to get out of sync
         base = _dspread(
-            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t")),
+            by="__id",
         )
         write_epoch_overwrite(dedup.minhash_band_buckets(base), epoch_id, art)
 
@@ -9976,7 +9993,6 @@ def _minhash_cluster_stream(
     labels; survivors keyed by component)."""
     import os
     import shutil
-    from glob import glob as _glob
 
     from pyspark.sql import types as T
 
@@ -9991,16 +10007,7 @@ def _minhash_cluster_stream(
     for d in (src, ckpt, art):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src)
-    for i in range(3):
-        bdir = f"{src}_b{i}"
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bdir)
-        os.rename(
-            _glob(f"{bdir}/part-*.parquet")[0],
-            os.path.join(src, f"batch_{i}.parquet"),
-        )
-        shutil.rmtree(bdir, ignore_errors=True)
+    _stage_stream_batches(docs, F.col("doc_id") % 3, src)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -10010,7 +10017,8 @@ def _minhash_cluster_stream(
         if bdf.isEmpty():
             return
         nb_base = _spread(
-            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+            bdf.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t")),
+            by="__id",
         )
         write_epoch_overwrite(dedup.minhash_band_buckets(nb_base), epoch_id, art)
         buckets = spark.read.parquet(art)
@@ -10018,7 +10026,11 @@ def _minhash_cluster_stream(
         # the candidate pair list has TWO consumers (endpoint serve + the
         # verify semi-join) — materialize the tiny list once so the band-
         # bucket join against the whole artifact runs once per epoch, not
-        # once per consumer; freed below alongside the fold
+        # once per consumer; freed below alongside the fold. Band-collision
+        # duplicates stay in the list (no distinct): both consumers are
+        # duplicate-insensitive (a left_semi probe side and a distinct over
+        # the endpoints), so the dedup exchange bought nothing (guide §2.4
+        # — "a distinct on data whose consumers don't need it")
         cand = (
             nb.alias("a")
             .join(
@@ -10031,7 +10043,6 @@ def _minhash_cluster_stream(
                 F.least("a.__id", "b.__id").alias("id_a"),
                 F.greatest("a.__id", "b.__id").alias("id_b"),
             )
-            .distinct()
             .localCheckpoint()
         )
         # exact verification restricted to candidate endpoints (the static
@@ -10055,6 +10066,7 @@ def _minhash_cluster_stream(
         served = _spread(
             _docs_scan.join(F.broadcast(cand_docs), "__id", "left_semi"),
             gate=_docs_scan,
+            by="__id",
         ).localCheckpoint()
         sh = served.select("__id", F.explode(word_shingles("__t", 3)).alias("__s"))
         verified = _jaccard_from_shingles(sh, 0.5, persist=False).join(
@@ -10079,7 +10091,7 @@ def _minhash_cluster_stream(
         # CC's return is already backed by its own final localCheckpoint (the
         # round-12 hygiene pass made that a documented contract) — wrapping
         # another localCheckpoint on top would leave the inner one to GC
-        new_labels = dedup.connected_components(fold, "u", "v")
+        new_labels = dedup.connected_components(fold, "u", "v", dedup_edges=False)
         new_surv = state["surv"]
         if survivors:
             keys = served.select(
