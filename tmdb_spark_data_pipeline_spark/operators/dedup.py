@@ -799,17 +799,39 @@ def simhash_fingerprints(
     ex = base.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
     ).withColumn("__h", _token_hash(F.col("__tok"), hasher))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
-        for b in range(use_bits)
-    ]
-    sums = ex.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(use_bits):
-        fp = fp + F.when(F.col(f"__b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    sums = ex.groupBy(id_col).agg(*_simhash_agg_exprs(use_bits))
+    return sums.select(F.col(id_col), _simhash_pack_expr(use_bits).alias("simhash"))
+
+
+#: Memoized SimHash expression lists (same Py4J-construction argument as
+#: _SIG_AGG_EXPRS: the 63 bit-sum aggregates + the 63-term sign pack cost
+#: ~950 ms to build naively, per call). Values identical: sum(if(bit, 1,
+#: -1)) == sum(when(bit == 1, 1).otherwise(-1)); the pack is the same
+#: long-literal conditional sum.
+_SIMHASH_AGGS: dict[int, list[Column]] = {}
+_SIMHASH_PACK: dict[int, Column] = {}
+
+
+def _simhash_agg_exprs(use_bits: int) -> list[Column]:
+    cols = _SIMHASH_AGGS.get(use_bits)
+    if cols is None:
+        cols = [
+            F.expr(f"sum(if((shiftright(__h, {b}) & 1) = 1, 1, -1)) AS __b{b}")
+            for b in range(use_bits)
+        ]
+        _SIMHASH_AGGS[use_bits] = cols
+    return cols
+
+
+def _simhash_pack_expr(use_bits: int) -> Column:
+    col = _SIMHASH_PACK.get(use_bits)
+    if col is None:
+        terms = " + ".join(
+            f"if(__b{b} > 0, {2 ** b}L, 0L)" for b in range(use_bits)
+        )
+        col = F.expr(f"cast(0 as bigint) + {terms}")
+        _SIMHASH_PACK[use_bits] = col
+    return col
 
 
 def simhash_neardup_pairs(

@@ -578,6 +578,26 @@ def ivf_recall_curve(
     )
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run independent sink actions concurrently (guide §2.6): Spark's
+    scheduler overlaps jobs submitted from several driver threads — actions
+    are only sequential because callers invoke them sequentially, and FIFO
+    scheduling backfills one job's straggler tail with the next job's
+    tasks. Each thunk must be an independent write whose expensive inputs
+    are already materialized (checkpoint-backed trained tables / cell
+    assignments here), so completion order cannot matter. Errors propagate:
+    the first failing thunk's exception is re-raised after all complete."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def write_ivf_artifact(
     corpus: DataFrame,
     path: str,
@@ -617,8 +637,12 @@ def write_ivf_artifact(
             centroid_filter = F.col(id_col) % 25 == 0
         cents = corpus.filter(centroid_filter).select(id_col, vec_col)
     assigned = assign_ivf_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
-    assigned.write.mode(mode).partitionBy("cell_id").parquet(f"{path}/cells")
-    cents.write.mode(mode).parquet(f"{path}/centroids")
+    _parallel_writes(
+        lambda: assigned.write.mode(mode)
+        .partitionBy("cell_id")
+        .parquet(f"{path}/cells"),
+        lambda: cents.write.mode(mode).parquet(f"{path}/centroids"),
+    )
 
 
 def cosine_topk_ivf_from_artifact(
@@ -711,6 +735,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column — the semantic-dedup
     / corpus-clustering primitive, expressed entirely in DataFrame ops.
@@ -732,8 +757,29 @@ def kmeans_lloyd(
     Returns final assignments (id_col, cid, d2).
     """
     emb = df.select(F.col(id_col), F.col(vec_col))
-    cents = kmeans_centroids(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    cents = kmeans_centroids(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, dim=dim)
     return assign_nearest(emb, cents, id_col=id_col, vec_col=vec_col)
+
+
+#: Memoized element-wise decimal-mean aggregate lists, keyed (dim, col):
+#: one sum/count pair per vector position (same Py4J-construction argument
+#: as _SUBVEC_ARRAYS — 64 aggregate Columns cost ~0.4 s to build naively).
+_MEAN_AGG_EXPRS: dict[tuple[int, str], list[Column]] = {}
+
+
+def _mean_agg_exprs(dim: int, col: str) -> list[Column]:
+    key = (dim, col)
+    cols = _MEAN_AGG_EXPRS.get(key)
+    if cols is None:
+        cols = [
+            F.expr(
+                f"cast(sum(cast(element_at({col}, {j + 1}) as decimal(30,12)))"
+                f" as double) / count(*) AS __m{j}"
+            )
+            for j in range(dim)
+        ]
+        _MEAN_AGG_EXPRS[key] = cols
+    return cols
 
 
 def kmeans_centroids(
@@ -743,6 +789,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """The centroid-training half of ``kmeans_lloyd``, exposed on its own so
     trained centroids can feed the IVF serving path (``cosine_topk_ivf`` /
@@ -769,10 +816,23 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         assigned = assign_nearest(emb, cents, id_col=id_col, vec_col=vec_col)
-        ex = (
-            emb.join(assigned.select(id_col, "cid"), id_col)
-            .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
-        )
+        joined = emb.join(assigned.select(id_col, "cid"), id_col)
+        if dim is not None:
+            # one grouped pass (guide §2.4): dim element-wise decimal-mean
+            # aggregates per cid — the posexplode + (cid, pos) groupBy +
+            # (cid) re-group below pays a second exchange per iteration to
+            # reassemble the array. Same decimal(30,12) accumulation per
+            # position, same division, same array order — bit-identical
+            # centroids. Callers that know the embedding width pass dim.
+            cents = (
+                joined.groupBy("cid")
+                .agg(*_mean_agg_exprs(dim, vec_col))
+                .select(
+                    "cid", F.array(*[f"__m{j}" for j in range(dim)]).alias("cvec")
+                )
+            )
+            continue
+        ex = joined.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
         means = ex.groupBy("cid", "pos").agg(
             (
                 F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
@@ -1516,19 +1576,37 @@ def pq_subvectors(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("subvec"),
-            )
-            for s in range(m)
-        ]
-    )
+    parts = _subvector_array(m, dim, vec_col)
     return df.select(F.col(id_col), F.explode(parts).alias("__p")).select(
         id_col, F.col("__p.sub").alias("sub"), F.col("__p.subvec").alias("subvec")
     )
+
+
+#: Memoized subspace-slice arrays, keyed (m, dim, vec_col): building the
+#: m-struct slice array costs ~300 ms of Py4J round-trips per call at m=32
+#: (measured), and the PQ family builds it for every train/encode/serve —
+#: same construction-cost class as dedup._SIG_AGG_EXPRS. A single-parse
+#: F.expr is ~20× cheaper cold and the memo makes repeats free; values and
+#: schema are identical (slice bounds stay compile-time literals).
+_SUBVEC_ARRAYS: dict[tuple[int, int, str], Column] = {}
+
+
+def _subvector_array(m: int, dim: int, vec_col: str) -> Column:
+    key = (m, dim, vec_col)
+    col = _SUBVEC_ARRAYS.get(key)
+    if col is None:
+        dsub = dim // m
+        col = F.expr(
+            "array({})".format(
+                ", ".join(
+                    f"struct({s} AS sub, slice({vec_col}, {s * dsub + 1}, {dsub})"
+                    f" AS subvec)"
+                    for s in range(m)
+                )
+            )
+        )
+        _SUBVEC_ARRAYS[key] = col
+    return col
 
 
 def pq_train_codebooks(
@@ -1563,21 +1641,29 @@ def pq_train_codebooks(
         df.join(F.broadcast(init_ids), id_col), id_col=id_col, vec_col=vec_col,
         m=m, dim=dim,
     ).select("sub", F.col(id_col).alias("cid"), F.col("subvec").alias("cvec"))
+    dsub = dim // m
+    # per-iteration mean in ONE grouped pass (guide §2.4): the subvector is
+    # dsub elements, so the element-wise mean is dsub decimal-sum aggregates
+    # per (sub, cid) — the old posexplode + (sub, cid, pos) groupBy +
+    # (sub, cid) re-group paid a second exchange per iteration to reassemble
+    # the array. Same decimal(30,12) accumulation per position, same
+    # division, same array order — bit-identical codebooks.
+    mean_aggs = [
+        (
+            F.sum(F.element_at("subvec", j + 1).cast("decimal(30,12)")).cast("double")
+            / F.count("*")
+        ).alias(f"__m{j}")
+        for j in range(dsub)
+    ]
     for _ in range(iters):
         assigned = _pq_assign(sv, cents, id_col=id_col).select(id_col, "sub", "cid")
-        ex = sv.join(assigned, [id_col, "sub"]).select(
-            "sub", "cid", F.posexplode(F.col("subvec")).alias("pos", "val")
-        )
-        means = ex.groupBy("sub", "cid", "pos").agg(
-            (
-                F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
-                / F.count("*")
-            ).alias("m")
-        )
-        cents = means.groupBy("sub", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cvec")
+        cents = (
+            sv.join(assigned, [id_col, "sub"])
+            .groupBy("sub", "cid")
+            .agg(*mean_aggs)
+            .select(
+                "sub", "cid", F.array(*[f"__m{j}" for j in range(dsub)]).alias("cvec")
+            )
         )
     # checkpoint the trained table (m·ksub rows): every serving path reads
     # the codebooks ≥2× (encode + ADC LUT) and would otherwise re-train
@@ -1902,7 +1988,7 @@ def ivfpq_topk_audit(
     """
     emb = corpus.select(F.col(id_col), F.col(vec_col))
     coarse = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col,
-                              k=coarse_k, iters=coarse_iters)
+                              k=coarse_k, iters=coarse_iters, dim=dim)
     cells = assign_nearest(emb, coarse, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("__cell")
     )
@@ -2013,12 +2099,17 @@ def write_ivfpq_artifact(
             )
             .join(cells, id_col)
         )
-        packed.repartition("cell_id").write.mode("append").partitionBy(
-            "cell_id"
-        ).parquet(f"{path}/codes")
-        emb.join(cells, id_col).repartition("cell_id").write.mode(
-            "append"
-        ).partitionBy("cell_id").parquet(f"{path}/vectors")
+        _parallel_writes(
+            lambda: packed.repartition("cell_id")
+            .write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/codes"),
+            lambda: emb.join(cells, id_col)
+            .repartition("cell_id")
+            .write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/vectors"),
+        )
         return
     m = 32 if m is None else m
     dim = 64 if dim is None else dim
@@ -2027,7 +2118,7 @@ def write_ivfpq_artifact(
     # own checkpoint (two consumers) so neither training nor the assign pass
     # re-executes per sink
     coarse = kmeans_centroids(
-        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
+        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters, dim=dim
     )
     cb = pq_train_codebooks(
         emb, id_col=id_col, vec_col=vec_col, m=m, dim=dim, ksub=ksub, iters=iters
@@ -2046,18 +2137,24 @@ def write_ivfpq_artifact(
         )
         .join(cells, id_col)
     )
-    coarse.write.mode("overwrite").parquet(f"{path}/centroids")
-    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     # repartition by cell before the partitioned sinks: one writer task per
     # cell region -> one file per cell per build instead of
     # (shuffle partitions x cells) small files — the layout a 100 TB index
-    # actually wants (and ~2x faster to land here)
-    packed.repartition("cell_id").write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(f"{path}/codes")
-    emb.join(cells, id_col).repartition("cell_id").write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(f"{path}/vectors")
+    # actually wants (and ~2x faster to land here). All four sinks read
+    # checkpoint-backed inputs, so they run as overlapped jobs (guide §2.6)
+    _parallel_writes(
+        lambda: coarse.write.mode("overwrite").parquet(f"{path}/centroids"),
+        lambda: cb.write.mode("overwrite").parquet(f"{path}/codebooks"),
+        lambda: packed.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/codes"),
+        lambda: emb.join(cells, id_col)
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/vectors"),
+    )
 
 
 def ivfpq_topk_from_artifact(
@@ -2135,7 +2232,7 @@ def ivfpq_residual_topk_audit(
     neighbor_id, d2, hit)."""
     emb = corpus.select(F.col(id_col), F.col(vec_col))
     coarse = kmeans_centroids(
-        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters
+        emb, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=coarse_iters, dim=dim
     )
     cc = coarse.select(F.col("cid").alias("__cell"), F.col("cvec").alias("__ccv"))
     # the cell assignment feeds residualization AND the serve's cell carry —

@@ -4428,7 +4428,7 @@ def ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pass is k·iters broadcast-assign scans (no corpus shuffle) paid
     once at build; serving cost is unchanged O(nprobe·N/cells)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = similarity.kmeans_centroids(emb, k=25, iters=2).select(
+    cents = similarity.kmeans_centroids(emb, k=25, iters=2, dim=_PQ_DIM).select(
         F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 20)
@@ -5222,7 +5222,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pass; centroid means shrink to ≤ k×dim rows map-side before
     their shuffle."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1)
+    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1, dim=_PQ_DIM)
     n = F.count("*")
     return assigned.groupBy("cid").agg(
         n.alias("n_vecs"),
@@ -7885,7 +7885,7 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell boundary are not candidates; the exact twin ``cosine_neardups``
     bounds the loss."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1)
+    assigned = similarity.kmeans_lloyd(emb, k=8, iters=1, dim=_PQ_DIM)
     blocked = emb.join(assigned.select("vec_id", "cid"), "vec_id")
     out = similarity.embedding_neardup_pairs(blocked, min_cos=0.4, block_col="cid")
     return out.select(

@@ -81,6 +81,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Scale-dependent overrides stay parameterised (optimization-round rule:
+    # no constant tuned to one machine): SPARK_GRAFT_EXTRA_CONF is a
+    # semicolon-separated k=v list applied to every engine session — used
+    # for cluster-posture settings and isolated config A/Bs without
+    # touching the bench harness.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

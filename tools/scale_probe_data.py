@@ -71,10 +71,10 @@ def main() -> None:
         parts = []
         for copy in range(k):
             sel = []
-            for name, typ in con.execute(
+            for row in con.execute(
                 f"describe select * from read_parquet('{SRC}/{t}.parquet')"
             ).fetchall():
-                name, typ = name, typ
+                name = row[0]
                 if name in cols:
                     sel.append(f"{name} + {copy * strides[cols[name]]} AS {name}")
                 elif t == "embeddings" and name == "embedding" and copy > 0:
